@@ -1,0 +1,210 @@
+"""Deduplication operators: exact, keep-latest, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+The exact/keep-latest forms re-express the reference's ROW_NUMBER merge
+dedup (Step 1:184-190, Step 5 mergeFunc). The near-dup family is the
+training-data-pipeline extension: all of it is built from JVM-side
+expressions (xxhash64, explode, groupBy) — no Python UDFs — so the hot
+path stays in whole-stage codegen and scales by shuffle capacity, not
+Python throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def keep_latest(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """One row per key, keeping the greatest (order_by...) tuple.
+
+    Deterministic if order_by ends in a unique column. This is the
+    engine's canonical pre-merge dedup (reference: ROW_NUMBER()=1 idiom).
+    """
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_exact(df: DataFrame, cols: list[str], tiebreaker: str) -> DataFrame:
+    """Exact dedup on cols, keeping the row with the smallest tiebreaker.
+
+    Hash-groupBy under the hood: shuffles once on the dedup key. For
+    100 TB runs, pre-hash wide string keys to a fixed-width digest first
+    (see fingerprint_sha2) so the shuffle key is 32 bytes, not documents.
+    """
+    w = W.partitionBy(*cols).orderBy(F.col(tiebreaker))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def fingerprint_sha2(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Normalize whitespace + lowercase, then SHA-256 — content identity
+    for exact dedup (datavalidator.py:35 hash-identity idiom)."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn(out_col, F.sha2(normalized, 256))
+
+
+def shingle(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles per row (array column).
+
+    Tokenization is split-on-whitespace of the lowercased text; shingles
+    are the n-token sliding windows, deduped per document.
+    """
+    df = df.withColumn("__toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    ngrams = F.when(
+        F.size("__toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+            )
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    return df.withColumn(out_col, ngrams).drop("__toks")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingle_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per document: for seed s, min over shingles of
+    xxhash64(shingle, s). Deterministic, JVM-side (no UDF).
+
+    Returns (id_col, sig array<bigint>).
+    """
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col(shingle_col), lambda x, s=s: F.xxhash64(x, F.lit(s))))
+            for s in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash) buckets.
+
+    Scale path for near-dup at 100 TB: candidate generation is a
+    groupBy/join on 16-byte bucket keys — never a full cross join. Skewed
+    buckets (boilerplate docs) are bounded by AQE skew-join splitting.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, id_col: str, shingle_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Explode→join-on-shingle→count intersection, then |A∪B| from per-doc
+    sizes. This is the verification stage after LSH candidate generation
+    (or a standalone exact method at moderate cardinality).
+    """
+    sizes = shingled.select(F.col(id_col), F.size(F.col(shingle_col)).alias("sz"))
+    exploded = shingled.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, built from JVM expressions.
+
+    Each token hashes to 64 bits (xxhash64); per bit position the
+    signature takes the sign of the sum of ±1 votes. Computed via
+    explode + groupBy(sum) over bit columns, which partial-aggregates
+    map-side — no per-row Python.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    one = F.lit(1).cast("long")
+    votes = tokens.groupBy(id_col).agg(
+        *[
+            # shiftleft instead of a python 1<<i literal: 1<<63 overflows
+            # a SQL BIGINT literal, the JVM shift wraps correctly
+            F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming_pairs(sim_df: DataFrame, id_col: str, max_distance: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation uses the pigeonhole trick: split 64 bits into
+    (max_distance+1) blocks; any pair within distance shares ≥1 exact
+    block → join on (block_idx, block_value) instead of cross join.
+    """
+    blocks = max_distance + 1
+    width = 64 // blocks
+    block_cols = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(blocks)
+        ]
+    )
+    banded = sim_df.select(F.col(id_col), F.col("simhash"), F.posexplode(block_cols).alias("blk", "blk_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    ).filter(F.col("hamming") <= max_distance)

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an IVF-style
+(inverted-file) variant as the scale path: cluster assignment buckets the
+join so each query probes only its nearest centroids' buckets instead of
+the full corpus.
+
+All math is JVM-side (`zip_with`/`aggregate` over array columns) — no
+Python in the inner loop. At 100 TB the brute-force form is a broadcast
+of the (small) query set against a partitioned corpus scan: linear, one
+pass, no shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out_col: str = "norm") -> DataFrame:
+    """Append the L2 norm (computed once, reused across comparisons)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_col, F.sqrt(_dot(v, v)))
+
+
+def cosine_col(vec_a, vec_b):
+    """Cosine similarity of two array columns (double math)."""
+    a = F.transform(vec_a, lambda x: x.cast("double"))
+    b = F.transform(vec_b, lambda x: x.cast("double"))
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan shape: broadcast(queries) ⋈ corpus scan → per-query window
+    top-k. The corpus is never shuffled; ranking state is k rows per
+    query. Excludes self-matches.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+
+    Exact all-pairs form — O(n²) compare, only for bounded corpora; the
+    IVF variant below is the scale path (bucket first, compare within
+    buckets).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its nprobe nearest centroids (IVF lists).
+
+    centroids: (centroid_id, centroid_vec). Broadcast join + window —
+    the partition/bucketing step of IVF-flat.
+    Returns (id_col, centroid_id, rank).
+    """
+    c = centroids.select("centroid_id", F.col(vec_col).alias("cent_vec"))
+    scored = df.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(c)).withColumn(
+        "sim", cosine_col(F.col(vec_col), F.col("cent_vec"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= nprobe)
+        .select(id_col, "centroid_id", "rank")
+    )
+
+
+def deterministic_centroids(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 8) -> DataFrame:
+    """k deterministic 'centroids' = the k lowest-id vectors.
+
+    A stand-in for k-means seeding that keeps tests reproducible; the
+    IVF dataflow (assign → per-list search) is identical either way.
+    """
+    return (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.row_number().over(W.orderBy(id_col)).alias("centroid_id"), F.col(vec_col))
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's nprobe nearest IVF lists.
+
+    Cuts the compare count by ~num_centroids/nprobe versus brute force;
+    recall depends on centroid quality. Join is bucketed on centroid_id.
+    """
+    cents = deterministic_centroids(corpus, id_col, vec_col, num_centroids)
+    corpus_lists = corpus.join(ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).drop("rank"), id_col)
+    q_lists = queries.join(ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).drop("rank"), id_col)
+    q = q_lists.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id")
+    c = corpus_lists.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id")
+    scored = (
+        c.join(F.broadcast(q), ["centroid_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,330 @@
+"""Aggregation battery: SURVEY.md §2.4 A1–A12.
+
+Reference parity: global aggs (transactions.py:350), grouped multi-aggs
+(01.5:250-254, deltaoptimizer.py:1020-1030), count-distinct
+(datavalidator.py:136-137), conditional aggs (deltaoptimizer.py:1395-1397),
+collect_list (deltaoptimizer.py:1562-1566), stddev stats
+(01-concurrency-testing-notebook.py:374-375), time-bucket counts
+(redshiftchecker.py:166-184), stack/unpivot (deltaoptimizer.py:1586-1590).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.functions import dmoney, dsum_dbl
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+
+@register(
+    "agg_global",
+    tags=("agg",),
+    oracle="""
+    SELECT count(*)                       AS row_cnt,
+           count(DISTINCT l_orderkey)     AS order_cnt,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           min(l_shipdate)                AS first_ship,
+           max(l_shipdate)                AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    """Whole-table aggregate — single reduce, no grouping."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.countDistinct("l_orderkey").alias("order_cnt"),
+        dsum_dbl(dmoney("l_quantity")).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    tags=("agg",),
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                      AS customers,
+           count(DISTINCT c_nationkey)   AS nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Grouped exact count-distinct (expands to two-phase agg in Spark)."""
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.countDistinct("c_nationkey").alias("nations"),
+    )
+
+
+@register(
+    "agg_conditional",
+    tags=("agg",),
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                                                          AS orders,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
+           round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS avg_urgent_price,
+           count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END)   AS urgent_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """CASE-guarded aggregates (deltaoptimizer.py:1395-1397 shape)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).cast("bigint").alias("big_orders"),
+        F.round(F.avg(F.when(urgent, F.col("o_totalprice"))), 2).alias("avg_urgent_price"),
+        F.countDistinct(F.when(urgent, F.col("o_custkey"))).alias("urgent_customers"),
+    )
+
+
+@register(
+    "agg_minmax_scaled",
+    tags=("agg", "scaling"),
+    oracle="""
+    WITH stats AS (
+        SELECT c_nationkey,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS bal
+        FROM customer GROUP BY c_nationkey
+    ), bounds AS (
+        SELECT min(bal) AS lo, max(bal) AS hi FROM stats
+    )
+    SELECT c_nationkey, bal,
+           round(CASE WHEN hi = lo THEN 0 ELSE (bal - lo) / (hi - lo) END, 6) AS bal_scaled
+    FROM stats CROSS JOIN bounds
+    """,
+)
+def agg_minmax_scaled(spark, sf_dir):
+    """Min-max scaling: agg → global bounds → normalized score.
+
+    Reference shape deltaoptimizer.py:1207-1242 (popularity scaling).
+    Implemented as an unpartitioned window over the *aggregated* (tiny)
+    frame, not the base table, so the single-partition window is safe.
+    """
+    from pyspark.sql import Window as W
+
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    stats = c.groupBy("c_nationkey").agg(dsum_dbl(dmoney("c_acctbal")).alias("bal"))
+    w = W.partitionBy()
+    return stats.select(
+        "c_nationkey",
+        "bal",
+        F.round(
+            F.when(F.max("bal").over(w) == F.min("bal").over(w), F.lit(0.0)).otherwise(
+                (F.col("bal") - F.min("bal").over(w)) / (F.max("bal").over(w) - F.min("bal").over(w))
+            ),
+            6,
+        ).alias("bal_scaled"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    tags=("agg", "collect"),
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations_csv,
+           count(*)                                      AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """collect_list → sorted CSV (deltaoptimizer.py:1562-1566 shape).
+
+    Sorted before serialization so the result is deterministic under any
+    partitioning.
+    """
+    n = load_tables(spark, sf_dir, ["nation"])["nation"]
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations_csv"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@register(
+    "agg_stats",
+    tags=("agg", "stats"),
+    oracle="""
+    SELECT o_orderpriority,
+           round(avg(o_totalprice), 2)          AS avg_price,
+           round(stddev_samp(o_totalprice), 2)  AS sd_price,
+           round(median(o_totalprice), 2)       AS median_price,
+           round(min(o_totalprice), 2)          AS min_price,
+           round(max(o_totalprice), 2)          AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Distribution stats per group incl. exact median (percentile)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_time_bucket",
+    tags=("agg", "time"),
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+           event_type,
+           count(*)               AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_time_bucket(spark, sf_dir):
+    """Hourly rollup per event type (redshiftchecker.py:166-184 grain
+    counting; Step 4 hourly-rollup pattern)."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum_dbl(dmoney("value")).alias("total_value"),
+    )
+
+
+@register(
+    "agg_rollup",
+    tags=("agg", "rollup"),
+    oracle="""
+    SELECT coalesce(r_name, '<all>') AS region_name,
+           coalesce(n_name, '<all>') AS nation_name,
+           count(*)                  AS n_customers,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP totals (region → nation → grand total)."""
+    t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum_dbl(dmoney("c_acctbal")).alias("total_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation_name"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "agg_histogram",
+    tags=("agg",),
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*)                            AS cnt,
+           round(avg(value), 4)                AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram over a measure column."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return e.groupBy(F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@register(
+    "agg_unpivot_stack",
+    tags=("agg", "unpivot"),
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderstatus,
+               CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE) AS urgent,
+               CAST(round(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN CAST(o_totalprice AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE) AS low
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'urgent' AS priority_class, urgent AS total FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'low'    AS priority_class, low    AS total FROM wide
+    """,
+)
+def agg_unpivot_stack(spark, sf_dir):
+    """Wide→long unpivot via stack() (deltaoptimizer.py:1586-1590)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    wide = o.groupBy("o_orderstatus").agg(
+        F.round(F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", dmoney("o_totalprice")).otherwise(F.lit(0).cast("decimal(14,2)"))), 2).cast("double").alias("urgent"),
+        F.round(F.sum(F.when(F.col("o_orderpriority") == "5-LOW", dmoney("o_totalprice")).otherwise(F.lit(0).cast("decimal(14,2)"))), 2).cast("double").alias("low"),
+    )
+    return wide.selectExpr(
+        "o_orderstatus",
+        "stack(2, 'urgent', urgent, 'low', low) AS (priority_class, total)",
+    )
+
+
+@register(
+    "agg_pivot",
+    tags=("agg", "pivot"),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE) AS qty_O,
+           CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot on a low-cardinality column with an explicit value list
+    (explicit list avoids the extra distinct-scan pass at scale)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(dmoney("l_quantity")), 2).cast("double"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    tags=("agg", "sketch"),
+    oracle=None,  # approx sketch values are engine-specific → rows-only check
+)
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog approximate distinct per segment — the 100 TB-scale
+    substitute for exact COUNT(DISTINCT) (SURVEY §2.4 A11 scale note).
+    No oracle: sketch estimates are engine-specific."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.count(F.lit(1)).alias("orders"),
+    )

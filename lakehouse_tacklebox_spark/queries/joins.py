@@ -1,0 +1,257 @@
+"""Join-type battery: every join flavor from SURVEY.md §2.3.
+
+Reference parity: left outer (datavalidator.py:142-143), left anti
+(datavalidator.py:162-169), semi (datavalidator.py:186-194), full outer
+(redshiftchecker.py:163-183), self-join (02-Data-preparation.py:142-143),
+cross/theta (deltaoptimizer.py:1384-1392), range/inequality band lookup
+(deltaoptimizer.py:1490-1492).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.functions import dmoney, dsum_dbl
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+
+@register(
+    "join_left_outer",
+    tags=("join",),
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)                         AS order_cnt,
+           CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(14,2))), 0), 2) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """Per-customer order stats keeping customers with zero orders."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum(dmoney("o_totalprice")), F.lit(0).cast("decimal(14,2)")), 2).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_anti",
+    tags=("join",),
+    oracle="""
+    SELECT c_mktsegment, count(*) AS customers_without_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Customers with no orders, by segment — left-anti join."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers_without_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    tags=("join",),
+    oracle="""
+    SELECT c_mktsegment, count(*) AS customers_with_f_orders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Customers having at least one finished order — left-semi join."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers_with_f_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    tags=("join", "reconcile"),
+    oracle="""
+    WITH o AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d, count(*) AS order_cnt
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1999-03-01 00:00:00'
+        GROUP BY 1
+    ), l AS (
+        SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS d, count(*) AS ship_cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-03-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT coalesce(o.d, l.d)        AS day,
+           coalesce(order_cnt, 0)    AS order_cnt,
+           coalesce(ship_cnt, 0)     AS ship_cnt
+    FROM o FULL OUTER JOIN l ON o.d = l.d
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Daily order-vs-shipment count reconciliation — full outer join.
+
+    This is the reference's cross-system reconciliation shape
+    (redshiftchecker.py:137-188): aggregate each side by a time grain
+    first (so the join inputs are tiny), then full-outer on the grain.
+    """
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    lo, hi = F.lit("1999-01-01").cast("timestamp"), F.lit("1999-03-01").cast("timestamp")
+    o = (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    l = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.date_trunc("day", "l_shipdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("ship_cnt"))
+    )
+    return o.join(l, o["d"] == l["d"], "full_outer").select(
+        F.coalesce(o["d"], l["d"]).alias("day"),
+        F.coalesce(F.col("order_cnt"), F.lit(0)).alias("order_cnt"),
+        F.coalesce(F.col("ship_cnt"), F.lit(0)).alias("ship_cnt"),
+    )
+
+
+@register(
+    "join_self_pairs",
+    tags=("join", "self"),
+    oracle="""
+    SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b, count(*) AS pair_cnt
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    GROUP BY a.l_returnflag, b.l_returnflag
+    """,
+)
+def join_self_pairs(spark, sf_dir):
+    """Within-order line pairs — self-join on the order key.
+
+    Scale: the self-join shuffles both aliases on l_orderkey; per-key
+    fan-out is bounded by lines-per-order (≤7), so no quadratic blowup.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"].select("l_orderkey", "l_linenumber", "l_returnflag")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .groupBy(F.col("a.l_returnflag").alias("flag_a"), F.col("b.l_returnflag").alias("flag_b"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+
+
+@register(
+    "join_cross",
+    tags=("join", "cross"),
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product of two bounded dims (theta-join shape,
+    deltaoptimizer.py:1384-1392). Only ever done on dimension tables."""
+    t = load_tables(spark, sf_dir, ["region", "nation"])
+    return t["region"].select("r_name").crossJoin(t["nation"].select("n_name"))
+
+
+@register(
+    "join_range_band",
+    tags=("join", "range"),
+    oracle="""
+    SELECT band, count(*) AS order_cnt, CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS band_total
+    FROM orders
+    JOIN (VALUES ('small', 0.0, 50000.0),
+                 ('medium', 50000.0, 150000.0),
+                 ('large', 150000.0, 1e18)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def join_range_band(spark, sf_dir):
+    """Band (range) join: order price → named bucket via inequality join.
+
+    Reference shape: 'nearest file-size band' lookup
+    (deltaoptimizer.py:1490-1505). The band table is tiny → broadcast
+    nested-loop join, which is the right plan at any fact size.
+    """
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0), ("large", 150000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(F.broadcast(bands), (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum_dbl(dmoney("o_totalprice")).alias("band_total"),
+        )
+    )
+
+
+@register(
+    "join_multiway_using",
+    tags=("join",),
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(o.n_orders_agg, 0) AS n_orders,
+           coalesce(e.n_events_agg, 0) AS n_events
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100) c
+    LEFT JOIN (SELECT o_custkey, count(DISTINCT o_orderkey) AS n_orders_agg
+               FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT user_id, count(*) AS n_events_agg
+               FROM events GROUP BY user_id) e ON e.user_id = c.c_custkey
+    """,
+)
+def join_multiway_using(spark, sf_dir):
+    """Three-source feature join (C360 feature-table shape, 01.5:248-261).
+
+    Scale note: aggregating each fact to the key grain BEFORE joining
+    avoids the classic fan-out×fan-out double-count and keeps the join
+    inputs at key cardinality.
+    """
+    t = load_tables(spark, sf_dir, ["customer", "orders", "events"])
+    cust = t["customer"].filter(F.col("c_custkey") < 100).select("c_custkey")
+    o = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.countDistinct("o_orderkey").alias("n_orders_agg"))
+    )
+    e = t["events"].groupBy(F.col("user_id").alias("c_custkey")).agg(F.count(F.lit(1)).alias("n_events_agg"))
+    return (
+        cust.join(o, "c_custkey", "left")
+        .join(e, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders_agg", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events_agg", F.lit(0)).alias("n_events"),
+        )
+    )

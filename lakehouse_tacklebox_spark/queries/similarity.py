@@ -1,0 +1,102 @@
+"""Similarity-search queries over the embeddings table.
+
+Brute-force cosine top-k (exact baseline, oracle-checked against DuckDB's
+list_cosine_similarity), threshold near-dup pairs, and the IVF bucketed
+variant (rows-only: approximate by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.operators import similarity as S
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+
+@register(
+    "knn_bruteforce",
+    tags=("similarity",),
+    bench=True,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for the first 10 vectors.
+
+    Broadcast the query set against a single corpus scan; per-query
+    window top-k. Linear in corpus size — the right exact plan at scale.
+    """
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "emb_neardup_pairs",
+    tags=("similarity", "dedup"),
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
+    """,
+)
+def emb_neardup_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine ≥ 0.95), exact all-pairs."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.neardup_pairs(e, threshold=0.95)
+
+
+@register(
+    "knn_ivf",
+    tags=("similarity", "ann"),
+    oracle=None,  # approximate by construction → rows-only; pytest asserts recall vs brute force
+)
+def knn_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-5 — the scale path: assignment
+    buckets the corpus so each query compares against ~nprobe/k of it."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.knn_ivf(e, e.filter(F.col("vec_id") < 10), k=5, num_centroids=8, nprobe=3)
+
+
+@register(
+    "emb_label_centroids",
+    tags=("similarity", "agg"),
+    oracle="""
+    SELECT label,
+           count(*)                                             AS n_vectors,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6)          AS centroid_dim1,
+           round(avg(CAST(embedding[2] AS DOUBLE)), 6)          AS centroid_dim2,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid components + mean norm (vector groupBy agg)."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(F.element_at(v, 1)), 6).alias("centroid_dim1"),
+        F.round(F.avg(F.element_at(v, 2)), 6).alias("centroid_dim2"),
+        F.round(F.avg(F.sqrt(dot)), 6).alias("avg_norm"),
+    )

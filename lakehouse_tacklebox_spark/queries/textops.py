@@ -1,0 +1,228 @@
+"""Text-analysis + dedup queries over the documents table.
+
+The training-data-pipeline surface: exact dedup, fingerprinting, token
+stats, quality scoring, language ID, n-gram Jaccard near-dup, MinHash-LSH
+and SimHash candidates. SQL-expressible ops carry DuckDB oracles; the
+hash-sketch ops (engine-specific hash functions) are rows-only checked
+and covered by pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.operators import dedup as D
+from lakehouse_tacklebox_spark.operators import text as TX
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+
+@register(
+    "dedup_exact_stats",
+    tags=("dedup", "text"),
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT)                    AS total_docs,
+           CAST(count(DISTINCT fingerprint) AS BIGINT) AS distinct_docs,
+           CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT) AS duplicate_rows
+    FROM fp
+    """,
+)
+def dedup_exact_stats(spark, sf_dir):
+    """Exact-dup census via normalized-content SHA-256 fingerprints."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    fp = D.fingerprint_sha2(d, "text")
+    return fp.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("fingerprint").alias("distinct_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("duplicate_rows"),
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    tags=("dedup", "text"),
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY sha256(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """Exact dedup keeping the lowest doc_id per content fingerprint."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return D.dedup_exact(D.fingerprint_sha2(d, "text"), cols=["fingerprint"], tiebreaker="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "text_token_stats",
+    tags=("text",),
+    oracle="""
+    SELECT lang,
+           count(*)                                              AS docs,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split_regex(lower(trim(text)), '\\s+'))), 4)       AS avg_tokens,
+           round(avg(n_chars), 4)                                AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting rolled up per language."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return d.withColumn("n_tokens", TX.token_count("text")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    tags=("text",),
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, source,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+               round(CAST(length(text) AS DOUBLE)
+                     / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4) AS mean_token_len,
+               round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 4) AS digit_ratio
+        FROM documents
+    )
+    SELECT source,
+           count(*)                        AS docs,
+           round(avg(n_tokens), 4)         AS avg_tokens,
+           round(avg(mean_token_len), 4)   AS avg_token_len,
+           round(avg(punct_ratio), 4)      AS avg_punct_ratio,
+           round(avg(digit_ratio), 4)      AS avg_digit_ratio
+    FROM feats
+    GROUP BY source
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality-signal features aggregated per source."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    feats = TX.quality_features(d, "text")
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("mean_token_len"), 4).alias("avg_token_len"),
+        F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+        F.round(F.avg("digit_ratio"), 4).alias("avg_digit_ratio"),
+    )
+
+
+@register(
+    "text_langid",
+    tags=("text", "langid"),
+    oracle=None,  # marker-set heuristic is engine-internal → rows-only; pytest covers exactness
+)
+def text_langid(spark, sf_dir):
+    """Stopword-marker language ID vs the labeled lang column:
+    confusion-matrix counts per (labeled, predicted)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        d.withColumn("predicted", TX.detect_language("text"))
+        .groupBy(F.col("lang").alias("labeled"), F.col("predicted"))
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+@register(
+    "text_fingerprint_groups",
+    tags=("text", "dedup"),
+    oracle=None,  # xxhash64 is Spark-specific → rows-only
+)
+def text_fingerprint_groups(spark, sf_dir):
+    """Rolling-hash prefix fingerprint → cluster sizes (doc clustering)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        d.withColumn("fp", TX.rolling_fingerprint("text", prefix_tokens=16))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("representative"))
+        .filter(F.col("cluster_size") >= 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("dedup", "text"),
+    bench=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS sz FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard similarity pairs ≥ 0.2.
+
+    Explode-join-on-shingle (never a cross join): the verification stage
+    of the LSH pipeline, oracle-checkable because it is pure set algebra.
+    """
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
+    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("dedup", "text", "lsh"),
+    oracle=None,  # xxhash64 minhash is Spark-specific → rows-only; pytest asserts recall vs exact jaccard
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs, verified with
+    exact Jaccard — the 100 TB near-dup path (no cross join anywhere)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
+    sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=32)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4)
+    verified = cand.join(D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.0), ["id_a", "id_b"])
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).filter(F.col("jaccard") >= 0.2)
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup", "text", "simhash"),
+    oracle=None,  # xxhash64 simhash is Spark-specific → rows-only
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup candidates within Hamming distance 3 via the
+    pigeonhole block join."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sims = D.simhash(d.select("doc_id", "text"), "doc_id", "text")
+    return D.hamming_pairs(sims, "doc_id", max_distance=3)

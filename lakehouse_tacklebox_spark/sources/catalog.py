@@ -1,0 +1,61 @@
+"""Testdata catalog: load the driver-provided parquet star schema.
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets native parquet
+pushdown (PushedFilters / ReadSchema pruning). Nothing is cached here —
+callers decide; at 100 TB you never blanket-cache a fact table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor. At 100 TB
+# the facts (orders/lineitem/events) grow; these stay bounded (catalog-style
+# dims), so broadcast hints on them remain valid.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
+        # default; we read it as a long (nanosAsLong) and truncate to
+        # microseconds — same truncation DuckDB applies, so both engines
+        # see identical values.
+        # integer division: float division would lose precision on
+        # epoch-nanos magnitudes (> 2^53)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
+    """Return {table_name: DataFrame} for the parquet files in sf_dir."""
+    # Runtime confs the query battery depends on, set here so results are
+    # correct even under a caller-provided SparkSession (e.g. the driver's):
+    # nanos parquet timestamps read as long (converted back in _read), and
+    # UTC session time zone so timestamp arithmetic matches the oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return {name: _read(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
