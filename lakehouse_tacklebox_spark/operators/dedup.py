@@ -123,8 +123,16 @@ def jaccard_pairs(
     sizes. This is the verification stage after LSH candidate generation
     (or a standalone exact method at moderate cardinality).
     """
-    sizes = shingled.select(F.col(id_col), F.size(F.col(shingle_col)).alias("sz"))
-    exploded = shingled.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("sh"))
+    # Shingle strings hash to 8-byte keys before the join: the shuffle
+    # moves fixed-width longs instead of n-gram strings (64-bit collision
+    # odds are negligible at any realistic corpus cardinality). The
+    # exploded postings list is persisted because three plan branches
+    # (sizes + both join sides) would otherwise re-shingle the corpus.
+    exploded = shingled.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("sh")
+    ).select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+    exploded = exploded.persist()
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
