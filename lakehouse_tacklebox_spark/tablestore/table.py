@@ -1,0 +1,641 @@
+"""TackleTable: a versioned parquet table format with a JSON commit log.
+
+A from-scratch, dependency-free re-expression of the lakehouse table
+semantics the reference gets from Delta Lake (SURVEY.md §1, §2.11):
+ACID-ish commits, MERGE, DELETE/UPDATE DML, time travel (`VERSION AS OF`),
+RESTORE, DESCRIBE HISTORY/DETAIL, VACUUM, OPTIMIZE (compaction), and a
+change-data-feed. Layout:
+
+    <root>/_log/00000000000N.json   one entry per commit (atomic rename)
+    <root>/data/<uuid>/part-*.parquet   immutable data files
+    <root>/_changes/v=N/            CDF rows for commits that produce them
+
+Each log entry records added/removed file lists; the active file set at
+version V is the replay of entries 0..V. Data files are immutable —
+every operation commits by swapping file lists, exactly the Delta model,
+so readers are never torn and old versions stay readable until VACUUM.
+
+Scale design:
+- Writes go through Spark (distributed); the log touches only file
+  *lists*, never data, so commit cost is O(files), not O(rows).
+- MERGE/DELETE/UPDATE rewrite only the files that actually contain
+  affected rows (found with one pushdown scan over ``input_file_name``),
+  the same touched-file pruning Delta's MERGE does.
+- Optimistic concurrency: the atomic-rename commit protocol detects
+  racing writers; appends retry, conflicting rewrites raise.
+
+Reference semantics ported (capability, not code): merge upsert
+(delta_sync.py:54-66), RESTORE rollback (transactions.py:420-449),
+DESCRIBE HISTORY (deltaoptimizer.py:1345-1423), OPTIMIZE/VACUUM
+(deltalogger.py:284-338), CDF (Advanced CDC With SCD:262-271,496-501).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+_CHANGES_DIR = "_changes"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+@dataclass
+class LogEntry:
+    version: int
+    timestamp_ms: int
+    operation: str
+    operation_parameters: dict[str, Any]
+    add: list[str]
+    remove: list[str]
+    schema: str
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "timestamp_ms": self.timestamp_ms,
+                "operation": self.operation,
+                "operationParameters": self.operation_parameters,
+                "add": self.add,
+                "remove": self.remove,
+                "schema": self.schema,
+                "metrics": self.metrics,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "LogEntry":
+        d = json.loads(s)
+        return LogEntry(
+            version=d["version"],
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            operation_parameters=d.get("operationParameters", {}),
+            add=d.get("add", []),
+            remove=d.get("remove", []),
+            schema=d.get("schema", ""),
+            metrics=d.get("metrics", {}),
+        )
+
+
+class TackleTable:
+    """Handle to a versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        if not os.path.isdir(self._log_path()):
+            raise FileNotFoundError(f"not a TackleTable (no _log): {path}")
+
+    # ---------- creation ----------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        df: DataFrame | None = None,
+        schema: str | None = None,
+        mode: str = "error",
+    ) -> "TackleTable":
+        """Create a table at path, optionally with initial data.
+
+        mode: 'error' | 'overwrite' (drop existing) | 'ignore'.
+        """
+        path = os.path.abspath(path)
+        exists = os.path.isdir(os.path.join(path, _LOG_DIR))
+        if exists:
+            if mode == "error":
+                raise FileExistsError(path)
+            if mode == "ignore":
+                return TackleTable(spark, path)
+            shutil.rmtree(path)
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        if df is None and schema is None:
+            raise ValueError("need df or schema")
+        ddl = schema or _schema_ddl(df)
+        files: list[str] = []
+        n_rows = 0
+        if df is not None:
+            files, n_rows = _write_files(df, path)
+        entry = LogEntry(
+            version=0,
+            timestamp_ms=int(time.time() * 1000),
+            operation="CREATE",
+            operation_parameters={},
+            add=files,
+            remove=[],
+            schema=ddl,
+            metrics={"numOutputRows": n_rows, "numAddedFiles": len(files)},
+        )
+        _commit_entry(path, entry)
+        return TackleTable(spark, path)
+
+    # ---------- log plumbing ----------
+
+    def _log_path(self) -> str:
+        return os.path.join(self.path, _LOG_DIR)
+
+    def _entries(self) -> list[LogEntry]:
+        names = sorted(n for n in os.listdir(self._log_path()) if n.endswith(".json"))
+        return [LogEntry.from_json(open(os.path.join(self._log_path(), n)).read()) for n in names]
+
+    def version(self) -> int:
+        """Latest committed version."""
+        return self._entries()[-1].version
+
+    def _active_files(self, version: int | None = None) -> tuple[list[str], str]:
+        """Replay the log to (active file list, schema DDL) at version."""
+        active: list[str] = []
+        schema = ""
+        for e in self._entries():
+            if version is not None and e.version > version:
+                break
+            removed = set(e.remove)
+            active = [f for f in active if f not in removed] + e.add
+            schema = e.schema or schema
+        return active, schema
+
+    # ---------- reads ----------
+
+    def read(self, version: int | None = None, timestamp_ms: int | None = None) -> DataFrame:
+        """Snapshot read, optionally time-traveled (VERSION/TIMESTAMP AS OF)."""
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version or timestamp_ms, not both")
+            candidates = [e.version for e in self._entries() if e.timestamp_ms <= timestamp_ms]
+            if not candidates:
+                raise ValueError(f"no version at or before timestamp {timestamp_ms}")
+            version = max(candidates)
+        files, schema = self._active_files(version)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def history(self) -> list[dict[str, Any]]:
+        """DESCRIBE HISTORY equivalent, newest first."""
+        return [
+            {
+                "version": e.version,
+                "timestamp_ms": e.timestamp_ms,
+                "operation": e.operation,
+                "operationParameters": e.operation_parameters,
+                "operationMetrics": e.metrics,
+            }
+            for e in reversed(self._entries())
+        ]
+
+    def detail(self) -> dict[str, Any]:
+        """DESCRIBE DETAIL equivalent."""
+        files, schema = self._active_files()
+        size = sum(os.path.getsize(os.path.join(self.path, f)) for f in files)
+        return {
+            "location": self.path,
+            "numFiles": len(files),
+            "sizeInBytes": size,
+            "schema": schema,
+            "version": self.version(),
+        }
+
+    def read_changes(self, starting_version: int, ending_version: int | None = None) -> DataFrame:
+        """Change-data-feed read: per-row change type + commit version.
+
+        Only commits made by change-tracking operations (merge/delete/
+        update with CDF) produce rows; append commits contribute their
+        rows as inserts.
+        """
+        frames = []
+        for e in self._entries():
+            if e.version < starting_version:
+                continue
+            if ending_version is not None and e.version > ending_version:
+                continue
+            cdf_dir = os.path.join(self.path, _CHANGES_DIR, f"v={e.version}")
+            if os.path.isdir(cdf_dir):
+                frames.append(self.spark.read.parquet(cdf_dir))
+            elif e.operation in ("APPEND", "CREATE") and e.add:
+                df = self.spark.read.schema(e.schema).parquet(*[os.path.join(self.path, f) for f in e.add])
+                frames.append(
+                    df.withColumn("_change_type", F.lit("insert")).withColumn(
+                        "_commit_version", F.lit(e.version).cast("long")
+                    )
+                )
+        if not frames:
+            _, schema = self._active_files()
+            return self.spark.createDataFrame([], schema + ", _change_type string, _commit_version long")
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf, allowMissingColumns=True)
+        return out
+
+    # ---------- writes ----------
+
+    def _commit(
+        self,
+        operation: str,
+        params: dict[str, Any],
+        add: list[str],
+        remove: list[str],
+        metrics: dict[str, Any],
+        schema: str | None = None,
+        expected_version: int | None = None,
+        retries: int = 5,
+    ) -> int:
+        for attempt in range(retries):
+            current = self.version()
+            if expected_version is not None and current != expected_version:
+                raise CommitConflictError(
+                    f"table at v{current}, transaction started at v{expected_version}"
+                )
+            entry = LogEntry(
+                version=current + 1,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                operation_parameters=params,
+                add=add,
+                remove=remove,
+                schema=schema or self._active_files()[1],
+                metrics=metrics,
+            )
+            try:
+                _commit_entry(self.path, entry)
+                return entry.version
+            except FileExistsError:
+                # another writer won this version; blind appends can
+                # retry safely, rewrites must re-resolve
+                if expected_version is not None or operation != "APPEND":
+                    raise CommitConflictError(f"lost race for v{current + 1}")
+                time.sleep(0.05 * (2**attempt))
+        raise CommitConflictError("retries exhausted")
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append rows (blind insert — retries through concurrent commits)."""
+        df = _align_schema(df, self._active_files()[1], allow_new=merge_schema)
+        files, n = _write_files(df, self.path)
+        schema = _schema_ddl(df) if merge_schema else None
+        return self._commit(
+            "APPEND", {}, files, [], {"numOutputRows": n, "numAddedFiles": len(files)}, schema=schema
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the full contents (CREATE OR REPLACE semantics)."""
+        old, _ = self._active_files()
+        files, n = _write_files(df, self.path)
+        return self._commit(
+            "OVERWRITE",
+            {},
+            files,
+            old,
+            {"numOutputRows": n, "numAddedFiles": len(files), "numRemovedFiles": len(old)},
+            schema=_schema_ddl(df),
+            expected_version=self.version(),
+        )
+
+    def delete(self, condition: str) -> int:
+        """DELETE WHERE condition — rewrites only files containing matches."""
+        start_v = self.version()
+        snap = self.read().withColumn("__file", F.input_file_name())
+        touched = [
+            _local_path(r["__file"])
+            for r in snap.filter(F.expr(condition)).select("__file").distinct().collect()
+        ]
+        if not touched:
+            return self._commit("DELETE", {"predicate": condition}, [], [], {"numRemovedRows": 0})
+        kept = self.spark.read.schema(self._active_files()[1]).parquet(*touched).filter(
+            ~F.coalesce(F.expr(condition), F.lit(False))
+        )
+        files, n_kept = _write_files(kept, self.path)
+        rel_touched = [os.path.relpath(p, self.path) for p in touched]
+        return self._commit(
+            "DELETE",
+            {"predicate": condition},
+            files,
+            rel_touched,
+            {"numRewrittenFiles": len(rel_touched), "numOutputRows": n_kept},
+            expected_version=start_v,
+        )
+
+    def update(self, condition: str, assignments: dict[str, str]) -> int:
+        """UPDATE SET col=expr WHERE condition — touched-file rewrite."""
+        start_v = self.version()
+        snap = self.read().withColumn("__file", F.input_file_name())
+        touched = [
+            _local_path(r["__file"])
+            for r in snap.filter(F.expr(condition)).select("__file").distinct().collect()
+        ]
+        if not touched:
+            return self._commit("UPDATE", {"predicate": condition}, [], [], {"numUpdatedRows": 0})
+        df = self.spark.read.schema(self._active_files()[1]).parquet(*touched)
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        updated = df.select(
+            *[
+                F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        files, n = _write_files(updated, self.path)
+        rel_touched = [os.path.relpath(p, self.path) for p in touched]
+        return self._commit(
+            "UPDATE",
+            {"predicate": condition},
+            files,
+            rel_touched,
+            {"numRewrittenFiles": len(rel_touched), "numOutputRows": n},
+            expected_version=start_v,
+        )
+
+    def merge(self, source: DataFrame, on: list[str]) -> "MergeBuilder":
+        """MERGE INTO builder (DeltaTable.merge equivalent)."""
+        return MergeBuilder(self, source, on)
+
+    # ---------- maintenance ----------
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF — new commit, old data files
+        (still on disk until VACUUM) become active again."""
+        target_files, target_schema = self._active_files(version)
+        current_files, _ = self._active_files()
+        add = [f for f in target_files if f not in set(current_files)]
+        remove = [f for f in current_files if f not in set(target_files)]
+        return self._commit(
+            "RESTORE",
+            {"version": version},
+            add,
+            remove,
+            {"numRestoredFiles": len(add), "numRemovedFiles": len(remove)},
+            schema=target_schema,
+            expected_version=self.version(),
+        )
+
+    def optimize(self, target_file_rows: int = 1_000_000) -> int:
+        """Compact small files (OPTIMIZE equivalent).
+
+        Local heuristic is row-count based; on a real cluster pass a
+        target derived from the reference's size ladder
+        (deltaoptimizer.py:1295-1313) via ``plans.optimizer_strategy``.
+        """
+        files, schema = self._active_files()
+        if len(files) <= 1:
+            return self.version()
+        df = self.read()
+        n = df.count()
+        parts = max(1, (n + target_file_rows - 1) // target_file_rows)
+        compacted = df.repartition(parts)
+        new_files, _ = _write_files(compacted, self.path)
+        return self._commit(
+            "OPTIMIZE",
+            {"targetFileRows": target_file_rows},
+            new_files,
+            files,
+            {"numFilesBefore": len(files), "numFilesAfter": len(new_files)},
+            expected_version=self.version(),
+        )
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Physically delete files unreferenced by the last N versions.
+
+        Versions older than (latest - keep_versions) stop being
+        time-travelable, like Delta VACUUM with a retention window.
+        """
+        latest = self.version()
+        horizon = max(0, latest - keep_versions + 1)
+        keep: set[str] = set()
+        for v in range(horizon, latest + 1):
+            keep.update(self._active_files(v)[0])
+        removed = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fname in files:
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, self.path)
+                if rel not in keep:
+                    os.remove(full)
+                    removed += 1
+        # prune empty dirs
+        for dirpath, dirs, files in list(os.walk(data_root, topdown=False)):
+            if dirpath != data_root and not dirs and not files:
+                os.rmdir(dirpath)
+        return removed
+
+
+class MergeBuilder:
+    """whenMatchedUpdateAll / whenMatchedDelete / whenNotMatchedInsertAll,
+    executed as a touched-file rewrite + append (Delta MERGE dataflow)."""
+
+    def __init__(self, table: TackleTable, source: DataFrame, on: list[str]):
+        self.table = table
+        self.source = source
+        self.on = on
+        self._update_all = False
+        self._update_cond: str | None = None
+        self._delete = False
+        self._delete_cond: str | None = None
+        self._insert_all = False
+        self._write_cdf = False
+
+    def whenMatchedUpdateAll(self, condition: str | None = None) -> "MergeBuilder":
+        self._update_all, self._update_cond = True, condition
+        return self
+
+    def whenMatchedDelete(self, condition: str | None = None) -> "MergeBuilder":
+        self._delete, self._delete_cond = True, condition
+        return self
+
+    def whenNotMatchedInsertAll(self) -> "MergeBuilder":
+        self._insert_all = True
+        return self
+
+    def withChangeDataFeed(self) -> "MergeBuilder":
+        self._write_cdf = True
+        return self
+
+    def execute(self) -> int:
+        t = self.table
+        spark = t.spark
+        start_v = t.version()
+        files, schema = t._active_files()
+        cols = [n for n, _ in _schema_fields(schema)]
+        src = self.source.select(*cols)
+
+        # Phase 1 (find touched files): one pushdown scan, broadcast
+        # semi-join against the distinct source keys — only these files
+        # can contain matched rows, everything else is untouched.
+        touched: list[str] = []
+        if files:
+            snap = t.read().withColumn("__file", F.input_file_name())
+            keys = src.select(*self.on).distinct()
+            touched = [
+                _local_path(r["__file"])
+                for r in snap.join(F.broadcast(keys), self.on, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+
+        tgt = (
+            spark.read.schema(schema).parquet(*touched)
+            if touched
+            else spark.createDataFrame([], schema)
+        )
+
+        s_struct = F.struct(*[F.col(f"s.{c}").alias(c) for c in cols])
+        t_struct = F.struct(*[F.col(f"t.{c}").alias(c) for c in cols])
+        # presence markers make match detection correct even for null keys
+        joined = tgt.withColumn("__t", F.lit(1)).alias("t").join(
+            src.withColumn("__s", F.lit(1)).alias("s"),
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.on],
+            "full_outer",
+        )
+        matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+        t_only = F.col("s.__s").isNull() & F.col("t.__t").isNotNull()
+        s_only = F.col("t.__t").isNull() & F.col("s.__s").isNotNull()
+
+        def cond_expr(sql: str | None):
+            return F.lit(True) if sql is None else F.coalesce(F.expr(sql), F.lit(False))
+
+        delete_hit = matched & F.lit(self._delete) & cond_expr(self._delete_cond)
+        update_hit = matched & F.lit(self._update_all) & cond_expr(self._update_cond)
+        action = (
+            F.when(delete_hit, F.lit("delete"))
+            .when(update_hit, F.lit("update"))
+            .when(matched, F.lit("keep"))
+            .when(t_only, F.lit("keep"))
+            .when(s_only & F.lit(self._insert_all), F.lit("insert"))
+            .otherwise(F.lit("drop"))
+        )
+        tagged = joined.select(
+            action.alias("__action"),
+            F.when(action.isin("update", "insert"), s_struct).otherwise(t_struct).alias("__row"),
+        )
+        result = tagged.filter(F.col("__action").isin("keep", "update", "insert")).select("__row.*")
+
+        new_files, n_rows = _write_files(result, t.path)
+        rel_touched = [os.path.relpath(p, t.path) for p in touched]
+        metrics = {
+            "numTargetFilesRewritten": len(rel_touched),
+            "numOutputRows": n_rows,
+        }
+        version = t._commit(
+            "MERGE",
+            {"on": self.on},
+            new_files,
+            rel_touched,
+            metrics,
+            expected_version=start_v,
+        )
+        if self._write_cdf:
+            cdf = tagged.filter(F.col("__action").isin("update", "insert", "delete")).select(
+                "__row.*",
+                F.col("__action")
+                .cast("string")
+                .alias("_change_type"),
+            )
+            cdf = cdf.withColumn("_commit_version", F.lit(version).cast("long"))
+            cdf.write.mode("overwrite").parquet(os.path.join(t.path, _CHANGES_DIR, f"v={version}"))
+        return version
+
+
+# ---------- helpers ----------
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
+    out = []
+    for part in _split_ddl(schema_ddl):
+        name, typ = part.split(" ", 1)
+        out.append((name.strip("`"), typ.strip()))
+    return out
+
+
+def _local_path(p: str) -> str:
+    """input_file_name() yields file:// URIs; normalize to a local path."""
+    if p.startswith("file://"):
+        p = p[len("file://") :]
+    return p
+
+
+def _split_ddl(schema: str) -> list[str]:
+    """Split a DDL column list on top-level commas."""
+    parts, depth, cur = [], 0, ""
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur.strip())
+    return parts
+
+
+def _align_schema(df: DataFrame, schema_ddl: str, allow_new: bool) -> DataFrame:
+    if not schema_ddl:
+        return df
+    fields = _schema_fields(schema_ddl)
+    want = [n for n, _ in fields]
+    types = dict(fields)
+    have = set(df.columns)
+    missing = [c for c in want if c not in have]
+    extra = [c for c in df.columns if c not in set(want)]
+    if extra and not allow_new:
+        raise ValueError(f"columns not in table schema: {extra} (use merge_schema=True)")
+    for c in missing:
+        df = df.withColumn(c, F.lit(None).cast(types[c]))
+    ordered = want + [c for c in df.columns if c not in set(want)]
+    return df.select(*ordered)
+
+
+def _write_files(df: DataFrame, root: str) -> tuple[list[str], int]:
+    """Write df as parquet under data/<uuid>/, return (relative paths, rows)."""
+    sub = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+    out = os.path.join(root, sub)
+    df.write.mode("errorifexists").parquet(out)
+    rel_files = [
+        os.path.join(sub, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    # row count from parquet footers (metadata-only, no second scan)
+    import pyarrow.parquet as pq
+
+    n = sum(pq.ParquetFile(os.path.join(out, os.path.basename(f))).metadata.num_rows for f in rel_files)
+    return rel_files, n
+
+
+def _commit_entry(root: str, entry: LogEntry) -> None:
+    """Atomic commit: write temp file, hard-link/rename to the version name.
+
+    os.link fails with FileExistsError if the version already exists —
+    the optimistic-concurrency check.
+    """
+    log_dir = os.path.join(root, _LOG_DIR)
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(entry.to_json())
+    final = os.path.join(log_dir, f"{entry.version:012d}.json")
+    try:
+        os.link(tmp, final)  # atomic, fails if exists
+    finally:
+        os.remove(tmp)

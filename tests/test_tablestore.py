@@ -1,0 +1,181 @@
+"""TackleTable: commit log, merge, time travel, restore, DML, CDF,
+optimize, vacuum, concurrency conflicts."""
+
+from __future__ import annotations
+
+import sys
+import threading
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakehouse_tacklebox_spark.tablestore import TackleTable
+from lakehouse_tacklebox_spark.tablestore.table import CommitConflictError
+
+
+@pytest.fixture()
+def users(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 100.0), (2, "bob", 200.0), (3, "carol", 300.0)],
+        "id bigint, name string, balance double",
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_read_roundtrip(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    assert t.version() == 0
+    assert rows(t.read()) == rows(users)
+    assert t.detail()["numFiles"] >= 1
+
+
+def test_append_and_time_travel(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    more = spark.createDataFrame([(4, "dave", 400.0)], "id bigint, name string, balance double")
+    v1 = t.append(more)
+    assert v1 == 1
+    assert t.read().count() == 4
+    assert t.read(version=0).count() == 3  # VERSION AS OF
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["APPEND", "CREATE"]
+
+
+def test_append_schema_mismatch_rejected(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    bad = spark.createDataFrame([(9, "x", 1.0, "EXTRA")], "id bigint, name string, balance double, extra string")
+    with pytest.raises(ValueError):
+        t.append(bad)
+    # mergeSchema evolves instead
+    t.append(bad, merge_schema=True)
+    assert "extra" in t.read().columns
+    assert t.read().filter("id = 1").select("extra").collect()[0][0] is None
+
+
+def test_overwrite_and_restore(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    replacement = spark.createDataFrame([(99, "zed", 0.0)], "id bigint, name string, balance double")
+    t.overwrite(replacement)
+    assert t.read().count() == 1
+    t.restore(0)
+    assert rows(t.read()) == rows(users)
+    assert t.history()[0]["operation"] == "RESTORE"
+
+
+def test_merge_upsert(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    src = spark.createDataFrame(
+        [(2, "bob2", 250.0), (4, "dave", 400.0)], "id bigint, name string, balance double"
+    )
+    t.merge(src, on=["id"]).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    got = {r["id"]: (r["name"], r["balance"]) for r in t.read().collect()}
+    assert got == {1: ("alice", 100.0), 2: ("bob2", 250.0), 3: ("carol", 300.0), 4: ("dave", 400.0)}
+
+
+def test_merge_delete_and_conditional_update(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    src = spark.createDataFrame(
+        [(1, "alice", -1.0), (2, "bob-up", 999.0)], "id bigint, name string, balance double"
+    )
+    (
+        t.merge(src, on=["id"])
+        .whenMatchedDelete(condition="s.balance < 0")
+        .whenMatchedUpdateAll(condition="s.balance >= 0")
+        .execute()
+    )
+    got = {r["id"]: r["name"] for r in t.read().collect()}
+    assert got == {2: "bob-up", 3: "carol"}
+
+
+def test_merge_only_rewrites_touched_files(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    # second file via append; merge touching only the appended key
+    t.append(spark.createDataFrame([(10, "ten", 1.0)], "id bigint, name string, balance double"))
+    src = spark.createDataFrame([(10, "TEN", 2.0)], "id bigint, name string, balance double")
+    t.merge(src, on=["id"]).whenMatchedUpdateAll().execute()
+    metrics = t.history()[0]["operationMetrics"]
+    assert metrics["numTargetFilesRewritten"] <= 1  # untouched create-file kept
+    assert t.read().filter("id = 1").count() == 1
+
+
+def test_delete_update_dml(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    t.delete("balance >= 300")
+    assert t.read().count() == 2
+    t.update("name = 'alice'", {"balance": "balance * 2"})
+    assert t.read().filter("name = 'alice'").collect()[0]["balance"] == 200.0
+
+
+def test_change_data_feed(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    src = spark.createDataFrame(
+        [(2, "bob2", 250.0), (4, "dave", 400.0), (3, "carol", -5.0)],
+        "id bigint, name string, balance double",
+    )
+    (
+        t.merge(src, on=["id"])
+        .whenMatchedUpdateAll(condition="s.balance >= 0")
+        .whenMatchedDelete(condition="s.balance < 0")
+        .whenNotMatchedInsertAll()
+        .withChangeDataFeed()
+        .execute()
+    )
+    changes = {(r["id"], r["_change_type"]) for r in t.read_changes(1).collect()}
+    assert changes == {(2, "update"), (4, "insert"), (3, "delete")}
+    # CDF from version 0 includes the CREATE rows as inserts
+    all_changes = t.read_changes(0)
+    assert all_changes.filter("_commit_version = 0").count() == 3
+
+
+def test_optimize_compacts_and_preserves(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    for i in range(4):
+        t.append(spark.createDataFrame([(100 + i, "u", 1.0)], "id bigint, name string, balance double"))
+    before = t.detail()["numFiles"]
+    data_before = rows(t.read())
+    t.optimize()
+    assert t.detail()["numFiles"] < before
+    assert rows(t.read()) == data_before
+
+
+def test_vacuum_removes_unreferenced(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    t.overwrite(spark.createDataFrame([(5, "e", 1.0)], "id bigint, name string, balance double"))
+    removed = t.vacuum(keep_versions=1)
+    assert removed >= 1
+    assert t.read().count() == 1  # current version intact
+    with pytest.raises(Exception):
+        t.read(version=0).count()  # time travel gone after vacuum
+
+
+def test_concurrent_append_no_lost_updates(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    errs = []
+
+    def worker(i):
+        try:
+            tt = TackleTable(spark, t.path)
+            tt.append(
+                spark.createDataFrame([(1000 + i, f"w{i}", 1.0)], "id bigint, name string, balance double")
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs
+    assert t.read().filter("id >= 1000").count() == 4
+
+
+def test_conflicting_rewrite_raises(spark, users, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    t2 = TackleTable(spark, t.path)
+    v = t.version()
+    t.delete("id = 1")  # moves version forward
+    with pytest.raises(CommitConflictError):
+        t2._commit("DELETE", {}, [], [], {}, expected_version=v)
