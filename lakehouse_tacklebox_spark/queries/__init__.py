@@ -61,5 +61,6 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     similarity,
     textops,
     tpch,
+    validation,
     windows,
 )

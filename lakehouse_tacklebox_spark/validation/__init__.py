@@ -1,0 +1,6 @@
+from lakehouse_tacklebox_spark.validation.datavalidator import (  # noqa: F401
+    count_reconcile,
+    diff_rows,
+    hash_diff,
+    row_hash,
+)
