@@ -1,0 +1,218 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The reference's media handling is the LLM corpus-prep pipeline
+(`llm-dolly-chatbot/02-Data-preparation.py:113-183`): opaque payloads
+decoded/cleaned by Arrow-batched pandas UDFs (F4/F5 in SURVEY.md §2.10).
+This module generalizes that pattern to binary media columns for a
+training-data pipeline:
+
+- payloads are ``binary`` columns; metadata is parsed into typed columns
+  *JVM-side* (magic sniffing, header fields via ``substring``) so
+  filtering/partition pruning by mime or size never deserializes bytes
+  into Python;
+- per-byte work (feature extraction, decode) runs in Arrow-batched
+  ``mapInPandas``/``pandas_udf`` — one Python round-trip per batch, not
+  per row;
+- true codec decode (pixels/samples) needs an image/audio library that
+  is not in this environment: ``decode_pixels`` tries PIL and otherwise
+  falls back to a clearly-marked deterministic fake so the Spark-side
+  plumbing (schema, batching, partitioning) is real and testable, and
+  ``resize_image`` raises ``NotImplementedError`` without PIL.
+
+Scale notes: every metadata op is whole-stage-codegen eligible; frame
+sampling is ``transform(sequence(...))`` + ``posexplode`` (no Python, no
+shuffle — explode is a narrow transformation); histogram features move
+payload bytes into Python exactly once per batch via Arrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# 4-byte magic prefixes per modality (real file-format magics).
+MAGICS = {
+    "image": b"\x89PNG",
+    "audio": b"RIFF",
+    "video": b"\x00\x00\x01\xba",
+}
+MIMES = {
+    "image": "image/png",
+    "audio": "audio/wav",
+    "video": "video/mpeg",
+}
+# Synthetic payload layout: magic(4) | ascii "WWWWxHHHH;"(10) | body bytes.
+HEADER_LEN = 10
+
+
+def as_media(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from ``documents``.
+
+    Modality cycles with doc_id; width/height are doc_id arithmetic; the
+    payload is magic + ascii dims header + the utf-8 document text as
+    stand-in body bytes. Entirely JVM-side column expressions, so the
+    fixture itself scales with the documents table.
+    """
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    width = (F.col("doc_id") % 64 + 16).cast("int")
+    height = (F.col("doc_id") % 48 + 16).cast("int")
+    magic = (
+        F.when(F.col("modality") == "image", F.lit(MAGICS["image"]))
+        .when(F.col("modality") == "audio", F.lit(MAGICS["audio"]))
+        .otherwise(F.lit(MAGICS["video"]))
+    )
+    header = F.encode(F.format_string("%04dx%04d;", F.col("width"), F.col("height")), "utf-8")
+    body = F.encode(F.col("text"), "utf-8")
+    return (
+        documents.select("doc_id", "text")
+        .withColumn("modality", modality)
+        .withColumn("width", width)
+        .withColumn("height", height)
+        .withColumn("payload", F.concat(magic, header, body))
+        .drop("text")
+    )
+
+
+def sniff_mime(payload_col) -> F.Column:
+    """Magic-based mime detection, JVM-side (substring + binary compare)."""
+    magic = F.expr(f"substring({payload_col}, 1, 4)") if isinstance(payload_col, str) else F.substring(payload_col, 1, 4)
+    out = F.lit("application/octet-stream")
+    for modality, m in MAGICS.items():
+        out = F.when(magic == F.lit(m), F.lit(MIMES[modality])).otherwise(out)
+    return out
+
+
+def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse mime + dims + sizes from the payload without leaving the JVM.
+
+    Output adds: mime, n_bytes, n_body_bytes, parsed_width, parsed_height.
+    """
+    p = F.col(payload_col)
+    header = F.decode(F.substring(p, 5, HEADER_LEN), "utf-8")
+    return (
+        df.withColumn("mime", sniff_mime(p))
+        .withColumn("n_bytes", F.length(p))
+        .withColumn("n_body_bytes", F.length(p) - (4 + HEADER_LEN))
+        .withColumn("parsed_width", F.split(header, "x").getItem(0).cast("int"))
+        .withColumn("parsed_height", F.regexp_extract(header, r"x(\d+);", 1).cast("int"))
+    )
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4, payload_col: str = "payload", keys: list[str] | None = None) -> DataFrame:
+    """Sample N equal-size frames from each payload (video frame-sampling
+    shape). JVM-side: sequence → transform → substring → posexplode; a
+    narrow op, no shuffle, no Python.
+
+    Returns (keys..., frame_idx, frame_payload, frame_bytes); trailing
+    frames that would start past the end are dropped (not padded).
+    """
+    keys = keys or ["doc_id"]
+    flen = f"int(ceil(length({payload_col}) / cast({n_frames} as double)))"
+    frames = F.expr(
+        f"transform(sequence(0, {n_frames - 1}), i -> substring({payload_col}, i * {flen} + 1, {flen}))"
+    )
+    return (
+        df.withColumn("__frames", frames)
+        .select(*keys, F.posexplode("__frames").alias("frame_idx", "frame_payload"))
+        .withColumn("frame_bytes", F.length("frame_payload"))
+        .filter(F.col("frame_bytes") > 0)
+    )
+
+
+def byte_histogram(dim: int = 64):
+    """Arrow-batched feature extractor: normalized histogram of payload
+    bytes into ``dim`` buckets, returned as array<float> — the media
+    analogue of the reference's pandas_udf text featurizers
+    (`02-Data-preparation.py:121-124`).
+    """
+
+    @pandas_udf("array<float>")
+    def _hist(payloads: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for b in payloads:
+            if b is None or len(b) == 0:
+                out.append(np.zeros(dim, dtype="float32"))
+                continue
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            counts = np.bincount(arr >> int(np.log2(256 // dim)), minlength=dim).astype("float32")
+            out.append(counts / counts.sum())
+        return pd.Series(out)
+
+    return _hist
+
+
+def histogram_entropy(hist_col) -> F.Column:
+    """Shannon entropy of a histogram feature vector, JVM-side via
+    higher-order functions (no Python)."""
+    h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    return F.expr(
+        f"aggregate({hist_col}, cast(0.0 as double), (acc, x) -> acc + IF(x > 0, -x * ln(x), cast(0.0 as double)))"
+    )
+
+
+def decode_pixels(df: DataFrame, payload_col: str = "payload", keys: list[str] | None = None) -> DataFrame:
+    """Decode image payloads to (width, height, mean_brightness).
+
+    With PIL installed this decodes real pixels; in this environment PIL
+    is absent, so the body-byte mean stands in for brightness — a
+    DETERMINISTIC FAKE standing in for codec decode. The mapInPandas
+    plumbing (Arrow batches, output schema, key passthrough) is the real
+    production path either way.
+    """
+    keys = keys or ["doc_id"]
+    schema = ", ".join(f"{k} long" for k in keys) + ", width int, height int, mean_brightness double"
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        import io
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r[payload_col])
+                if have_pil and b[:4] == MAGICS["image"]:
+                    img = Image.open(io.BytesIO(b))  # pragma: no cover (no PIL here)
+                    arr = np.asarray(img)
+                    rows.append([*(r[k] for k in keys), img.width, img.height, float(arr.mean())])
+                else:
+                    # deterministic fake: header dims + body-byte mean
+                    hdr = b[4 : 4 + HEADER_LEN].decode("utf-8", "replace")
+                    w, h = int(hdr[:4]), int(hdr[5:9])
+                    body = np.frombuffer(b[4 + HEADER_LEN :], dtype=np.uint8)
+                    rows.append([*(r[k] for k in keys), w, h, float(body.mean()) if len(body) else 0.0])
+            yield pd.DataFrame(rows, columns=[*keys, "width", "height", "mean_brightness"])
+
+    return df.select(*keys, payload_col).mapInPandas(_decode, schema)
+
+
+def resize_image(df: DataFrame, width: int, height: int, payload_col: str = "payload") -> DataFrame:
+    """Re-encode image payloads at a new size. Requires a real codec:
+    STUB — raises unless PIL is installed (it is not in this container).
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "resize_image needs an image codec (PIL); not available in this "
+            "environment. The decode-side plumbing is exercised via "
+            "decode_pixels' deterministic fallback."
+        ) from e
+    raise NotImplementedError("real resize path not implemented")  # pragma: no cover

@@ -1,0 +1,122 @@
+"""Multimodal battery: binary media columns derived from documents.
+
+The media fixture is pure column arithmetic over ``documents``
+(``operators.multimodal.as_media``), so the DuckDB oracle can mirror it
+exactly: payload = 4-byte magic + 10-byte ascii dims header + utf-8 text
+body, hence n_bytes = 14 + octet_length(encode(text)).
+
+JVM-expressible metadata/frame ops carry full oracles; the Arrow-batched
+feature/decode paths (byte histograms, pixel-decode fake) are rows-only
+checked here and value-checked in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.operators import multimodal as MM
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+_ORACLE_MEDIA = """
+    media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mpeg' END AS mime,
+               CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+               CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+               14 + octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+"""
+
+
+def _media(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return MM.as_media(docs)
+
+
+@register(
+    "mm_metadata_by_mime",
+    tags=("multimodal",),
+    oracle=f"""
+    WITH {_ORACLE_MEDIA}
+    SELECT mime,
+           count(*)                                   AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT)               AS total_bytes,
+           CAST(sum(n_bytes - 14) AS BIGINT)          AS total_body_bytes,
+           CAST(max(width) AS INT)                    AS max_width,
+           CAST(max(height) AS INT)                   AS max_height
+    FROM media GROUP BY mime
+    """,
+)
+def mm_metadata_by_mime(spark, sf_dir):
+    """Media census: mime sniffed from magic bytes, sizes and dims parsed
+    from the binary header — all JVM-side (SURVEY.md §2 multimodal)."""
+    meta = MM.media_metadata(_media(spark, sf_dir))
+    return meta.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_body_bytes").alias("total_body_bytes"),
+        F.max("parsed_width").alias("max_width"),
+        F.max("parsed_height").alias("max_height"),
+    )
+
+
+@register(
+    "mm_frame_stats",
+    tags=("multimodal",),
+    oracle=f"""
+    WITH {_ORACLE_MEDIA},
+    framed AS (
+        SELECT mime, n_bytes,
+               CAST(ceil(n_bytes / 4.0) AS BIGINT) AS frame_len,
+               CAST(ceil(n_bytes / ceil(n_bytes / 4.0)) AS BIGINT) AS n_frames
+        FROM media
+    )
+    SELECT mime,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(n_bytes) AS BIGINT)  AS total_frame_bytes,
+           CAST(max(frame_len) AS BIGINT) AS max_frame_bytes
+    FROM framed GROUP BY mime
+    """,
+)
+def mm_frame_stats(spark, sf_dir):
+    """Frame sampling: 4 equal slices per payload via
+    transform(sequence)+posexplode (narrow, no shuffle); totals must
+    reconstruct the original byte counts exactly."""
+    media = MM.media_metadata(_media(spark, sf_dir))
+    frames = MM.frame_sample(media, n_frames=4, keys=["doc_id", "mime"])
+    return frames.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("total_frames"),
+        F.sum("frame_bytes").cast("bigint").alias("total_frame_bytes"),
+        F.max("frame_bytes").cast("bigint").alias("max_frame_bytes"),
+    )
+
+
+@register(
+    "mm_decode_features",
+    tags=("multimodal", "pandas_udf"),
+    # No oracle: the per-byte decode fake + histogram entropy aren't
+    # SQL-expressible in DuckDB; value-checked in tests/test_multimodal.py.
+)
+def mm_decode_features(spark, sf_dir):
+    """Arrow-batched decode + featurize: mapInPandas pixel-decode (stubbed
+    deterministically — no codec libs here) joined with byte-histogram
+    entropy per modality."""
+    media = _media(spark, sf_dir)
+    decoded = MM.decode_pixels(media, keys=["doc_id"])
+    feats = media.select("doc_id", "modality", MM.byte_histogram(64)("payload").alias("hist"))
+    feats = feats.withColumn("entropy", MM.histogram_entropy("hist"))
+    return (
+        decoded.join(feats, "doc_id")
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("mean_brightness"), 4).alias("avg_brightness"),
+            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+            F.round(F.avg(F.col("width") * F.col("height")), 2).alias("avg_pixels"),
+        )
+        .orderBy("modality")
+    )

@@ -1,0 +1,68 @@
+"""Multimodal binary-column operators: byte-exact checks at sf0.001."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.operators import multimodal as MM
+from lakehouse_tacklebox_spark.sources import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    return MM.as_media(docs).cache()
+
+
+def test_payload_layout_and_metadata(spark, media):
+    meta = MM.media_metadata(media)
+    rows = meta.select("doc_id", "modality", "mime", "width", "height", "parsed_width", "parsed_height", "n_bytes", "n_body_bytes", "payload").collect()
+    assert rows
+    for r in rows:
+        assert r.mime == MM.MIMES[r.modality]
+        assert bytes(r.payload)[:4] == MM.MAGICS[r.modality]
+        assert (r.parsed_width, r.parsed_height) == (r.width, r.height)
+        assert r.n_bytes == len(bytes(r.payload))
+        assert r.n_body_bytes == r.n_bytes - 14
+
+
+def test_frame_sample_reconstructs_payload(spark, media):
+    frames = MM.frame_sample(media, n_frames=4, keys=["doc_id"])
+    joined = (
+        frames.groupBy("doc_id")
+        .agg(F.sum("frame_bytes").alias("fb"), F.count(F.lit(1)).alias("nf"))
+        .join(media.select("doc_id", F.length("payload").alias("nb")), "doc_id")
+        .collect()
+    )
+    for r in joined:
+        assert r.fb == r.nb  # slices partition the payload exactly
+        assert 1 <= r.nf <= 4
+    # byte-level: frames concatenated in order equal the payload
+    one = media.orderBy("doc_id").limit(1).collect()[0]
+    fr = MM.frame_sample(media.filter(F.col("doc_id") == one.doc_id), 4).orderBy("frame_idx").collect()
+    assert b"".join(bytes(r.frame_payload) for r in fr) == bytes(one.payload)
+
+
+def test_byte_histogram_matches_numpy(spark, media):
+    rows = media.select("doc_id", "payload", MM.byte_histogram(64)("payload").alias("h")).limit(20).collect()
+    for r in rows:
+        arr = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+        expect = np.bincount(arr >> 2, minlength=64).astype("float32")
+        expect /= expect.sum()
+        np.testing.assert_allclose(np.array(r.h, dtype="float32"), expect, rtol=1e-6)
+
+
+def test_decode_pixels_deterministic_fake(spark, media):
+    decoded = MM.decode_pixels(media).join(media.select("doc_id", "payload", "width", "height"), "doc_id")
+    for r in decoded.limit(20).collect():
+        body = np.frombuffer(bytes(r.payload)[14:], dtype=np.uint8)
+        assert abs(r.mean_brightness - float(body.mean())) < 1e-9
+    # schema contract
+    assert set(MM.decode_pixels(media).columns) == {"doc_id", "width", "height", "mean_brightness"}
+
+
+def test_resize_is_gated_stub(spark, media):
+    with pytest.raises(NotImplementedError):
+        MM.resize_image(media, 32, 32)
