@@ -1,0 +1,209 @@
+"""Optimizer strategy engine: query-history profile → scored layout plan.
+
+The reference's Delta Optimizer pipeline (deltaoptimizer.py, traced in
+SURVEY.md §3.3): load a query log, parse each query's table/column usage,
+aggregate per-(table, column) read stats, min-max scale them, blend with
+write patterns and cardinality, score, rank, and emit executable layout
+commands (ZORDER column set, target file size, ANALYZE). This module
+re-expresses that pipeline over our stack: the query log is any
+DataFrame of (query_text, duration_s) — e.g. the benchmark harness's
+result table — parsing is `plans.query_analyzer`, and the emitted
+strategy applies to TackleTable via ``optimize(zorder_by=...)``.
+
+Scale notes: parsing runs as UDFs over the distributed query log; the
+per-column stats pipeline is explode → groupBy (one shuffle on
+(table, column), millions of distinct values at most); scaling uses a
+window per table rather than an agg+join. The strategy table is tiny.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.plans import query_analyzer as QA
+
+# Scoring weights, same spirit as the reference's CASE-expression scorer
+# (deltaoptimizer.py:1767-1784): filter use dominates, then joins, then
+# grouping; cardinality is a multiplier-grade signal for ZORDER value.
+W_FILTER, W_JOIN, W_GROUP, W_CARD = 0.45, 0.30, 0.15, 0.10
+
+# Table-size → target file size ladder (deltaoptimizer.py:1295-1313).
+FILE_SIZE_LADDER = [
+    (8, 16 << 20),
+    (16, 32 << 20),
+    (32, 64 << 20),
+    (256, 128 << 20),
+    (1024, 256 << 20),
+    (2560, 512 << 20),
+    (5120, 1 << 30),
+    (float("inf"), 1 << 30),
+]
+
+
+def target_file_bytes(table_size_gb: float) -> int:
+    for bound, size in FILE_SIZE_LADDER:
+        if table_size_gb <= bound:
+            return size
+    return 1 << 30  # pragma: no cover
+
+
+def parse_query_log(query_log: DataFrame, query_col: str = "query_text", duration_col: str = "duration_s") -> DataFrame:
+    """Query log → one row per (TableName, ColumnName, usage flags, stats).
+
+    The explode of (tables × referenced columns) mirrors the reference's
+    per-query column attribution (deltaoptimizer.py:1109-1131): a column
+    mention counts toward every table the query reads, because without a
+    schema catalog the log alone can't resolve ownership — the scorer
+    joins against real table columns later to drop misattributions.
+    """
+    q = query_log.select(
+        F.col(query_col).alias("query_text"),
+        F.col(duration_col).cast("double").alias("duration_s"),
+    )
+    parsed = q.select(
+        "query_text",
+        "duration_s",
+        QA.udf_tables("query_text").alias("tables"),
+        QA.udf_filter_columns("query_text").alias("filter_cols"),
+        QA.udf_join_columns("query_text").alias("join_cols"),
+        QA.udf_group_columns("query_text").alias("group_cols"),
+    )
+    exploded = parsed.select(
+        "query_text",
+        "duration_s",
+        F.explode("tables").alias("TableName"),
+        F.array_distinct(F.concat("filter_cols", "join_cols", "group_cols")).alias("all_cols"),
+        "filter_cols",
+        "join_cols",
+        "group_cols",
+    ).select(
+        "query_text",
+        "duration_s",
+        "TableName",
+        F.explode("all_cols").alias("ColumnName"),
+        F.array_contains("filter_cols", F.col("ColumnName")).cast("int").alias("is_filter"),
+        F.array_contains("join_cols", F.col("ColumnName")).cast("int").alias("is_join"),
+        F.array_contains("group_cols", F.col("ColumnName")).cast("int").alias("is_group"),
+    )
+    return exploded.groupBy("TableName", "ColumnName").agg(
+        F.count(F.lit(1)).alias("QueryReferenceCount"),
+        F.sum("is_filter").alias("FilterCount"),
+        F.sum("is_join").alias("JoinCount"),
+        F.sum("is_group").alias("GroupCount"),
+        F.round(F.sum("duration_s"), 6).alias("TotalQuerySeconds"),
+    )
+
+
+def write_pattern_stats(history: list[dict]) -> dict[str, int]:
+    """Merge/delete predicate columns mined from a TackleTable history
+    (the reference mines Delta's DESCRIBE HISTORY operationParameters,
+    deltaoptimizer.py:1345-1423). Returns column → write-reference count."""
+    counts: dict[str, int] = {}
+    for entry in history:
+        params = entry.get("operationParameters", {}) or {}
+        for key in ("mergeKeys", "condition", "predicate", "on"):
+            val = params.get(key)
+            if val is None:
+                continue
+            cols = val if isinstance(val, list) else QA._idents(str(val))
+            for c in cols:
+                counts[c] = counts.get(c, 0) + 1
+    return counts
+
+
+def scale_and_score(column_stats: DataFrame, cardinality: DataFrame | None = None) -> DataFrame:
+    """Min-max scale each signal within its table and blend into a score
+    (deltaoptimizer.py:1207-1242 scaling; :1767-1784 scoring).
+
+    Window-based scaling: one shuffle on TableName, no agg+join
+    round-trip. ``cardinality`` is an optional (ColumnName,
+    distinct_ratio) frame from ``profiler.cardinality_stats``.
+    """
+    w = Window.partitionBy("TableName")
+
+    def scaled(c: str) -> F.Column:
+        lo, hi = F.min(c).over(w), F.max(c).over(w)
+        return F.coalesce((F.col(c) - lo) / F.nullif(hi - lo, F.lit(0)), F.lit(0.0))
+
+    df = column_stats
+    if cardinality is not None:
+        df = df.join(
+            cardinality.select(F.col("column").alias("ColumnName"), "distinct_ratio"),
+            "ColumnName",
+            "left",
+        ).withColumn("distinct_ratio", F.coalesce("distinct_ratio", F.lit(0.0)))
+    else:
+        df = df.withColumn("distinct_ratio", F.lit(0.0))
+    return df.withColumn(
+        "score",
+        F.round(
+            W_FILTER * scaled("FilterCount")
+            + W_JOIN * scaled("JoinCount")
+            + W_GROUP * scaled("GroupCount")
+            + W_CARD * F.col("distinct_ratio"),
+            6,
+        ),
+    )
+
+
+@dataclass
+class TableStrategy:
+    table: str
+    zorder_by: list[str]
+    target_file_bytes: int
+    analyze: bool
+
+
+def build_strategy(
+    scored: DataFrame,
+    table_columns: dict[str, list[str]],
+    table_size_gb: dict[str, float] | None = None,
+    top_k: int = 2,
+    min_score: float = 0.0,
+) -> list[TableStrategy]:
+    """Rank columns per table, keep the top-k above threshold as the
+    cluster set, and attach file-size/ANALYZE decisions
+    (deltaoptimizer.py:1785-1799 ranking; :1648-1676 ANALYZE heuristic:
+    collect stats while tables are small enough to scan cheaply).
+
+    ``table_columns`` (real schemas) drops parser misattributions —
+    a column only counts for tables that actually have it.
+    """
+    table_size_gb = table_size_gb or {}
+    rows = scored.filter(F.col("score") > min_score).collect()
+    by_table: dict[str, list] = {}
+    for r in rows:
+        if r.ColumnName in (table_columns.get(r.TableName) or []):
+            by_table.setdefault(r.TableName, []).append(r)
+    strategies = []
+    for table, cols in sorted(by_table.items()):
+        # rank: score desc, then name for determinism (ROW_NUMBER tie-break)
+        ranked = sorted(cols, key=lambda r: (-r.score, r.ColumnName))[:top_k]
+        size_gb = table_size_gb.get(table, 0.0)
+        strategies.append(
+            TableStrategy(
+                table=table,
+                zorder_by=[r.ColumnName for r in ranked],
+                target_file_bytes=target_file_bytes(size_gb),
+                analyze=size_gb <= 100.0,
+            )
+        )
+    return strategies
+
+
+def run_strategy(catalog, strategies: list[TableStrategy], bytes_per_row: int = 100) -> dict[str, int]:
+    """Apply each strategy to its TackleTable (the reference's "Strategy
+    Runner" notebook loop): OPTIMIZE with the chosen cluster columns and
+    a row target derived from the file-size ladder. Returns
+    table → new version."""
+    out = {}
+    for s in strategies:
+        t = catalog.tables.get(s.table)
+        if t is None:
+            continue
+        target_rows = max(1, s.target_file_bytes // bytes_per_row)
+        out[s.table] = t.optimize(target_file_rows=target_rows, zorder_by=s.zorder_by or None)
+    return out

@@ -57,6 +57,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     aggregates,
     joins,
     multimodal,
+    plans_battery,
     scalars,
     setops,
     similarity,

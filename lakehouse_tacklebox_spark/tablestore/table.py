@@ -384,24 +384,35 @@ class TackleTable:
             expected_version=self.version(),
         )
 
-    def optimize(self, target_file_rows: int = 1_000_000) -> int:
-        """Compact small files (OPTIMIZE equivalent).
+    def optimize(self, target_file_rows: int = 1_000_000, zorder_by: list[str] | None = None) -> int:
+        """Compact small files (OPTIMIZE equivalent), optionally
+        range-clustering on ``zorder_by`` columns (ZORDER analogue:
+        ``repartitionByRange`` + ``sortWithinPartitions`` gives each
+        output file a tight min/max envelope on those columns, so
+        parquet row-group stats skip non-matching files on read —
+        the same file-skipping payoff as Delta ZORDER for the
+        single-and-few-column cases that dominate the reference's own
+        strategy output, deltaoptimizer.py:1829-1834).
 
         Local heuristic is row-count based; on a real cluster pass a
         target derived from the reference's size ladder
-        (deltaoptimizer.py:1295-1313) via ``plans.optimizer_strategy``.
+        (deltaoptimizer.py:1295-1313) via ``plans.optimizer``.
         """
         files, schema = self._active_files()
-        if len(files) <= 1:
+        if len(files) <= 1 and not zorder_by:
             return self.version()
         df = self.read()
         n = df.count()
         parts = max(1, (n + target_file_rows - 1) // target_file_rows)
-        compacted = df.repartition(parts)
+        if zorder_by:
+            cols = [F.col(c) for c in zorder_by]
+            compacted = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+        else:
+            compacted = df.repartition(parts)
         new_files, _ = _write_files(compacted, self.path)
         return self._commit(
             "OPTIMIZE",
-            {"targetFileRows": target_file_rows},
+            {"targetFileRows": target_file_rows, "zorderBy": zorder_by or []},
             new_files,
             files,
             {"numFilesBefore": len(files), "numFilesAfter": len(new_files)},
