@@ -63,6 +63,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     similarity,
     textops,
     tpch,
+    tpch_extra,
     validation,
     windows,
 )
