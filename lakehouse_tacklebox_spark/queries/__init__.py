@@ -56,6 +56,7 @@ def bench_queries() -> dict[str, QuerySpec]:
 from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     aggregates,
     joins,
+    metrics,
     multimodal,
     plans_battery,
     scalars,
