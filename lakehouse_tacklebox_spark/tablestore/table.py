@@ -320,7 +320,7 @@ class TackleTable:
             ~F.coalesce(F.expr(condition), F.lit(False))
         )
         files, n_kept = _write_files(kept, self.path)
-        rel_touched = [os.path.relpath(p, self.path) for p in touched]
+        rel_touched = [_entry_path(self.path, p) for p in touched]
         return self._commit(
             "DELETE",
             {"predicate": condition},
@@ -351,7 +351,7 @@ class TackleTable:
             ]
         )
         files, n = _write_files(updated, self.path)
-        rel_touched = [os.path.relpath(p, self.path) for p in touched]
+        rel_touched = [_entry_path(self.path, p) for p in touched]
         return self._commit(
             "UPDATE",
             {"predicate": condition},
@@ -538,7 +538,7 @@ class MergeBuilder:
         result = tagged.filter(F.col("__action").isin("keep", "update", "insert")).select("__row.*")
 
         new_files, n_rows = _write_files(result, t.path)
-        rel_touched = [os.path.relpath(p, t.path) for p in touched]
+        rel_touched = [_entry_path(t.path, p) for p in touched]
         metrics = {
             "numTargetFilesRewritten": len(rel_touched),
             "numOutputRows": n_rows,
@@ -576,6 +576,13 @@ def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
         name, typ = part.split(" ", 1)
         out.append((name.strip("`"), typ.strip()))
     return out
+
+
+def _entry_path(root: str, p: str) -> str:
+    """Map a local file path back to its commit-log entry form: relative
+    when the file lives under the table root, absolute otherwise (shallow
+    clones reference source files by absolute path)."""
+    return os.path.relpath(p, root) if p.startswith(root + os.sep) else p
 
 
 def _local_path(p: str) -> str:

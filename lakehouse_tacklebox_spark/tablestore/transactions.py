@@ -144,6 +144,29 @@ class TackleCatalog:
         for name, t in self.tables.items():
             t.read().createOrReplaceTempView(name)
 
+    def list_tables_df(self, include: list[str] | None = None, exclude: list[str] | None = None) -> DataFrame:
+        """SHOW TABLES-style listing with include/exclude glob filters
+        (deltaoptimizer.py:354-442 database/table include-exclude
+        semantics): one row per table with DESCRIBE DETAIL fields."""
+        import fnmatch
+
+        def keep(name: str) -> bool:
+            if include and not any(fnmatch.fnmatch(name, p) for p in include):
+                return False
+            if exclude and any(fnmatch.fnmatch(name, p) for p in exclude):
+                return False
+            return True
+
+        rows = []
+        for name in sorted(self.tables):
+            if not keep(name):
+                continue
+            d = self.tables[name].detail()
+            rows.append((name, d["location"], d["version"], d["numFiles"], d["sizeInBytes"]))
+        return self.spark.createDataFrame(
+            rows, "table string, location string, version int, num_files int, size_bytes bigint"
+        )
+
 
 class TransactionManager:
     """Execute a statement chain; on any failure, restore every altered
