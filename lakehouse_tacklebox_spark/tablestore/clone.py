@@ -28,6 +28,7 @@ from lakehouse_tacklebox_spark.tablestore.table import (
     _LOG_DIR,
     LogEntry,
     TackleTable,
+    _collect_stats,
     _commit_entry,
 )
 
@@ -62,6 +63,7 @@ def clone(source: TackleTable, dest_path: str, deep: bool = False) -> TackleTabl
         remove=[],
         schema=schema,
         metrics={"numCopiedFiles": len(add) if deep else 0, "numReferencedFiles": 0 if deep else len(add)},
+        file_stats=_collect_stats(dest_path, add),
     )
     _commit_entry(dest_path, entry)
     return TackleTable(source.spark, dest_path)

@@ -62,20 +62,25 @@ class LogEntry:
     remove: list[str]
     schema: str
     metrics: dict[str, Any] = field(default_factory=dict)
+    # per added file: {col: [lo, hi]} (JSON-safe; timestamps/dates as ISO
+    # strings, which order lexicographically) — Delta-style data-skipping
+    # stats, written once at commit so scans never re-read footers.
+    file_stats: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version": self.version,
-                "timestamp_ms": self.timestamp_ms,
-                "operation": self.operation,
-                "operationParameters": self.operation_parameters,
-                "add": self.add,
-                "remove": self.remove,
-                "schema": self.schema,
-                "metrics": self.metrics,
-            }
-        )
+        d = {
+            "version": self.version,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "operationParameters": self.operation_parameters,
+            "add": self.add,
+            "remove": self.remove,
+            "schema": self.schema,
+            "metrics": self.metrics,
+        }
+        if self.file_stats:
+            d["fileStats"] = self.file_stats
+        return json.dumps(d)
 
     @staticmethod
     def from_json(s: str) -> "LogEntry":
@@ -89,6 +94,7 @@ class LogEntry:
             remove=d.get("remove", []),
             schema=d.get("schema", ""),
             metrics=d.get("metrics", {}),
+            file_stats=d.get("fileStats", {}),
         )
 
 
@@ -141,6 +147,7 @@ class TackleTable:
             remove=[],
             schema=ddl,
             metrics={"numOutputRows": n_rows, "numAddedFiles": len(files)},
+            file_stats=_collect_stats(path, files),
         )
         _commit_entry(path, entry)
         return TackleTable(spark, path)
@@ -170,6 +177,18 @@ class TackleTable:
             schema = e.schema or schema
         return active, schema
 
+    def _active_stats(self, version: int | None = None) -> dict[str, dict]:
+        """Replay the log to {active file: column stats}."""
+        stats: dict[str, dict] = {}
+        for e in self._entries():
+            if version is not None and e.version > version:
+                break
+            for f in e.remove:
+                stats.pop(f, None)
+            for f in e.add:
+                stats[f] = e.file_stats.get(f, {})
+        return stats
+
     # ---------- reads ----------
 
     def read(self, version: int | None = None, timestamp_ms: int | None = None) -> DataFrame:
@@ -186,6 +205,37 @@ class TackleTable:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, f) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def scan(self, condition: str | None = None, version: int | None = None) -> DataFrame:
+        """Predicate scan with log-stats file skipping (Delta data
+        skipping): files whose [min, max] envelope on a filtered column
+        cannot satisfy a conjunct are never handed to Spark, so at
+        100 TB a selective scan opens the few files ZORDER clustered the
+        matching keys into. The full condition is still applied as a
+        DataFrame filter — pruning is a superset guarantee, correctness
+        never depends on stats."""
+        if not condition:
+            return self.read(version)
+        kept, _skipped = self.prune_files(condition, version)
+        schema = self._active_files(version)[1]
+        if not kept:
+            return self.spark.createDataFrame([], schema).filter(F.expr(condition))
+        paths = [os.path.join(self.path, f) for f in kept]
+        return self.spark.read.schema(schema).parquet(*paths).filter(F.expr(condition))
+
+    def prune_files(self, condition: str, version: int | None = None) -> tuple[list[str], list[str]]:
+        """Split active files into (kept, skipped) for a predicate using
+        the log's per-file column envelopes."""
+        files, _ = self._active_files(version)
+        stats = self._active_stats(version)
+        bounds = _conjunct_bounds(condition)
+        kept, skipped = [], []
+        for f in files:
+            if _file_may_match(stats.get(f, {}), bounds):
+                kept.append(f)
+            else:
+                skipped.append(f)
+        return kept, skipped
 
     def history(self) -> list[dict[str, Any]]:
         """DESCRIBE HISTORY equivalent, newest first."""
@@ -271,6 +321,7 @@ class TackleTable:
                 remove=remove,
                 schema=schema or self._active_files()[1],
                 metrics=metrics,
+                file_stats=_collect_stats(self.path, add),
             )
             try:
                 _commit_entry(self.path, entry)
@@ -640,6 +691,112 @@ def _write_files(df: DataFrame, root: str) -> tuple[list[str], int]:
 
     n = sum(pq.ParquetFile(os.path.join(out, os.path.basename(f))).metadata.num_rows for f in rel_files)
     return rel_files, n
+
+
+def _collect_stats(root: str, rel_files: list[str]) -> dict[str, dict]:
+    """Per-file {col: [lo, hi]} from parquet footers (metadata-only read,
+    once per commit). JSON-safe values: numbers stay numeric;
+    timestamps/dates/strings become strings (ISO order == value order).
+    Columns without footer stats are omitted — absent stats mean
+    "cannot prune", never "no rows"."""
+    import datetime as dt
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    def safe(v):
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (dt.datetime, dt.date)):
+            return v.isoformat(sep=" ") if isinstance(v, dt.datetime) else v.isoformat()
+        if isinstance(v, str):
+            return v
+        return None  # bytes etc.: not comparable from SQL literals
+
+    out: dict[str, dict] = {}
+    for rel in rel_files:
+        full = os.path.join(root, rel)
+        try:
+            meta = pq.ParquetFile(full).metadata
+        except Exception:
+            continue
+        cols: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested: skip
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    cols[name] = None  # one group without stats poisons the column
+                    continue
+                lo, hi = safe(st.min), safe(st.max)
+                if lo is None or hi is None:
+                    cols[name] = None
+                    continue
+                if name in cols and cols[name] is None:
+                    continue
+                if name not in cols:
+                    cols[name] = [lo, hi]
+                else:
+                    cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
+        out[rel] = {k: v for k, v in cols.items() if v is not None}
+    return out
+
+
+def _conjunct_bounds(condition: str) -> list[tuple[str, str, Any]]:
+    """Extract simple top-level conjuncts ``col op literal`` (op in
+    =, <, <=, >, >=) from a predicate. Anything unparseable is ignored —
+    it just can't contribute to pruning."""
+    import re
+
+    out = []
+    for part in re.split(r"\bAND\b", condition, flags=re.I):
+        m = re.match(
+            r"""\s*(\w+)\s*(<=|>=|=|<|>)\s*(?:(?:timestamp|date)\s*)?('(?:[^']*)'|[-+]?\d+(?:\.\d+)?)\s*$""",
+            part.strip(),
+            re.I,
+        )
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        val: Any = lit[1:-1] if lit.startswith("'") else (float(lit) if "." in lit else int(lit))
+        out.append((col, op, val))
+    return out
+
+
+def _file_may_match(stats: dict, bounds: list[tuple[str, str, Any]]) -> bool:
+    import re
+
+    for col, op, val in bounds:
+        rng = stats.get(col)
+        if not rng:
+            continue
+        lo, hi = rng
+        # compare only like-typed values (numeric vs numeric, str vs str)
+        if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
+            continue
+        if isinstance(val, str) and re.fullmatch(r"\d{4}-\d{2}-\d{2}", val) and isinstance(lo, str) and " " in lo:
+            # date literal vs timestamp stats: Spark casts the literal to
+            # midnight — mirror that or boundary files prune wrongly
+            val = val + " 00:00:00"
+        if op == "=" and not (lo <= val <= hi):
+            return False
+        if op in ("<", "<=") and lo > val:
+            return False
+        if op in (">", ">=") and hi < val:
+            return False
+        if op == "<" and lo == val == hi:
+            return False
+        if op == ">" and hi == val == lo:
+            return False
+    return True
 
 
 def _commit_entry(root: str, entry: LogEntry) -> None:

@@ -1,0 +1,70 @@
+"""Log-stats file skipping: pruning is effective AND never loses rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def clustered_orders(spark, tmp_path):
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    t = TackleTable.create(spark, str(tmp_path / "ord"), orders.repartition(8))
+    t.optimize(target_file_rows=300, zorder_by=["o_custkey"])
+    return t, orders
+
+
+def test_stats_written_at_commit(clustered_orders):
+    t, _ = clustered_orders
+    stats = t._active_stats()
+    assert stats and all(s for s in stats.values())
+    some = next(iter(stats.values()))
+    assert "o_custkey" in some and some["o_custkey"][0] <= some["o_custkey"][1]
+    # timestamp stats serialized as ISO strings
+    assert isinstance(some["o_orderdate"][0], str)
+
+
+def test_pruned_scan_is_exact_and_skips_files(clustered_orders):
+    t, orders = clustered_orders
+    cond = "o_custkey = 42"
+    kept, skipped = t.prune_files(cond)
+    assert skipped, "clustered table must skip files for a point lookup"
+    got = sorted(r.o_orderkey for r in t.scan(cond).collect())
+    expect = sorted(r.o_orderkey for r in orders.filter(cond).collect())
+    assert got == expect
+
+
+def test_range_and_timestamp_pruning_correct(clustered_orders):
+    t, orders = clustered_orders
+    for cond in [
+        "o_custkey >= 100 AND o_custkey < 120",
+        "o_orderdate < timestamp '1996-01-01'",
+        "o_orderdate >= '1999-06-01' AND o_custkey < 50",
+        "o_totalprice > 400000.0",
+    ]:
+        got = t.scan(cond).count()
+        expect = orders.filter(cond).count()
+        assert got == expect, cond
+
+
+def test_unparseable_predicates_fall_back_to_full_scan(clustered_orders):
+    t, orders = clustered_orders
+    cond = "o_custkey % 10 = 3 OR o_orderpriority = 'HIGH'"
+    kept, skipped = t.prune_files(cond)
+    assert not skipped  # nothing prunable in a disjunction
+    assert t.scan(cond).count() == orders.filter(cond).count()
+
+
+def test_skipping_survives_dml(spark, clustered_orders):
+    t, _ = clustered_orders
+    t.delete("o_custkey = 7")
+    assert t.scan("o_custkey = 7").count() == 0
+    n_before = t.scan("o_custkey = 8").count()
+    t.update("o_custkey = 8", {"o_totalprice": "o_totalprice + 1"})
+    assert t.scan("o_custkey = 8").count() == n_before
+    # rewritten files got fresh stats
+    stats = t._active_stats()
+    assert all("o_custkey" in s for s in stats.values())
