@@ -1,0 +1,45 @@
+"""Iterator pandas-UDF embedder: determinism, normalization, init-once."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.operators.embed import HashEmbedder, embed_text
+from lakehouse_tacklebox_spark.sources import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_embed_deterministic_and_normalized(spark):
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    out = embed_text(docs, dim=16)
+    rows = out.select("doc_id", "text", "embedding").limit(30).collect()
+    assert all(len(r.embedding) == 16 for r in rows)
+    ref = HashEmbedder(16)
+    for r in rows:
+        expect = ref.encode(__import__("pandas").Series([r.text]))[0]
+        np.testing.assert_allclose(np.array(r.embedding), np.array(expect), rtol=1e-6)
+        norm = np.linalg.norm(r.embedding)
+        assert norm == 0 or abs(norm - 1.0) < 1e-5
+
+
+def test_embed_two_runs_identical(spark):
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    a = {r.doc_id: tuple(r.embedding) for r in embed_text(docs).select("doc_id", "embedding").collect()}
+    b = {r.doc_id: tuple(r.embedding) for r in embed_text(docs).select("doc_id", "embedding").collect()}
+    assert a == b
+
+
+def test_embeddings_feed_knn(spark):
+    """End-to-end LLM-pipeline slice: embed -> cosine self-similarity."""
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"].limit(50)
+    emb = embed_text(docs, dim=16).select("doc_id", "embedding")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"), dot.alias("cos"))
+    )
+    rows = pairs.collect()
+    assert rows and all(-1.0001 <= r.cos <= 1.0001 for r in rows)

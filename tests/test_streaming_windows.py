@@ -63,6 +63,24 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_stream_static_join(spark, tmp_path):
+    """J10: streaming fact joined with a static (broadcast) dimension."""
+    ev = _events(spark)
+    src = str(tmp_path / "src_j10")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    dim = spark.createDataFrame(
+        [(t, t.upper()) for t in ("click", "view", "purchase", "signup", "error")],
+        "event_type string, label string",
+    )
+    joined = stream.join(F.broadcast(dim), "event_type").groupBy("label").count()
+    q = joined.writeStream.format("memory").queryName("j10").outputMode("complete").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {r.label: r["count"] for r in spark.table("j10").collect()}
+    expect = {r.event_type.upper(): r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got == expect
+
+
 def test_sessionized_agg_batch(spark):
     ev = _events(spark)
     out = sessionized_agg(ev, "ts", "30 minutes", keys=["user_id"], aggs=[F.count(F.lit(1)).alias("n")])
