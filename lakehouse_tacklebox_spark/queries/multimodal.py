@@ -66,6 +66,7 @@ def mm_metadata_by_mime(spark, sf_dir):
 
 @register(
     "mm_frame_stats",
+    bench=True,
     tags=("multimodal",),
     oracle=f"""
     WITH {_ORACLE_MEDIA},

@@ -35,6 +35,7 @@ _ORACLE_PROFILE = "\nUNION ALL\n".join(
 
 @register(
     "profile_customer",
+    bench=True,
     tags=("profiler",),
     oracle=_ORACLE_PROFILE,
 )

@@ -24,6 +24,7 @@ def _disc_price():
 
 @register(
     "q6_forecast_revenue",
+    bench=True,
     tags=("agg", "scan"),
     oracle=f"""
     SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
@@ -55,6 +56,7 @@ def q6_forecast_revenue(spark, sf_dir):
 
 @register(
     "q7_volume_shipping",
+    bench=True,
     tags=("join", "agg"),
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
