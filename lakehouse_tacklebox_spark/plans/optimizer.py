@@ -27,8 +27,9 @@ from lakehouse_tacklebox_spark.plans import query_analyzer as QA
 
 # Scoring weights, same spirit as the reference's CASE-expression scorer
 # (deltaoptimizer.py:1767-1784): filter use dominates, then joins, then
-# grouping; cardinality is a multiplier-grade signal for ZORDER value.
-W_FILTER, W_JOIN, W_GROUP, W_CARD = 0.45, 0.30, 0.15, 0.10
+# grouping; cardinality and write-predicate use (MERGE/DELETE keys mined
+# from table history, :1345-1423) are secondary signals.
+W_FILTER, W_JOIN, W_GROUP, W_CARD, W_WRITE = 0.40, 0.25, 0.15, 0.10, 0.10
 
 # Table-size → target file size ladder (deltaoptimizer.py:1295-1313).
 FILE_SIZE_LADDER = [
@@ -114,13 +115,19 @@ def write_pattern_stats(history: list[dict]) -> dict[str, int]:
     return counts
 
 
-def scale_and_score(column_stats: DataFrame, cardinality: DataFrame | None = None) -> DataFrame:
+def scale_and_score(
+    column_stats: DataFrame,
+    cardinality: DataFrame | None = None,
+    write_counts: dict[str, int] | None = None,
+) -> DataFrame:
     """Min-max scale each signal within its table and blend into a score
     (deltaoptimizer.py:1207-1242 scaling; :1767-1784 scoring).
 
     Window-based scaling: one shuffle on TableName, no agg+join
     round-trip. ``cardinality`` is an optional (ColumnName,
-    distinct_ratio) frame from ``profiler.cardinality_stats``.
+    distinct_ratio) frame from ``profiler.cardinality_stats``;
+    ``write_counts`` comes from ``write_pattern_stats`` (columns used as
+    MERGE/DELETE predicates — hot layout candidates).
     """
     w = Window.partitionBy("TableName")
 
@@ -137,16 +144,56 @@ def scale_and_score(column_stats: DataFrame, cardinality: DataFrame | None = Non
         ).withColumn("distinct_ratio", F.coalesce("distinct_ratio", F.lit(0.0)))
     else:
         df = df.withColumn("distinct_ratio", F.lit(0.0))
+    wc = write_counts or {}
+    write_col = F.lit(0)
+    for col, n in wc.items():
+        write_col = F.when(F.col("ColumnName") == col, F.lit(n)).otherwise(write_col)
+    df = df.withColumn("WriteCount", write_col)
     return df.withColumn(
         "score",
         F.round(
             W_FILTER * scaled("FilterCount")
             + W_JOIN * scaled("JoinCount")
             + W_GROUP * scaled("GroupCount")
-            + W_CARD * F.col("distinct_ratio"),
+            + W_CARD * F.col("distinct_ratio")
+            + W_WRITE * scaled("WriteCount"),
             6,
         ),
     )
+
+
+def recommend(
+    catalog,
+    query_log: DataFrame,
+    top_k: int = 2,
+    sample_size: int = 1_000_000,
+) -> list["TableStrategy"]:
+    """End-to-end strategy pipeline (the reference's profile → score →
+    strategy chain, deltaoptimizer.py §3.3): parse the query log, blend
+    per-table cardinality samples and write patterns mined from each
+    table's own commit history, score, and rank into strategies."""
+    from lakehouse_tacklebox_spark.plans.profiler import cardinality_stats
+
+    stats = parse_query_log(query_log)
+    frames = []
+    write_counts: dict[str, int] = {}
+    schemas: dict[str, list[str]] = {}
+    sizes: dict[str, float] = {}
+    for name, table in catalog.tables.items():
+        df = table.read()
+        schemas[name] = df.columns
+        sizes[name] = table.detail()["sizeInBytes"] / (1 << 30)
+        frames.append(cardinality_stats(df, sample_size=sample_size))
+        for col, n in write_pattern_stats(table.history()).items():
+            write_counts[col] = write_counts.get(col, 0) + n
+    card = frames[0]
+    for f in frames[1:]:
+        card = card.union(f)
+    # same column name across tables: keep the max ratio (schema join in
+    # build_strategy drops misattributions anyway)
+    card = card.groupBy("column").agg(F.max("distinct_ratio").alias("distinct_ratio"))
+    scored = scale_and_score(stats, card, write_counts)
+    return build_strategy(scored, schemas, sizes, top_k=top_k)
 
 
 @dataclass

@@ -82,6 +82,30 @@ def test_strategy_ranks_and_applies(spark, tmp_path):
     assert cat.tables["customer"].read().count() == tables["customer"].count()
 
 
+def test_recommend_end_to_end_blends_write_patterns(spark, tmp_path):
+    """Full profile→score→strategy chain, including write-predicate
+    mining from the table's own commit history."""
+    tables = load_tables(spark, SF_DIR, ["customer", "orders"])
+    cat = TackleCatalog(spark, str(tmp_path / "cat3"))
+    t_orders = cat.create("orders", tables["orders"])
+    cat.create("customer", tables["customer"])
+    # generate write history: repeated merges keyed on o_orderkey
+    upd = tables["orders"].limit(100)
+    t_orders.merge(upd, on=["o_orderkey"]).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    t_orders.delete("o_orderkey = -1")
+
+    log = spark.createDataFrame(QUERY_LOG_FIXTURE, "query_text string, duration_s double")
+    strategies = {s.table: s for s in OPT.recommend(cat, log, sample_size=5_000)}
+    assert set(strategies) == {"customer", "orders"}
+    assert strategies["orders"].zorder_by  # non-empty cluster set
+    # write-pattern mining saw the merge/delete keys
+    wc = OPT.write_pattern_stats(t_orders.history())
+    assert wc.get("o_orderkey", 0) >= 1
+    # applying the recommendation commits OPTIMIZE versions
+    versions = OPT.run_strategy(cat, list(strategies.values()))
+    assert set(versions) == {"customer", "orders"}
+
+
 def test_zorder_clustering_tightens_file_envelopes(spark, tmp_path):
     """Range-clustered files must have non-overlapping key ranges, the
     property that makes parquet row-group skipping effective."""
