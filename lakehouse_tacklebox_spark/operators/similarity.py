@@ -81,6 +81,80 @@ def neardup_pairs(
     )
 
 
+def rp_lsh_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH band keys for cosine similarity.
+
+    Each plane contributes one sign bit (P[bit differs] = angle/π, the
+    SimHash bound); bits are split into ``bands`` keys so a pair is a
+    candidate if ANY band matches — the same band trick as MinHash-LSH.
+    Hyperplanes are seeded-deterministic literals, so the signature is a
+    pure JVM expression (no UDF, no shuffle).
+    Returns (id_col, band_idx, band_key) exploded rows.
+    """
+    import numpy as np
+
+    dim = df.select(F.size(vec_col).alias("d")).first().d
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        (_dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0).cast("int")
+        for plane in planes
+    ]
+    per_band = n_planes // bands
+    band_keys = [
+        F.concat_ws("", *[b.cast("string") for b in bits[i * per_band : (i + 1) * per_band]])
+        for i in range(bands)
+    ]
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via LSH bucketing — the 100 TB path.
+
+    Candidates come from band-key self-joins (shuffle on the band key,
+    never an all-pairs cross join), then exact cosine verification, so
+    precision is 1.0 and recall is the banded sign-bit bound. Compare
+    count scales with bucket occupancy instead of n².
+    """
+    sig = rp_lsh_bands(df, id_col, vec_col, n_planes, bands, seed)
+    a = sig.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = sig.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

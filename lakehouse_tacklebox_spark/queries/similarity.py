@@ -64,6 +64,19 @@ def emb_neardup_pairs(spark, sf_dir):
 
 
 @register(
+    "emb_neardup_lsh",
+    tags=("similarity", "dedup", "lsh"),
+    oracle=None,  # LSH recall is probabilistic → rows-only; pytest asserts recall vs exact
+)
+def emb_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup pairs (random-hyperplane bands + exact
+    verification) — the scale path for embedding dedup: shuffle on band
+    keys, never an all-pairs cross join."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.neardup_pairs_lsh(e, threshold=0.95, n_planes=16, bands=4)
+
+
+@register(
     "knn_ivf",
     tags=("similarity", "ann"),
     oracle=None,  # approximate by construction → rows-only; pytest asserts recall vs brute force
