@@ -435,7 +435,12 @@ class TackleTable:
             expected_version=self.version(),
         )
 
-    def optimize(self, target_file_rows: int = 1_000_000, zorder_by: list[str] | None = None) -> int:
+    def optimize(
+        self,
+        target_file_rows: int = 1_000_000,
+        zorder_by: list[str] | None = None,
+        where: str | None = None,
+    ) -> int:
         """Compact small files (OPTIMIZE equivalent), optionally
         range-clustering on ``zorder_by`` columns (ZORDER analogue:
         ``repartitionByRange`` + ``sortWithinPartitions`` gives each
@@ -445,14 +450,23 @@ class TackleTable:
         single-and-few-column cases that dominate the reference's own
         strategy output, deltaoptimizer.py:1829-1834).
 
+        ``where`` scopes the rewrite to files whose stats envelope can
+        match (partition-filtered OPTIMIZE, deltalogger.py:301-323) —
+        untouched files keep their layout, so an hourly job can compact
+        only today's partition of a years-deep table.
+
         Local heuristic is row-count based; on a real cluster pass a
         target derived from the reference's size ladder
         (deltaoptimizer.py:1295-1313) via ``plans.optimizer``.
         """
-        files, schema = self._active_files()
-        if len(files) <= 1 and not zorder_by:
+        if where:
+            files, _skipped = self.prune_files(where)
+            schema = self._active_files()[1]
+        else:
+            files, schema = self._active_files()
+        if not files or (len(files) <= 1 and not zorder_by):
             return self.version()
-        df = self.read()
+        df = self.spark.read.schema(schema).parquet(*[os.path.join(self.path, f) for f in files])
         n = df.count()
         parts = max(1, (n + target_file_rows - 1) // target_file_rows)
         if zorder_by:
@@ -463,7 +477,7 @@ class TackleTable:
         new_files, _ = _write_files(compacted, self.path)
         return self._commit(
             "OPTIMIZE",
-            {"targetFileRows": target_file_rows, "zorderBy": zorder_by or []},
+            {"targetFileRows": target_file_rows, "zorderBy": zorder_by or [], "where": where or ""},
             new_files,
             files,
             {"numFilesBefore": len(files), "numFilesAfter": len(new_files)},

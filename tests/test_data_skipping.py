@@ -58,6 +58,24 @@ def test_unparseable_predicates_fall_back_to_full_scan(clustered_orders):
     assert t.scan(cond).count() == orders.filter(cond).count()
 
 
+def test_partition_scoped_optimize(spark, clustered_orders):
+    """OPTIMIZE ... WHERE rewrites only files whose envelope can match;
+    everything else keeps its layout and content is unchanged."""
+    t, orders = clustered_orders
+    before = set(t._active_files()[0])
+    kept, untouched = t.prune_files("o_custkey < 30")
+    assert untouched, "test needs a table where the predicate prunes"
+    t.optimize(target_file_rows=10_000, where="o_custkey < 30")
+    after = set(t._active_files()[0])
+    # files outside the predicate survived verbatim
+    assert set(untouched) <= after
+    # files inside it were rewritten
+    assert not (set(kept) & after)
+    assert t.read().count() == orders.count()
+    hist = t.history()[0]
+    assert hist["operation"] == "OPTIMIZE" and hist["operationParameters"]["where"] == "o_custkey < 30"
+
+
 def test_skipping_survives_dml(spark, clustered_orders):
     t, _ = clustered_orders
     t.delete("o_custkey = 7")
