@@ -62,6 +62,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     scalars,
     setops,
     similarity,
+    streaming_battery,
     textops,
     tpch,
     tpch_extra,

@@ -71,6 +71,32 @@ def metrics_ops_summary(spark, sf_dir):
 
 
 @register(
+    "metrics_percentiles",
+    tags=("metrics", "percentile"),
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           round(max(value), 4) AS p_max
+    FROM events GROUP BY event_type
+    """,
+)
+def metrics_percentiles(spark, sf_dir):
+    """Latency-style percentile report (04-Metrics.sql duration
+    percentiles shape): exact interpolated percentiles per group. At
+    100 TB swap percentile → approx_percentile (t-digest, mergeable
+    partials) — same plan shape, bounded state."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.round(F.max("value"), 4).alias("p_max"),
+    )
+
+
+@register(
     "event_log_json_analytics",
     tags=("metrics", "json"),
     oracle="""
