@@ -55,6 +55,7 @@ def bench_queries() -> dict[str, QuerySpec]:
 # Import side-effect modules that populate REGISTRY.
 from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     aggregates,
+    cdc_battery,
     joins,
     metrics,
     multimodal,
