@@ -67,6 +67,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     textops,
     tpch,
     tpch_extra,
+    tpch_extra2,
     validation,
     windows,
 )
