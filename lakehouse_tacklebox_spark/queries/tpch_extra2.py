@@ -226,31 +226,40 @@ def q21_waiting_suppliers(spark, sf_dir):
     "only me").
 
     Scale: instead of two extra self-join passes over lineitem (the
-    literal EXISTS plan), one groupBy(orderkey) pass computes both
-    cardinalities; the result joins back on the same orderkey
-    partitioning, dims broadcast, and the final top-k is tie-broken.
+    literal EXISTS plan), a cascaded aggregate — (orderkey, suppkey)
+    first, then orderkey — computes both cardinalities plus, for the
+    nrsupp=1 case, the sole R-supplier's key and its R-row count.
+    Lineitem is scanned once and shuffled once at full width (no
+    two-distinct-aggs expand doubling the shuffle); the second shuffle
+    only moves the per-(order, supplier) pairs. Orders joins on the
+    orderkey partitioning the aggregate already produced, dims
+    broadcast, and the final top-k is tie-broken.
     """
     t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
-    per_order = t["lineitem"].groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("nrsupp"),
+    is_r = F.col("l_returnflag") == "R"
+    per_pair = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(is_r, 1).otherwise(0)).alias("has_r"),
+        F.sum(F.when(is_r, 1).otherwise(0)).alias("pair_r_rows"),
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"),
+        F.sum("has_r").alias("nrsupp"),
+        F.min(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("r_suppkey"),
+        F.sum("pair_r_rows").alias("r_rows"),
     )
     nation1 = t["nation"].filter(F.col("n_name") == "NATION_1").select("n_nationkey")
     supp = t["supplier"].join(
         F.broadcast(nation1), F.col("n_nationkey") == F.col("s_nationkey")
     ).select("s_suppkey", "s_name")
     return (
-        t["lineitem"]
-        .filter(F.col("l_returnflag") == "R")
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        per_order.filter((F.col("nsupp") > 1) & (F.col("nrsupp") == 1))
         .join(
             t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
-        .filter((F.col("nsupp") > 1) & (F.col("nrsupp") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("r_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("r_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )
