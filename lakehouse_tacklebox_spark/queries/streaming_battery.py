@@ -70,3 +70,92 @@ def stream_hourly_rollup(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+def _events_stream(spark, sf_dir):
+    """Streaming read of events.parquet with the same ts conversion as the
+    batch path (TIMESTAMP(NANOS) → long under nanosAsLong → µs timestamp)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]  # sets nanos/UTC confs
+    raw_schema = StructType(
+        [StructField("ts", LongType()) if f.name == "ts" else f for f in ev.schema.fields]
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+@register(
+    "stream_stateful_dedup",
+    tags=("streaming", "stateful", "dedup"),
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_stateful_dedup(spark, sf_dir):
+    """First event per user via the applyInPandasWithState dedup operator,
+    executed as a real stream: per-key state answers "seen before?"
+    without rescanning the sink (the scale path for ingest dedup — state
+    lives with the shuffle partition, not in a merge target). The batch
+    oracle is the row_number()=1 window, so the stateful answer must
+    equal the relational one exactly."""
+    from lakehouse_tacklebox_spark.streaming.stateful import stateful_dedup
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    out = stateful_dedup(stream, keys=["user_id"], order_by=["ts", "event_id"])
+    sink = f"stateful_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+@register(
+    "stream_stateful_user_stats",
+    tags=("streaming", "stateful", "agg"),
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark, sf_dir):
+    """Cumulative per-user running totals via the stateful running-agg
+    operator. Money is pre-scaled to integer cents JVM-side so the
+    pandas-side accumulation is exact (int64 in float64 ≤ 2^53), then
+    cast back — the streaming total must equal DuckDB's batch SUM."""
+    from lakehouse_tacklebox_spark.streaming.stateful import stateful_running_agg
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = stateful_running_agg(stream, keys=["user_id"], value_col="cents")
+    sink = f"stateful_stats_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id",
+        "n_events",
+        F.col("total").cast("long").alias("total_cents"),
+    )

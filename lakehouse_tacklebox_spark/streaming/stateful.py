@@ -1,0 +1,129 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's streaming surface is ingest-and-merge (SURVEY §2.9); its
+dedup always happens inside ``foreachBatch`` MERGEs, which means every
+micro-batch pays a full target-table merge to answer "have I seen this
+key before?". These operators keep that question in Spark's state store
+instead: per-key state lives with the shuffle partition, scales
+horizontally with executors, survives restarts through the checkpoint,
+and never rescans the sink.
+
+- ``stateful_dedup``: emit exactly one row per key across the stream's
+  lifetime (the first by an explicit, deterministic ordering), with an
+  optional processing-time TTL so state doesn't grow unboundedly at
+  100 TB ingest rates (keys recycle after the TTL window — the same
+  contract as Autoloader+MERGE dedup over a bounded lookback).
+- ``stateful_running_agg``: cumulative per-key count/sum/min/max emitted
+  every micro-batch the key appears in — a running-total operator that
+  would otherwise need an unbounded-state ``complete``-mode aggregation.
+
+Arrow moves each group's rows into pandas in batches (iterator API), so
+per-row Python overhead is amortized; state values are tiny fixed-width
+tuples.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def stateful_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    ttl_minutes: float | None = None,
+) -> DataFrame:
+    """Keep the first row per key (by ``order_by``) across micro-batches.
+
+    Within a batch the minimum over ``order_by`` is taken (deterministic
+    regardless of arrival order); across batches the state store
+    remembers which keys already emitted. With ``ttl_minutes``, a key's
+    state expires after that much processing time without traffic, after
+    which the key may emit again (bounded-state mode).
+    """
+    out_schema: StructType = stream.schema
+    order_cols = list(order_by)
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            cand = pdf.sort_values(order_cols, kind="mergesort").head(1)
+            best = (
+                cand
+                if best is None
+                else pd.concat([best, cand]).sort_values(order_cols, kind="mergesort").head(1)
+            )
+        already = state.exists
+        if not already:
+            state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if best is not None and not already:
+            yield best
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, "emitted tinyint", "append", timeout
+    )
+
+
+def stateful_running_agg(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Cumulative per-key stats: every micro-batch a key appears in emits
+    one row with the running count / sum / min / max of ``value_col``.
+
+    Sums accumulate in float64 — callers needing exact money totals
+    should pre-scale to integer cents JVM-side (exact in float64 up to
+    2^53) and cast back on the way out.
+    """
+    key_fields = [stream.schema[k] for k in keys]
+    out_schema = StructType(key_fields).add("n_events", "long").add("total", "double").add(
+        "vmin", "double"
+    ).add("vmax", "double")
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, vmin, vmax = state.get if state.exists else (0, 0.0, None, None)
+        seen = False
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if vals.empty:
+                continue
+            seen = True
+            n += int(vals.size)
+            total += float(vals.sum())
+            bmin, bmax = float(vals.min()), float(vals.max())
+            vmin = bmin if vmin is None else min(vmin, bmin)
+            vmax = bmax if vmax is None else max(vmax, bmax)
+        if not seen:
+            return
+        state.update((n, total, vmin, vmax))
+        yield pd.DataFrame([list(key) + [n, total, vmin, vmax]], columns=[*keys, "n_events", "total", "vmin", "vmax"])
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        out_schema,
+        "n long, total double, vmin double, vmax double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions: the scale claims in SCALING.md,
+checked against `.explain` output so regressions that silently
+de-optimize a plan (lost pushdown, widened scan, broadcast → shuffle,
+extra pass over the fact table) fail CI.
+"""
+
+from __future__ import annotations
+
+from lakehouse_tacklebox_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _plan(df, mode="formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_q6_pushdown_and_narrow_scan(spark):
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # every predicate reaches the parquet reader
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in line for line in plan.splitlines() if "PushedFilters" in line), col
+    # column pruning: the scan reads only the 4 needed columns
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_partkey", "l_comment", "l_tax", "l_returnflag"):
+        assert col not in read_schema
+
+
+def test_q7_broadcasts_dims_no_cartesian(spark):
+    df = REGISTRY["q7_volume_shipping"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_lineitem_scan(spark):
+    df = REGISTRY["q21_waiting_suppliers"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # detail headers like "(1) Scan parquet" appear once per scan node
+    # (tree lines would double-count)
+    scans = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Scan parquet" in line
+    ]
+    # lineitem, orders, supplier, nation — exactly four scans, no second
+    # pass over the fact table and no expand from multi-distinct aggs
+    assert len(scans) == 4, scans
+    assert "Expand" not in plan
+
+
+def test_topn_window_group_limit(spark):
+    df = REGISTRY["win_topn_per_group"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # Spark 4 pushes rank()<=k below the shuffle as WindowGroupLimit
+    assert "WindowGroupLimit" in plan
+
+
+def test_agg_is_partial_and_codegen(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    # map-side combine: partial aggregate below the exchange
+    assert "partial_sum" in _plan(df, "simple")
+    # the whole agg pipeline compiles into whole-stage-codegen subtrees
+    assert "WholeStageCodegen" in _plan(df, "codegen")
