@@ -68,6 +68,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpch,
     tpch_extra,
     tpch_extra2,
+    tpch_extra3,
     validation,
     windows,
 )

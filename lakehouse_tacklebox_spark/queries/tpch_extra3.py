@@ -1,0 +1,205 @@
+"""Final TPC-H shapes (q2/q11/q20) — the three that canonically need the
+partsupp table, adapted to the testdata by using lineitem as the
+part↔supplier relation:
+
+- q2  (min-cost supplier): supplycost -> s_acctbal; "supplies the part"
+  -> "has shipped the part"; the correlated MIN subquery is kept as its
+  decorrelated form, a per-part rank-1 window.
+- q11 (important stock): ps_supplycost*ps_availqty -> shipped revenue
+  per part; the HAVING > fraction-of-total scalar subquery is kept, in
+  exact decimal on both engines so the threshold cut is identical.
+- q20 (excess stock): ps_availqty > 0.5*shipped-qty -> pair-share vs
+  per-part average, kept in pure integer arithmetic (quantities are
+  integral) so the comparison has no float boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.functions import dmoney
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+
+@register(
+    "q2_min_balance_supplier",
+    tags=("join", "window", "subquery"),
+    oracle="""
+    WITH shipped AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), ranked AS (
+        SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+               row_number() OVER (
+                   PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey
+               ) AS rnk
+        FROM part
+        JOIN shipped  ON l_partkey = p_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20 AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name,
+           CAST(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal, n_name
+    FROM ranked WHERE rnk = 1
+    ORDER BY s_acctbal, p_partkey
+    """,
+)
+def q2_min_balance_supplier(spark, sf_dir):
+    """q2 shape: cheapest qualifying supplier per part in one region.
+
+    Scale: part predicates prune before anything else; the
+    (part, supplier) relation is deduped BEFORE joining dims (distinct
+    on two int keys — the only lineitem shuffle); supplier/nation/
+    region broadcast; the correlated MIN becomes a rank-1 window that
+    WindowGroupLimit evaluates map-side.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"])
+    part = t["part"].filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    shipped = (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+    )
+    eur = t["region"].filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(eur), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = W.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        shipped.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 2).cast("double").alias("s_acctbal"),
+            "n_name",
+        )
+        .orderBy("s_acctbal", "p_partkey")
+    )
+
+
+@register(
+    "q11_important_part_value",
+    tags=("agg", "subquery", "having"),
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_2', 'NATION_8', 'NATION_9', 'NATION_21')
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(value AS DOUBLE) AS value
+    FROM pv
+    WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_part_value(spark, sf_dir):
+    """q11 shape: parts whose nation-group shipped value exceeds a fraction
+    of the nation's total — group-agg, a scalar total over the SAME
+    aggregate, and a threshold cut.
+
+    Scale: the nation filter broadcasts into the fact scan; the per-part
+    agg is the one shuffle; the grand total is an agg OVER the per-part
+    result (tiny) broadcast back — the fact table is read once. Both
+    sides stay in exact decimal so the threshold picks identical rows.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    n2 = t["nation"].filter(
+        F.col("n_name").isin("NATION_2", "NATION_8", "NATION_9", "NATION_21")
+    ).select("n_nationkey")
+    supp = t["supplier"].join(
+        F.broadcast(n2), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey")
+    pv = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dmoney("l_extendedprice")).alias("value"))
+    )
+    total = pv.agg((F.sum("value") * F.lit(0.001).cast("decimal(7,4)")).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    tags=("join", "agg", "semi", "subquery"),
+    oracle="""
+    WITH pairs AS (
+        SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ), per_part AS (
+        SELECT l_partkey AS pp, sum(sq) AS tot, count(*) AS nsupp
+        FROM pairs GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM pairs
+    JOIN per_part ON pp = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_2', 'NATION_8', 'NATION_9', 'NATION_21')
+      AND sq * 2 * nsupp > tot
+    ORDER BY s_name
+    """,
+)
+def q20_excess_share_suppliers(spark, sf_dir):
+    """q20 shape: suppliers holding an outsized share of a part class —
+    per-pair aggregate, per-part rollup of that aggregate, threshold
+    semi-join up to supplier names.
+
+    Scale: the part-type and date predicates prune the fact scan; the
+    (supplier, part) agg is the one full-width shuffle; the per-part
+    rollup re-aggregates the already-small pair table; the share test
+    is pure integer arithmetic (quantities are integral → BIGINT), so
+    no float boundary can disagree with the oracle.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    pairs = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+    )
+    per_part = pairs.groupBy(F.col("l_partkey").alias("pp")).agg(
+        F.sum("sq").alias("tot"), F.count(F.lit(1)).alias("nsupp")
+    )
+    n2 = t["nation"].filter(
+        F.col("n_name").isin("NATION_2", "NATION_8", "NATION_9", "NATION_21")
+    ).select("n_nationkey")
+    supp = t["supplier"].join(
+        F.broadcast(n2), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        pairs.join(per_part, F.col("pp") == F.col("l_partkey"))
+        .filter(F.col("sq") * 2 * F.col("nsupp") > F.col("tot"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_name")
+    )

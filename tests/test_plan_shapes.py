@@ -62,6 +62,17 @@ def test_topn_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_no_bench_query_degrades_to_cartesian(spark):
+    # a lost equi-join condition silently becomes a cartesian product —
+    # catastrophic at scale. join_cross is the one intentional cross join
+    # in the battery and is not in the bench set.
+    from lakehouse_tacklebox_spark.queries import bench_queries
+
+    for name, spec in bench_queries().items():
+        plan = _plan(spec.fn(spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in plan, name
+
+
 def test_agg_is_partial_and_codegen(spark):
     df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
     # map-side combine: partial aggregate below the exchange
