@@ -255,3 +255,44 @@ def join_multiway_using(spark, sf_dir):
             F.coalesce("n_events_agg", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "join_asof",
+    tags=("join", "asof", "timeseries"),
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS purchase_event_id,
+           r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (operators/asof.py): each click matched to the user's
+    most recent purchase at-or-before it, checked against DuckDB's
+    native ASOF LEFT JOIN.
+
+    Scale: union-window form — one shuffle of both sides on user_id,
+    then a linear running-window pass; no range-join pair explosion and
+    no Python. The canonical custom operator Spark lacks, expressed as
+    a composition of built-ins.
+    """
+    from lakehouse_tacklebox_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        right_cols=["purchase_event_id", "purchase_value"],
+        suffix="",
+    ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_value")
