@@ -21,6 +21,33 @@ from lakehouse_tacklebox_spark.sources import load_tables
 from lakehouse_tacklebox_spark.streaming.windows import windowed_agg
 
 
+def _run_memory_sink(spark, df, mode, prefix, shuffle_partitions=16):
+    """Run a streaming DF to completion into a memory sink.
+
+    State-store partition count follows ``spark.sql.shuffle.partitions``
+    at query start — a per-job sizing decision in any real deployment
+    (match partitions to key cardinality/throughput, not the session
+    default). The gate corpus has O(100) keys, so a vanilla 200-partition
+    session would spend its time opening 200 state stores; size down for
+    the stream, then restore the session conf.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
+
+
 @register(
     "stream_hourly_rollup",
     tags=("streaming", "window"),
@@ -59,17 +86,12 @@ def stream_hourly_rollup(spark, sf_dir):
         keys=["event_type"],
         watermark="1 minute",
     )
-    sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        rolled.select("window_start", "event_type", "n", "total")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _run_memory_sink(
+        spark,
+        rolled.select("window_start", "event_type", "n", "total"),
+        "complete",
+        "stream_rollup",
     )
-    q.awaitTermination(300)
-    return spark.table(sink)
 
 
 def _events_stream(spark, sf_dir):
@@ -112,16 +134,7 @@ def stream_stateful_dedup(spark, sf_dir):
 
     stream = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
     out = stateful_dedup(stream, keys=["user_id"], order_by=["ts", "event_id"])
-    sink = f"stateful_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(sink)
+    return _run_memory_sink(spark, out, "append", "stateful_dedup")
 
 
 @register(
@@ -145,16 +158,7 @@ def stream_stateful_user_stats(spark, sf_dir):
         "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
     out = stateful_running_agg(stream, keys=["user_id"], value_col="cents")
-    sink = f"stateful_stats_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(sink).select(
+    return _run_memory_sink(spark, out, "update", "stateful_stats").select(
         "user_id",
         "n_events",
         F.col("total").cast("long").alias("total_cents"),
