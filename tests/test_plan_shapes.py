@@ -73,6 +73,20 @@ def test_no_bench_query_degrades_to_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_asof_join_single_shuffle_no_join_node(spark):
+    # the union-window as-of form costs ONE hash shuffle of left+right on
+    # the key and zero join nodes — a regression to a range join would
+    # surface as SortMergeJoin/BroadcastNestedLoopJoin plus extra
+    # exchanges and explode quadratically per key at scale
+    df = REGISTRY["join_asof"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, exchanges
+    assert "Window" in plan
+
+
 def test_agg_is_partial_and_codegen(spark):
     df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
     # map-side combine: partial aggregate below the exchange
