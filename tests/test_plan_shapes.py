@@ -73,6 +73,32 @@ def test_no_bench_query_degrades_to_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_scale_path_dedup_has_no_pair_explosion(spark):
+    # SCALING.md: "no O(n²) pair generation anywhere on the scale path".
+    # The bucketed/banded variants must candidate-pair via equi-joins on
+    # hash buckets; a Cartesian/nested-loop node means the band join
+    # degraded and the operator is quadratic again. (knn_bruteforce and
+    # emb_neardup_pairs are the documented exact all-pairs baselines and
+    # are intentionally excluded.)
+    for name in (
+        "dedup_exact_stats",
+        "dedup_exact_survivors",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "emb_neardup_lsh",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # knn_ivf's centroid assignment is vector × broadcast(num_centroids
+    # centroids) — O(n·k) with k bounded, so a BroadcastNestedLoopJoin is
+    # the intended linear pass; only an un-broadcast cartesian (n² over
+    # the corpus) would mean the plan degraded
+    plan = _plan(REGISTRY["knn_ivf"].fn(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, "knn_ivf"
+
+
 def test_asof_join_single_shuffle_no_join_node(spark):
     # the union-window as-of form costs ONE hash shuffle of left+right on
     # the key and zero join nodes — a regression to a range join would
