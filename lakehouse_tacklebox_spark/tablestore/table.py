@@ -66,6 +66,10 @@ class LogEntry:
     # strings, which order lexicographically) — Delta-style data-skipping
     # stats, written once at commit so scans never re-read footers.
     file_stats: dict[str, Any] = field(default_factory=dict)
+    # {identity column: next free id AFTER this commit} — the Delta
+    # IDENTITY high-watermark, persisted in table metadata so appends
+    # never scan the table to find the current max.
+    identity_watermark: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = {
@@ -80,6 +84,8 @@ class LogEntry:
         }
         if self.file_stats:
             d["fileStats"] = self.file_stats
+        if self.identity_watermark:
+            d["identityWatermark"] = self.identity_watermark
         return json.dumps(d)
 
     @staticmethod
@@ -95,6 +101,7 @@ class LogEntry:
             schema=d.get("schema", ""),
             metrics=d.get("metrics", {}),
             file_stats=d.get("fileStats", {}),
+            identity_watermark=d.get("identityWatermark", {}),
         )
 
 
@@ -176,6 +183,28 @@ class TackleTable:
             active = [f for f in active if f not in removed] + e.add
             schema = e.schema or schema
         return active, schema
+
+    def identity_watermark(self, col: str) -> int:
+        """Next free id for an identity column — from the persisted
+        high-watermark in the commit log (no data scan). Tables written
+        before watermarking fall back to the footer min/max stats of the
+        active files (metadata already in the log); a full column read
+        happens only if some active file predates stats collection."""
+        for e in reversed(self._entries()):
+            if col in e.identity_watermark:
+                return e.identity_watermark[col]
+        active, _ = self._active_files()
+        if not active:
+            return 0
+        stats = self._active_stats()
+        his = []
+        for f in active:
+            rng = stats.get(f, {}).get(col)
+            if rng is None:  # legacy file without footer stats
+                m = self.read().agg(F.max(col)).collect()[0][0]
+                return int(m) + 1 if m is not None else 0
+            his.append(rng[1])
+        return int(max(his)) + 1
 
     def _active_stats(self, version: int | None = None) -> dict[str, dict]:
         """Replay the log to {active file: column stats}."""
@@ -305,6 +334,7 @@ class TackleTable:
         schema: str | None = None,
         expected_version: int | None = None,
         retries: int = 5,
+        identity_reserve: tuple[str, int] | None = None,
     ) -> int:
         for attempt in range(retries):
             current = self.version()
@@ -312,6 +342,28 @@ class TackleTable:
                 raise CommitConflictError(
                     f"table at v{current}, transaction started at v{expected_version}"
                 )
+            if identity_reserve is not None:
+                # ids in `add` were assigned from the watermark the caller
+                # read; if a concurrent commit moved it, those ids may
+                # collide — the caller must reassign and rewrite. A
+                # concurrent commit that did NOT move the watermark is
+                # still safe to blind-retry past.
+                col, expected_wm = identity_reserve
+                live_wm = self.identity_watermark(col)
+                if live_wm != expected_wm:
+                    raise CommitConflictError(
+                        f"identity watermark for {col} moved {expected_wm} -> {live_wm}; reassign ids"
+                    )
+            file_stats = _collect_stats(self.path, add)
+            id_wm: dict[str, int] = {}
+            if identity_reserve is not None:
+                col, expected_wm = identity_reserve
+                his = [
+                    int(file_stats[f][col][1])
+                    for f in add
+                    if col in file_stats.get(f, {})
+                ]
+                id_wm[col] = max(his) + 1 if his else expected_wm
             entry = LogEntry(
                 version=current + 1,
                 timestamp_ms=int(time.time() * 1000),
@@ -321,7 +373,8 @@ class TackleTable:
                 remove=remove,
                 schema=schema or self._active_files()[1],
                 metrics=metrics,
-                file_stats=_collect_stats(self.path, add),
+                file_stats=file_stats,
+                identity_watermark=id_wm,
             )
             try:
                 _commit_entry(self.path, entry)
@@ -334,13 +387,29 @@ class TackleTable:
                 time.sleep(0.05 * (2**attempt))
         raise CommitConflictError("retries exhausted")
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
-        """Append rows (blind insert — retries through concurrent commits)."""
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        identity_reserve: tuple[str, int] | None = None,
+    ) -> int:
+        """Append rows (blind insert — retries through concurrent commits).
+
+        ``identity_reserve=(col, watermark)`` declares that ``col`` ids in
+        ``df`` were assigned from ``watermark``; the commit advances the
+        persisted watermark past the written max, and conflicts (rather
+        than blind-retrying) if a concurrent commit moved it first."""
         df = _align_schema(df, self._active_files()[1], allow_new=merge_schema)
         files, n = _write_files(df, self.path)
         schema = _schema_ddl(df) if merge_schema else None
         return self._commit(
-            "APPEND", {}, files, [], {"numOutputRows": n, "numAddedFiles": len(files)}, schema=schema
+            "APPEND",
+            {},
+            files,
+            [],
+            {"numOutputRows": n, "numAddedFiles": len(files)},
+            schema=schema,
+            identity_reserve=identity_reserve,
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -557,9 +626,17 @@ class MergeBuilder:
         if files:
             snap = t.read().withColumn("__file", F.input_file_name())
             keys = src.select(*self.on).distinct()
+            # Null-safe key match, same as the phase-2 merge join: a
+            # null-key target row must be discovered here too, or whether
+            # it gets updated would depend on which file it shares with
+            # other matched keys.
+            null_safe = [
+                F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in self.on
+            ]
             touched = [
                 _local_path(r["__file"])
-                for r in snap.join(F.broadcast(keys), self.on, "left_semi")
+                for r in snap.alias("t")
+                .join(F.broadcast(keys.alias("s")), null_safe, "left_semi")
                 .select("__file")
                 .distinct()
                 .collect()
@@ -764,11 +841,30 @@ def _collect_stats(root: str, rel_files: list[str]) -> dict[str, dict]:
     return out
 
 
+def _has_top_level_or(condition: str) -> bool:
+    """True when an OR sits outside every paren group and string literal.
+    Such a predicate is not a pure AND-chain, so no part of it may be
+    treated as a required conjunct."""
+    import re
+
+    masked = re.sub(r"'(?:[^']|'')*'", "''", condition)
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = re.sub(r"\([^()]*\)", " ", masked)
+    return re.search(r"\bOR\b", masked, re.I) is not None
+
+
 def _conjunct_bounds(condition: str) -> list[tuple[str, str, Any]]:
     """Extract simple top-level conjuncts ``col op literal`` (op in
     =, <, <=, >, >=) from a predicate. Anything unparseable is ignored —
-    it just can't contribute to pruning."""
+    it just can't contribute to pruning. A predicate with a top-level OR
+    yields no bounds at all: `a = 1 AND b = 2 OR c = 3` parses as
+    `(a=1 AND b=2) OR c=3`, so neither a=1 nor b=2 is required."""
     import re
+
+    if _has_top_level_or(condition):
+        return []
 
     out = []
     for part in re.split(r"\bAND\b", condition, flags=re.I):

@@ -86,3 +86,34 @@ def test_skipping_survives_dml(spark, clustered_orders):
     # rewritten files got fresh stats
     stats = t._active_stats()
     assert all("o_custkey" in s for s in stats.values())
+
+
+def test_or_precedence_never_prunes_wrongly(clustered_orders):
+    """`a AND b OR c` parses as `(a AND b) OR c` — neither a nor b is a
+    required conjunct, so pruning must not drop files that match only c."""
+    t, orders = clustered_orders
+    for cond in [
+        "o_custkey = 1 AND o_totalprice > 0 OR o_custkey = 999",
+        "o_custkey = 1 OR o_custkey = 999",
+        "o_custkey < 5 AND o_orderdate < '1993-01-01' OR o_custkey > 1400",
+    ]:
+        kept, skipped = t.prune_files(cond)
+        assert not skipped, cond  # disjunction: no conjunct is required
+        assert t.scan(cond).count() == orders.filter(cond).count(), cond
+
+
+def test_or_inside_parens_still_prunes_outer_conjunct(clustered_orders):
+    """`a AND (b OR c)` — a IS required; keep its pruning power. An OR
+    inside a string literal must not disable pruning either."""
+    t, orders = clustered_orders
+    cond = "o_custkey = 42 AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')"
+    kept, skipped = t.prune_files(cond)
+    assert skipped, "o_custkey=42 is a required conjunct — must still prune"
+    assert t.scan(cond).count() == orders.filter(cond).count()
+    # OR inside a quoted literal is not a disjunction
+    from lakehouse_tacklebox_spark.tablestore.table import _conjunct_bounds
+
+    assert _conjunct_bounds("o_custkey = 42 AND o_comment = 'x OR y'") == [
+        ("o_custkey", "=", 42),
+        ("o_comment", "=", "x OR y"),
+    ]
