@@ -158,8 +158,15 @@ def stream_stateful_user_stats(spark, sf_dir):
         "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
     out = stateful_running_agg(stream, keys=["user_id"], value_col="cents")
-    return _run_memory_sink(spark, out, "update", "stateful_stats").select(
+    sink = _run_memory_sink(spark, out, "update", "stateful_stats")
+    # The memory sink APPENDS update-mode emissions, so a key that appears
+    # in k micro-batches has k rows (k-1 intermediate running totals + the
+    # final one). Keep only the final emission per key — n_events is
+    # strictly increasing within a key — so the result is identical no
+    # matter how the source was split into batches.
+    latest = sink.groupBy("user_id").agg(F.max(F.struct("n_events", "total")).alias("s"))
+    return latest.select(
         "user_id",
-        "n_events",
-        F.col("total").cast("long").alias("total_cents"),
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total").cast("long").alias("total_cents"),
     )

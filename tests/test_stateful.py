@@ -110,3 +110,60 @@ def test_stateful_dedup_with_ttl_runs(spark, tmp_path):
     sink = _run_to_memory(out, "append")
     rows = spark.table(sink).collect()
     assert len(rows) == 1 and rows[0]["seq"] == 1
+
+
+def test_user_stats_battery_invariant_to_microbatch_count(spark, tmp_path):
+    """CORRECTNESS_r01 regression: update-mode memory sinks accumulate one
+    row per key per micro-batch, so the battery's keep-latest reduction
+    must equal the batch oracle no matter how the source is split.
+    Force >=2 micro-batches with maxFilesPerTrigger=1 over a 4-file copy."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    cents = ev.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    src = str(tmp_path / "events_split")
+    cents.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_running_agg(stream, keys=["user_id"], value_col="cents")
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table(name)
+
+    n_keys = cents.select("user_id").distinct().count()
+    assert sink.count() > n_keys, "test must exercise the multi-batch case"
+
+    latest = (
+        sink.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total").cast("long").alias("total_cents"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_cents"]) for r in latest.collect()}
+    expect = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in cents.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("total_cents"))
+        .collect()
+    }
+    assert got == expect

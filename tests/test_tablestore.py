@@ -179,3 +179,21 @@ def test_conflicting_rewrite_raises(spark, users, tmp_path):
     t.delete("id = 1")  # moves version forward
     with pytest.raises(CommitConflictError):
         t2._commit("DELETE", {}, [], [], {}, expected_version=v)
+
+
+def test_merge_null_key_matches_regardless_of_file_layout(spark, tmp_path):
+    """Phase-1 touched-file discovery and the phase-2 merge join must agree
+    on null-key semantics (both null-safe): a null-key target row sitting
+    ALONE in its file must still be updated, not duplicated by the insert
+    branch."""
+    schema = "id bigint, name string, balance double"
+    t = TackleTable.create(
+        spark, str(tmp_path / "t"), spark.createDataFrame([(1, "alice", 100.0)], schema)
+    )
+    # second commit -> the null-key row lives in its own file, sharing no
+    # file with any non-null matched key
+    t.append(spark.createDataFrame([(None, "ghost", 5.0)], schema))
+    src = spark.createDataFrame([(None, "ghost2", 9.0)], schema)
+    t.merge(src, on=["id"]).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    got = {r["name"]: (r["id"], r["balance"]) for r in t.read().collect()}
+    assert got == {"alice": (1, 100.0), "ghost2": (None, 9.0)}
