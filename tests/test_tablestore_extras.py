@@ -92,3 +92,67 @@ def test_session_variables_native(spark):
     spark.sql("SET VARIABLE threshold = 3")
     n2 = spark.sql("SELECT count(*) AS n FROM nation_v WHERE n_nationkey < threshold").collect()[0].n
     assert n2 == 3
+
+
+def _named_batch(spark, names):
+    return (
+        spark.createDataFrame([(n,) for n in names], "name string")
+        .withColumn("id", F.lit(None).cast("bigint"))
+    )
+
+
+def test_identity_watermark_persisted_in_log(spark, tmp_path):
+    """Appends read the next id from the commit log, never from a table
+    scan; every identity append persists the advanced watermark."""
+    t = TackleTable.create(spark, str(tmp_path / "wm"), schema="id bigint, name string")
+    mgd = ColumnManagedTable(t, identity_col="id")
+    mgd.append(_named_batch(spark, ["a", "b", "c"]))
+    assert "id" in t._entries()[-1].identity_watermark
+    wm1 = t.identity_watermark("id")
+    assert wm1 == max(r.id for r in t.read().collect()) + 1
+    mgd.append(_named_batch(spark, ["d"]))
+    assert t.identity_watermark("id") > wm1
+    ids = [r.id for r in t.read().collect()]
+    assert len(set(ids)) == 4
+
+
+def test_identity_legacy_table_bootstraps_from_footer_stats(spark, tmp_path):
+    """A table created before watermarking (rows but no identityWatermark
+    log key) bootstraps the watermark from footer min/max stats —
+    metadata already in the log, not a data scan."""
+    seeded = spark.createDataFrame([(7, "x"), (41, "y")], "id bigint, name string")
+    t = TackleTable.create(spark, str(tmp_path / "legacy"), seeded)
+    assert not t._entries()[-1].identity_watermark
+    assert t.identity_watermark("id") == 42
+    mgd = ColumnManagedTable(t, identity_col="id")
+    mgd.append(_named_batch(spark, ["z"]))
+    ids = sorted(r.id for r in t.read().collect())
+    assert ids[:2] == [7, 41] and ids[2] >= 42
+
+
+def test_identity_concurrent_appenders_get_disjoint_ranges(spark, tmp_path):
+    """The round-1 race: two appenders read the same max and committed
+    overlapping ids. Now the loser's commit detects the moved watermark,
+    conflicts, and the public API reassigns before retrying."""
+    from lakehouse_tacklebox_spark.tablestore.table import CommitConflictError
+
+    path = str(tmp_path / "race")
+    t_a = TackleTable.create(spark, path, schema="id bigint, name string")
+    t_b = TackleTable(spark, path)
+    mgd_a = ColumnManagedTable(t_a, identity_col="id")
+    mgd_b = ColumnManagedTable(t_b, identity_col="id")
+
+    # A reads the watermark... then B commits first (interleaving)
+    stale_wm = t_a.identity_watermark("id")
+    mgd_b.append(_named_batch(spark, ["b1", "b2"]))
+
+    # A's low-level commit with the stale reservation must NOT blind-retry
+    # into overlapping ids
+    stale_df = mgd_a._apply(_named_batch(spark, ["a1", "a2"]), watermark=stale_wm)
+    with pytest.raises(CommitConflictError):
+        t_a.append(stale_df, identity_reserve=("id", stale_wm))
+
+    # the public API retries with a fresh watermark -> disjoint ranges
+    mgd_a.append(_named_batch(spark, ["a1", "a2"]))
+    ids = [r.id for r in t_a.read().collect()]
+    assert len(ids) == 4 and len(set(ids)) == 4
