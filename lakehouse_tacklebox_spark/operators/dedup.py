@@ -115,22 +115,47 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    shingled: DataFrame, id_col: str, shingle_col: str, threshold: float = 0.5
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     Explode→join-on-shingle→count intersection, then |A∪B| from per-doc
     sizes. This is the verification stage after LSH candidate generation
     (or a standalone exact method at moderate cardinality).
+
+    ``max_doc_freq`` is the scale guard: the postings self-join is
+    quadratic in per-shingle document frequency, so one boilerplate
+    shingle shared by 10⁵ docs would emit 10¹⁰ candidate pairs. Shingles
+    whose posting count exceeds the cap are dropped BEFORE the self-join
+    (from sizes and intersections alike), i.e. similarity is computed
+    over the stop-shingle-filtered shingle space — near-dup pairs whose
+    only overlap is ultra-common boilerplate sit below any useful
+    threshold anyway. Pairs none of whose shingles were capped get the
+    exact uncapped Jaccard. Pick the cap so gate-scale corpora are
+    uncapped (testdata max DF: 7 at sf0.01, 25 at sf0.1) and candidate
+    counts stay bounded by ``n_shingles * cap²`` on adversarial corpora.
     """
     # Shingle strings hash to 8-byte keys before the join: the shuffle
     # moves fixed-width longs instead of n-gram strings (64-bit collision
     # odds are negligible at any realistic corpus cardinality). The
-    # exploded postings list is persisted because three plan branches
-    # (sizes + both join sides) would otherwise re-shingle the corpus.
+    # postings list is persisted AFTER the stop-shingle cap because three
+    # plan branches (sizes + both join sides) would otherwise re-shingle
+    # the corpus — and an uncapped persist wouldn't fit at corpus scale.
     exploded = shingled.select(
         F.col(id_col), F.explode(F.col(shingle_col)).alias("sh")
     ).select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+    if max_doc_freq is not None:
+        rare = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        exploded = exploded.join(rare, "sh")
     exploded = exploded.persist()
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")

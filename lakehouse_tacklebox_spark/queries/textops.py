@@ -195,7 +195,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
-    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.2)
+    # max_doc_freq=500 is a no-op at every gate SF (max shingle DF: 25 at
+    # sf0.1) so the oracle comparison stays exact, while bounding the
+    # postings self-join on boilerplate-heavy corpora.
+    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.2, max_doc_freq=500)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

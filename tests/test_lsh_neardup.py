@@ -42,3 +42,34 @@ def test_lsh_candidate_count_beats_all_pairs(spark):
     b = sig.select(F.col("vec_id").alias("id_b"), "band_idx", "band_key")
     n_cand = a.join(b, ["band_idx", "band_key"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct().count()
     assert n_cand < n * (n - 1) / 2 * 0.5  # bucketing prunes at least half the pairs
+
+
+def test_jaccard_df_cap_bounds_boilerplate_explosion(spark):
+    """A boilerplate shingle shared by k docs makes k² candidate pairs in
+    the uncapped postings self-join. max_doc_freq drops such
+    stop-shingles before the join, so candidates come only from rare
+    shingles — and pairs untouched by the cap keep their exact Jaccard."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import dedup as D
+
+    boiler = "terms of service apply to all content on this site"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(100)]
+    # docs 0/1: identical unique tails -> a true near-dup pair
+    rows[1] = (1, rows[0][1].replace("unique0c", "unique0d"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingle(docs, "text", n=3)
+
+    uncapped = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.0)
+    capped = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.0, max_doc_freq=10)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_uncapped >= 100 * 99 / 2  # every doc pair shares boilerplate
+    assert n_capped < 100  # rare-shingle candidates only
+
+    # the true near-dup survives, with Jaccard over rare shingles only
+    hit = capped.filter("id_a = 0 AND id_b = 1").collect()
+    assert hit and hit[0]["jaccard"] > 0.3
+
+    # a cap above every DF reproduces the exact uncapped result
+    noop = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.0, max_doc_freq=1000)
+    assert sorted(map(tuple, noop.collect())) == sorted(map(tuple, uncapped.collect()))
