@@ -147,3 +147,162 @@ def event_log_json_analytics(spark, sf_dir):
         F.round(F.avg("m.k"), 4).alias("avg_k"),
         F.round(F.sum("m.value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "metrics_error_classes",
+    tags=("metrics", "classification"),
+    oracle="""
+    WITH classified AS (
+        SELECT CASE
+                 WHEN contains(text, 'merge') AND contains(text, 'join') THEN 'merge-join'
+                 WHEN contains(text, 'scan') AND contains(text, 'window') THEN 'scan-window'
+                 WHEN contains(text, 'stream') THEN 'stream'
+                 WHEN contains(text, 'hash') THEN 'hash'
+                 WHEN contains(text, 'sort') THEN 'sort'
+                 ELSE 'other'
+               END AS doc_class,
+               n_chars
+        FROM documents
+    ),
+    totals AS (SELECT count(*) AS n_total FROM classified)
+    SELECT doc_class,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           round(100.0 * count(*) / n_total, 4) AS pct_of_docs
+    FROM classified, totals
+    GROUP BY doc_class, n_total
+    ORDER BY n_docs DESC, doc_class
+    """,
+)
+def metrics_error_classes(spark, sf_dir):
+    """Error-classification report shape (04-Metrics.sql:114-133): a
+    multi-branch CASE over substring tests buckets each record into a
+    failure class, then per-class counts + share-of-total. Recast over
+    the documents table (the gate's oracle only sees the testdata
+    views); branch order is significant, exactly as in the reference's
+    CASE chain."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    doc_class = (
+        F.when(F.col("text").contains("merge") & F.col("text").contains("join"), "merge-join")
+        .when(F.col("text").contains("scan") & F.col("text").contains("window"), "scan-window")
+        .when(F.col("text").contains("stream"), "stream")
+        .when(F.col("text").contains("hash"), "hash")
+        .when(F.col("text").contains("sort"), "sort")
+        .otherwise("other")
+    )
+    classified = docs.select(doc_class.alias("doc_class"), "n_chars")
+    per_class = classified.groupBy("doc_class").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    totals = classified.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_class.crossJoin(F.broadcast(totals))
+        .select(
+            "doc_class",
+            "n_docs",
+            "total_chars",
+            F.round(F.lit(100.0) * F.col("n_docs") / F.col("n_total"), 4).alias("pct_of_docs"),
+        )
+        .orderBy(F.col("n_docs").desc(), "doc_class")
+    )
+
+
+@register(
+    "metrics_user_activity",
+    tags=("metrics", "cte-join"),
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               count(*) AS n_queries,
+               sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        FROM events GROUP BY user_id
+    ),
+    errors AS (
+        SELECT user_id,
+               count(*) AS n_errors,
+               sum(CAST(round(value * 100) AS BIGINT)) AS error_cents
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT p.user_id,
+           n_queries,
+           COALESCE(n_errors, 0) AS n_errors,
+           round(100.0 * COALESCE(n_errors, 0) / n_queries, 4) AS error_pct,
+           round(total_cents / 100.0, 2) AS total_value,
+           round(COALESCE(error_cents, 0) / 100.0, 2) AS error_value,
+           round(100.0 * COALESCE(error_cents, 0) / total_cents, 4) AS error_value_pct
+    FROM per_user p LEFT JOIN errors e ON p.user_id = e.user_id
+    ORDER BY error_pct DESC, p.user_id
+    """,
+)
+def metrics_user_activity(spark, sf_dir):
+    """Per-user failure-rate report (04-Metrics.sql:247-261 shape): two
+    aggregate CTEs — all activity vs error-only — joined per user, with
+    count-share and spend-share ratios. Sums run on exact integer cents
+    so both engines divide identical integers (doubles would drift at
+    half-cent boundaries); users with no errors survive the left join
+    with zeros."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_queries"), F.sum(cents).alias("total_cents")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"), F.sum(cents).alias("error_cents"))
+    )
+    return (
+        per_user.join(errors, "user_id", "left")
+        .select(
+            "user_id",
+            "n_queries",
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+            F.round(F.lit(100.0) * F.coalesce("n_errors", F.lit(0)) / F.col("n_queries"), 4).alias("error_pct"),
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_value"),
+            F.round(F.coalesce("error_cents", F.lit(0)) / 100.0, 2).alias("error_value"),
+            F.round(F.lit(100.0) * F.coalesce("error_cents", F.lit(0)) / F.col("total_cents"), 4).alias("error_value_pct"),
+        )
+        .orderBy(F.col("error_pct").desc(), "user_id")
+    )
+
+
+@register(
+    "metrics_top_durations",
+    tags=("metrics", "topk"),
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(ts AS DATE) AS event_day,
+           round(value, 2) AS duration,
+           rank() OVER (ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS duration_rank
+    FROM events
+    ORDER BY duration_rank, event_id
+    LIMIT 100
+    """,
+)
+def metrics_top_durations(spark, sf_dir):
+    """Top-100 longest-duration report (04-Metrics.sql top-duration
+    shape): global rank over duration with a deterministic event_id
+    tie-break on the final sort. Ranking runs on integer cents so both
+    engines rank identical values; at 100 TB the same plan is a
+    WindowGroupLimit top-k — no full sort materializes."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    ranked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("date").alias("event_day"),
+        F.round("value", 2).alias("duration"),
+        F.rank()
+        .over(Window.orderBy(F.round(F.col("value") * 100).cast("long").desc()))
+        .alias("duration_rank"),
+    )
+    # rank <= 100 keeps every candidate for the final tie-broken LIMIT and
+    # lets Catalyst insert a WindowGroupLimit: each input partition keeps
+    # only its local top-100 BEFORE the single-partition window, so the
+    # global sort sees O(partitions * 100) rows, not the table.
+    return (
+        ranked.filter(F.col("duration_rank") <= 100)
+        .orderBy("duration_rank", "event_id")
+        .limit(100)
+    )
