@@ -186,13 +186,14 @@ def test_stream_to_table_and_metrics_listener(spark, tmp_path):
     try:
         df = file_stream(spark, str(src), "id int, name string", fmt="json")
         q = stream_to_table(df, str(tmp_path / "tgt"), str(tmp_path / "ck"))
+        q.processAllAvailable()
         q.awaitTermination(60)
-        # listener events are delivered asynchronously
+        # listener events are delivered asynchronously; under a loaded
+        # machine (full-suite run) delivery can lag well past 10 s
         import time
 
-        for _ in range(20):
-            if collector.events:
-                break
+        deadline = time.monotonic() + 120
+        while not collector.events and time.monotonic() < deadline:
             time.sleep(0.5)
     finally:
         spark.streams.removeListener(collector)
