@@ -1,10 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Protocol mirrors the reference's TPC-DS runner semantics
-(run_tpcds_benchmarking.py: result cache off, warm-up pass, wall-clock
-per query, queries-per-minute): one un-timed warm-up execution per query
-(JVM/code-gen warm-up — Spark has no result cache to disable), then a
-timed pass; prints ONE JSON line.
+Protocol mirrors the reference's TPC-DS runner + concurrency tester
+semantics (run_tpcds_benchmarking.py:86-135, result cache off, warm-up
+pass, per-query wall-clock; 01-concurrency-testing-notebook.py
+concurrent QPM): one un-timed warm-up execution per query (JVM/code-gen
+warm-up — Spark has no result cache to disable), a timed serial pass
+for per-query wall-clock, then a concurrency-N repetition phase through
+BenchmarkRunner whose makespan yields QPM. Headline set = the full
+TPC-H battery plus the heaviest non-TPC-H operators (dedup, ANN,
+multimodal, windows, profiler); prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -17,8 +21,22 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from lakehouse_tacklebox_spark.queries import REGISTRY, bench_queries
+from lakehouse_tacklebox_spark.benchmark.runner import BenchmarkRunner
+from lakehouse_tacklebox_spark.queries import REGISTRY
 from lakehouse_tacklebox_spark.session import get_spark
+
+CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "4"))
+REPETITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+
+def headline_specs() -> dict:
+    """All TPC-H entries (every queries/tpch*.py registration) plus the
+    bench-flagged heavy non-TPC-H operators."""
+    return {
+        name: spec
+        for name, spec in REGISTRY.items()
+        if "tpch" in spec.fn.__module__ or spec.bench
+    }
 
 
 def run_query(spark, spec, sf_dir: str) -> float:
@@ -34,17 +52,29 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
 
-    specs = dict(bench_queries())
+    specs = headline_specs()
     # warm-up pass (un-timed): plan compilation + JIT
     for spec in specs.values():
         spec.fn(spark, sf_dir).count()
 
+    # serial timed pass: clean per-query wall-clock
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         timings[name] = round(run_query(spark, spec, sf_dir), 3)
-
     total = round(sum(timings.values()), 3)
-    qpm = round(len(timings) / (total / 60.0), 2) if total > 0 else 0.0
+
+    # concurrent phase: N threads, `REPETITIONS` timed runs per query, no
+    # result reuse (each run rebuilds and re-executes the DataFrame) —
+    # QPM over the concurrent makespan, the reference's headline metric.
+    runner = BenchmarkRunner(
+        spark,
+        {n: (lambda s, fn=spec.fn: fn(s, sf_dir)) for n, spec in specs.items()},
+        concurrency=CONCURRENCY,
+        repetitions=REPETITIONS,
+        warmup=False,  # already warmed above
+    ).run()
+    failures = [r.name for r in runner.results if r.status != "SUCCESS"]
+
     print(
         json.dumps(
             {
@@ -52,7 +82,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "qpm": qpm,
+                "qpm": runner.qpm(),
+                "concurrency": CONCURRENCY,
+                "repetitions": REPETITIONS,
+                "concurrent_makespan_s": round(runner.makespan_s, 3),
+                "failures": failures,
                 "sf": sf,
                 "n_queries": len(timings),
                 "registered_queries": len(REGISTRY),
