@@ -70,6 +70,11 @@ class LogEntry:
     # IDENTITY high-watermark, persisted in table metadata so appends
     # never scan the table to find the current max.
     identity_watermark: dict[str, int] = field(default_factory=dict)
+    # per added file: {col: {"m": bits, "k": hashes, "bits": base64}} —
+    # bloom-style membership sketches for designated point-lookup
+    # columns (the BLOOMFILTER-index analogue); lets prune_files skip
+    # files for high-cardinality equality predicates min/max can't.
+    file_sketches: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = {
@@ -86,6 +91,8 @@ class LogEntry:
             d["fileStats"] = self.file_stats
         if self.identity_watermark:
             d["identityWatermark"] = self.identity_watermark
+        if self.file_sketches:
+            d["fileSketches"] = self.file_sketches
         return json.dumps(d)
 
     @staticmethod
@@ -102,6 +109,7 @@ class LogEntry:
             metrics=d.get("metrics", {}),
             file_stats=d.get("fileStats", {}),
             identity_watermark=d.get("identityWatermark", {}),
+            file_sketches=d.get("fileSketches", {}),
         )
 
 
@@ -184,6 +192,38 @@ class TackleTable:
             schema = e.schema or schema
         return active, schema
 
+    def set_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES. Properties accumulate across
+        commits (later commits win per key). ``pointlookup.columns`` —
+        comma-separated int/string columns — enables bloom-style
+        membership sketches on every subsequently written file."""
+        return self._commit(
+            "SET TBLPROPERTIES", {"properties": dict(props)}, [], [], {}
+        )
+
+    def properties(self) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for e in self._entries():
+            if e.operation == "SET TBLPROPERTIES":
+                out.update(e.operation_parameters.get("properties", {}))
+        return out
+
+    def _sketch_columns(self) -> list[str]:
+        raw = self.properties().get("pointlookup.columns", "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
+    def _active_sketches(self, version: int | None = None) -> dict[str, dict]:
+        """Replay the log to {active file: {col: sketch}}."""
+        out: dict[str, dict] = {}
+        for e in self._entries():
+            if version is not None and e.version > version:
+                break
+            for f in e.remove:
+                out.pop(f, None)
+            for f in e.add:
+                out[f] = e.file_sketches.get(f, {})
+        return out
+
     def identity_watermark(self, col: str) -> int:
         """Next free id for an identity column — from the persisted
         high-watermark in the commit log (no data scan). Tables written
@@ -258,9 +298,27 @@ class TackleTable:
         files, _ = self._active_files(version)
         stats = self._active_stats(version)
         bounds = _conjunct_bounds(condition)
+        sketches = self._active_sketches(version)
+        # Pre-hash each equality literal once (one tiny JVM job per
+        # predicate, control-plane): the sketch check needs the same
+        # xxhash64-of-string the builder used.
+        probes: dict[str, tuple[int, int]] = {}
+        for col, op, val in bounds:
+            if op != "=" or isinstance(val, (float, bool)):
+                continue
+            if any(col in sk for sk in sketches.values()):
+                probes[col] = _probe_hashes(self.spark, val)
         kept, skipped = [], []
         for f in files:
-            if _file_may_match(stats.get(f, {}), bounds):
+            ok = _file_may_match(stats.get(f, {}), bounds)
+            if ok and probes:
+                fsk = sketches.get(f, {})
+                for col, raw in probes.items():
+                    sk = fsk.get(col)
+                    if sk is not None and not _sketch_may_contain(sk, raw):
+                        ok = False
+                        break
+            if ok:
                 kept.append(f)
             else:
                 skipped.append(f)
@@ -336,6 +394,14 @@ class TackleTable:
         retries: int = 5,
         identity_reserve: tuple[str, int] | None = None,
     ) -> int:
+        sketch_cols = self._sketch_columns() if add else []
+        file_sketches = (
+            _build_sketches(
+                self.spark, self.path, add, schema or self._active_files()[1], sketch_cols
+            )
+            if sketch_cols
+            else {}
+        )
         for attempt in range(retries):
             current = self.version()
             if expected_version is not None and current != expected_version:
@@ -375,6 +441,7 @@ class TackleTable:
                 metrics=metrics,
                 file_stats=file_stats,
                 identity_watermark=id_wm,
+                file_sketches=file_sketches,
             )
             try:
                 _commit_entry(self.path, entry)
@@ -839,6 +906,92 @@ def _collect_stats(root: str, rel_files: list[str]) -> dict[str, dict]:
                     cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
         out[rel] = {k: v for k, v in cols.items() if v is not None}
     return out
+
+
+_SKETCH_BITS = 8192  # 1 KiB per column per file in the commit log
+_SKETCH_HASHES = 4
+
+
+def _build_sketches(
+    spark: SparkSession,
+    root: str,
+    rel_files: list[str],
+    schema_ddl: str,
+    cols: list[str],
+    m: int = _SKETCH_BITS,
+    k: int = _SKETCH_HASHES,
+) -> dict[str, dict]:
+    """Per-file bloom-style membership sketches for designated columns
+    (the BLOOMFILTER-index analogue). One distributed pass over ONLY the
+    newly written files per commit: values hash JVM-side
+    (xxhash64 of the string form, double-hashing for k probes), each
+    file's set positions come back as a small collect_set, and the
+    driver packs them into an m-bit bitset stored in the log entry.
+    False positives only cost an un-skipped file; a zero bit proves
+    absence, so skipping keeps the superset guarantee."""
+    import base64
+
+    schema_cols = {n for n, _ in _schema_fields(schema_ddl)}
+    cols = [c for c in cols if c in schema_cols]
+    if not cols or not rel_files:
+        return {}
+    paths = [os.path.join(root, f) for f in rel_files]
+    df = spark.read.schema(schema_ddl).parquet(*paths)
+    structs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        h1 = F.pmod(F.xxhash64(s), F.lit(m))
+        h2 = F.pmod(F.xxhash64(s, F.lit(1)), F.lit(m - 1)) + F.lit(1)
+        pos = F.array(*[F.pmod(h1 + F.lit(j) * h2, F.lit(m)) for j in range(k)])
+        structs.append(
+            F.when(F.col(c).isNotNull(), F.struct(F.lit(c).alias("c"), pos.alias("p")))
+        )
+    ex = (
+        df.select(F.input_file_name().alias("__f"), F.explode(F.array(*structs)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("__f", F.col("e.c").alias("c"), F.explode("e.p").alias("pos"))
+    )
+    rows = ex.groupBy("__f", "c").agg(F.collect_set("pos").alias("ps")).collect()
+    by_rel: dict[str, dict] = {}
+    for r in rows:
+        rel = os.path.relpath(_local_path(r["__f"]), root)
+        bits = bytearray(m // 8)
+        for p in r["ps"]:
+            bits[p // 8] |= 1 << (p % 8)
+        by_rel.setdefault(rel, {})[r["c"]] = {
+            "m": m,
+            "k": k,
+            "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return by_rel
+
+
+def _probe_hashes(spark: SparkSession, val: Any) -> tuple[int, int]:
+    """The two raw xxhash64 values for a literal, computed with the same
+    JVM function and input typing (string form) the sketch builder used."""
+    row = (
+        spark.range(1)
+        .select(
+            F.xxhash64(F.lit(str(val))).alias("h1"),
+            F.xxhash64(F.lit(str(val)), F.lit(1)).alias("h2"),
+        )
+        .first()
+    )
+    return int(row["h1"]), int(row["h2"])
+
+
+def _sketch_may_contain(sketch: dict, raw: tuple[int, int]) -> bool:
+    import base64
+
+    m, k = sketch["m"], sketch["k"]
+    bits = base64.b64decode(sketch["bits"])
+    h1 = raw[0] % m
+    h2 = raw[1] % (m - 1) + 1
+    for j in range(k):
+        p = (h1 + j * h2) % m
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
 
 
 def _has_top_level_or(condition: str) -> bool:

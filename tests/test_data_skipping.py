@@ -117,3 +117,65 @@ def test_or_inside_parens_still_prunes_outer_conjunct(clustered_orders):
         ("o_custkey", "=", 42),
         ("o_comment", "=", "x OR y"),
     ]
+
+
+def test_tblproperties_accumulate(spark, tmp_path):
+    t = TackleTable.create(spark, str(tmp_path / "p"), schema="id bigint")
+    t.set_properties({"a": "1", "pointlookup.columns": "id"})
+    t.set_properties({"a": "2"})
+    assert t.properties() == {"a": "2", "pointlookup.columns": "id"}
+
+
+def test_point_lookup_sketch_prunes_where_minmax_cannot(spark, tmp_path):
+    """Hash-distributed keys give every file a [min,max] envelope spanning
+    the whole domain — min/max skips nothing for `id = X`. The per-file
+    membership sketch (pointlookup.columns) must skip most files, and a
+    zero bit proves absence, so results stay exact."""
+    t = TackleTable.create(spark, str(tmp_path / "bl"), schema="id bigint, tag string")
+    t.set_properties({"pointlookup.columns": "id,tag"})
+    df = spark.range(0, 4000).select(
+        F.col("id"), F.concat(F.lit("tag-"), F.col("id")).alias("tag")
+    )
+    t.append(df.repartition(8, F.col("id")))
+
+    # envelopes really do span the domain (min/max is useless here)
+    kept_minmax = [
+        f for f, s in t._active_stats().items() if s.get("id") and s["id"][0] <= 1234 <= s["id"][1]
+    ]
+    assert len(kept_minmax) >= 7
+
+    kept, skipped = t.prune_files("id = 1234")
+    assert len(skipped) >= 5, f"sketch should skip most files, skipped {len(skipped)}"
+    assert t.scan("id = 1234").count() == 1
+
+    # string column sketch
+    kept_t, skipped_t = t.prune_files("tag = 'tag-77'")
+    assert len(skipped_t) >= 5
+    assert t.scan("tag = 'tag-77'").count() == 1
+
+    # absent key: typically every file is skipped, never a wrong row
+    assert t.scan("id = 999999").count() == 0
+
+    # files written BEFORE the property have no sketch and are never skipped
+    t2 = TackleTable.create(spark, str(tmp_path / "legacy"), schema="id bigint, tag string")
+    t2.append(df.repartition(4, F.col("id")))
+    t2.set_properties({"pointlookup.columns": "id"})
+    kept2, skipped2 = t2.prune_files("id = 1234")
+    assert not skipped2  # no sketches on legacy files -> superset guarantee
+    assert t2.scan("id = 1234").count() == 1
+
+
+def test_sketch_survives_dml_rewrites(spark, tmp_path):
+    """Files rewritten by DELETE get fresh sketches (the rewrite goes
+    through the same commit path)."""
+    t = TackleTable.create(spark, str(tmp_path / "dml"), schema="id bigint, tag string")
+    t.set_properties({"pointlookup.columns": "id"})
+    df = spark.range(0, 2000).select(
+        F.col("id"), F.concat(F.lit("t"), F.col("id")).alias("tag")
+    )
+    t.append(df.repartition(4, F.col("id")))
+    t.delete("id = 500")
+    assert t.scan("id = 500").count() == 0
+    assert t.scan("id = 501").count() == 1
+    _kept, skipped = t.prune_files("id = 501")
+    assert skipped  # rewritten files carry sketches too
