@@ -90,21 +90,103 @@ def split_statements(sql: str) -> list[str]:
     return out
 
 
-def parse_altered_tables(statements: list[str]) -> list[str]:
+_USE = re.compile(rf"^\s*USE\s+(?:DATABASE\s+|SCHEMA\s+)?({_IDENT})\s*$", re.I)
+_COPY_INTO = re.compile(rf"^\s*COPY\s+INTO\s+({_IDENT})\b", re.I)
+
+
+def _cte_tail(stmt: str) -> str:
+    """For ``WITH a AS (...), b (cols) AS (...) <TAIL>`` return <TAIL>
+    (the statement the CTE prelude feeds — possibly DML). Tracks quotes
+    and balanced parens, so nested subqueries and string literals inside
+    CTE bodies don't fool it; malformed input returns the statement
+    unchanged (treated as non-altering, the reference's sqlglot
+    fallback behavior)."""
+    m = re.match(r"\s*WITH\s(?:\s*RECURSIVE\s)?", stmt, re.I)
+    if not m:
+        return stmt
+    s, n, i = stmt, len(stmt), m.end()
+
+    def consume_group(j: int) -> int:
+        """From an opening '(' at/after j, return index past its match."""
+        while j < n and s[j] != "(":
+            j += 1
+        if j >= n:
+            return -1
+        depth, quote = 0, None
+        while j < n:
+            ch = s[j]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return -1
+
+    while True:
+        i = consume_group(i)  # column list OR body of this CTE
+        if i < 0:
+            return stmt
+        k = i
+        while k < n and s[k].isspace():
+            k += 1
+        if k < n and s[k] == ",":
+            i = k + 1
+            continue
+        if re.match(r"AS\s*\(", s[k:], re.I):  # that group was a column list
+            i = consume_group(k)
+            if i < 0:
+                return stmt
+            k = i
+            while k < n and s[k].isspace():
+                k += 1
+            if k < n and s[k] == ",":
+                i = k + 1
+                continue
+        return s[k:]
+
+
+def parse_altered_tables(
+    statements: list[str], default_db: str | None = None
+) -> list[str]:
     """Infer which tables a statement chain writes
     (AlteredTableParser.parse_sql_chain_for_altered_tables semantics,
-    transactions.py:198-291, without USE-scoping — TackleCatalog names
-    are single-part)."""
+    transactions.py:198-291). Handles DML behind a CTE prelude
+    (``WITH ... INSERT INTO t``), COPY INTO (which the reference scrubs
+    before sqlglot, transactions.py:155-189), and ``USE db`` scoping:
+    unqualified names after a USE are reported as ``db.name``."""
     altered: list[str] = []
+    current_db = default_db
+
+    def record(name: str) -> None:
+        if current_db and "." not in name:
+            name = f"{current_db}.{name}"
+        if name not in altered:
+            altered.append(name)
+
     for stmt in statements:
         if not isinstance(stmt, str):
             continue
+        um = _USE.match(stmt)
+        if um:
+            current_db = um.group(1)
+            continue
+        cm = _COPY_INTO.match(stmt)
+        if cm:
+            record(cm.group(1))
+            continue
+        body = _cte_tail(stmt)
         for _, pat, alters in _PATTERNS:
-            m = pat.match(stmt)
-            if m and alters:
-                t = m.group(1)
-                if t not in altered:
-                    altered.append(t)
+            m = pat.match(body)
+            if m:
+                if alters:
+                    record(m.group(1))
                 break
     return altered
 

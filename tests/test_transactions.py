@@ -118,3 +118,38 @@ def test_temp_table_manager_breaks_lineage(spark):
     # materialized: plan is a parquet scan, not the range lineage
     assert "probe_tmp" in out.inputFiles()[0] or out.inputFiles()
     ttm.remove_all()
+
+
+def test_parse_dml_behind_cte_prelude():
+    """The reference parses DML at AST depth 1, so `WITH ... INSERT` must
+    report the DML target, not read as a SELECT."""
+    stmts = [
+        "WITH fresh AS (SELECT * FROM src WHERE day = ')') INSERT INTO tgt SELECT * FROM fresh",
+        "WITH a AS (SELECT 1), b (x, y) AS (SELECT 2, 3) UPDATE t2 SET v = 1",
+        "WITH d AS (SELECT * FROM (SELECT 1)) DELETE FROM t3 WHERE x IN (SELECT * FROM d)",
+        "WITH s AS (SELECT 1) SELECT * FROM s",  # plain CTE select: no write
+        "WITH broken AS (SELECT 1",  # malformed: non-altering fallback
+    ]
+    assert parse_altered_tables(stmts) == ["tgt", "t2", "t3"]
+
+
+def test_parse_use_scoping_and_copy_into():
+    """USE switches the database for subsequent unqualified names
+    (reference USE-scoping); COPY INTO is a write even though the
+    reference has to scrub it before sqlglot."""
+    stmts = [
+        "INSERT INTO plain SELECT 1",
+        "USE db1",
+        "INSERT INTO t1 SELECT 1",
+        "COPY INTO t2 FROM '/data/x' FILEFORMAT = PARQUET",
+        "USE SCHEMA db2",
+        "DELETE FROM t3",
+        "UPDATE other.t4 SET x = 1",  # already qualified: untouched
+    ]
+    assert parse_altered_tables(stmts) == [
+        "plain",
+        "db1.t1",
+        "db1.t2",
+        "db2.t3",
+        "other.t4",
+    ]
