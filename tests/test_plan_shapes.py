@@ -119,3 +119,20 @@ def test_agg_is_partial_and_codegen(spark):
     assert "partial_sum" in _plan(df, "simple")
     # the whole agg pipeline compiles into whole-stage-codegen subtrees
     assert "WholeStageCodegen" in _plan(df, "codegen")
+
+
+def test_metrics_top_durations_window_group_limit(spark):
+    # the global rank must run behind a WindowGroupLimit (each partition
+    # keeps its local top-100 before the single-partition window) and end
+    # in TakeOrderedAndProject — never a full global sort of the table
+    df = REGISTRY["metrics_top_durations"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_metrics_error_classes_broadcasts_total(spark):
+    # the share-of-total join is a 1-row broadcast, not a shuffle
+    df = REGISTRY["metrics_error_classes"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
