@@ -479,7 +479,9 @@ class TackleTable:
             identity_reserve=identity_reserve,
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, identity_reserve: tuple[str, int] | None = None
+    ) -> int:
         """Replace the full contents (CREATE OR REPLACE semantics)."""
         old, _ = self._active_files()
         files, n = _write_files(df, self.path)
@@ -491,6 +493,7 @@ class TackleTable:
             {"numOutputRows": n, "numAddedFiles": len(files), "numRemovedFiles": len(old)},
             schema=_schema_ddl(df),
             expected_version=self.version(),
+            identity_reserve=identity_reserve,
         )
 
     def delete(self, condition: str) -> int:

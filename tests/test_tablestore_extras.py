@@ -156,3 +156,20 @@ def test_identity_concurrent_appenders_get_disjoint_ranges(spark, tmp_path):
     mgd_a.append(_named_batch(spark, ["a1", "a2"]))
     ids = [r.id for r in t_a.read().collect()]
     assert len(ids) == 4 and len(set(ids)) == 4
+
+
+def test_identity_survives_overwrite(spark, tmp_path):
+    """Delta semantics: identity keeps counting past an overwrite — the
+    overwrite advances the watermark, so later appends never reuse the
+    replaced range."""
+    t = TackleTable.create(spark, str(tmp_path / "ow"), schema="id bigint, name string")
+    mgd = ColumnManagedTable(t, identity_col="id")
+    mgd.append(_named_batch(spark, ["a", "b"]))
+    first_ids = {r.id for r in t.read().collect()}
+    mgd.overwrite(_named_batch(spark, ["c", "d"]))
+    ow_ids = {r.id for r in t.read().collect()}
+    assert min(ow_ids) > max(first_ids)
+    mgd.append(_named_batch(spark, ["e"]))
+    all_ids = [r.id for r in t.read().collect()]
+    assert len(all_ids) == 3 and len(set(all_ids)) == 3
+    assert min(set(all_ids) - ow_ids) > max(ow_ids)
