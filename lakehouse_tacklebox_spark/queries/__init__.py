@@ -125,10 +125,11 @@ _WINDOW_PRIORITY = [
     "text_token_stats",
     "text_quality",
     "dedup_ngram_jaccard",
-    # new metrics-pack reports (added round 2)
+    # new round-2 entries
     "metrics_error_classes",
     "metrics_user_activity",
     "metrics_top_durations",
+    "join_salted_skew",
     # round-1-green entries worth re-proving inside the window
     "cdc_scd2_late_events",
     "join_asof",

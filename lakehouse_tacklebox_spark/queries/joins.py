@@ -296,3 +296,43 @@ def join_asof(spark, sf_dir):
         right_cols=["purchase_event_id", "purchase_value"],
         suffix="",
     ).select("event_id", "user_id", "ts", "purchase_event_id", "purchase_value")
+
+
+@register(
+    "join_salted_skew",
+    tags=("join", "skew"),
+    oracle="""
+    SELECT n_name, count(*) AS n_lines,
+           sum(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-mitigation join (operators/skew.py): the fact side is salted
+    and the dimension exploded ×salt, spreading any hot supplier key
+    over `salt` tasks. The oracle is the PLAIN join — parity proves
+    salting changes the schedule, never the result. (With a
+    dimension this small broadcast wins; the battery entry exists to
+    oracle-check the rewrite used when it doesn't.)"""
+    from lakehouse_tacklebox_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    joined = salted_join(
+        t["lineitem"].select("l_suppkey", "l_quantity"),
+        t["supplier"].select("s_suppkey", "s_nationkey").withColumnRenamed("s_suppkey", "l_suppkey"),
+        on=["l_suppkey"],
+        salt=8,
+    )
+    return (
+        joined.join(F.broadcast(t["nation"]), joined.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+        .orderBy("n_name")
+    )
