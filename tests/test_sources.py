@@ -83,3 +83,30 @@ def test_export_files_distributed_copy(spark, tmp_path, json_dir):
     statuses = R.export_files(files, dest, partitions=2).collect()
     assert all(s.status == "OK" for s in statuses)
     assert sorted(os.listdir(dest)) == sorted(os.listdir(json_dir))
+
+
+def test_jdbc_scan_against_embedded_derby(spark, tmp_path):
+    """S10 end-to-end with a real JDBC endpoint: Spark bundles Derby, so
+    an embedded database exercises the actual JDBC read path (driver
+    load, query pushdown, type mapping) — no network needed."""
+    from lakehouse_tacklebox_spark.sources.readers import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute("CREATE TABLE metrics (id INT, name VARCHAR(20), score DOUBLE)")
+        st.execute("INSERT INTO metrics VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', 3.5)")
+        st.close()
+    finally:
+        conn.close()
+
+    df = read_jdbc(
+        spark,
+        url,
+        "SELECT id, name, score FROM metrics WHERE score > 2.0",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    got = sorted((r.ID, r.NAME, r.SCORE) for r in df.collect())
+    assert got == [(2, "b", 2.5), (3, "c", 3.5)]
