@@ -241,3 +241,26 @@ def hamming_pairs(sim_df: DataFrame, id_col: str, max_distance: int = 3) -> Data
     return cand.select(
         "id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     ).filter(F.col("hamming") <= max_distance)
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, shingled: DataFrame, id_col: str, shingle_col: str
+) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate-pair set (id_a, id_b) — the
+    verify stage after LSH. Joins each pair to its two shingle arrays and
+    intersects them per row (JVM array_intersect), so the cost is
+    O(candidates · doc_size): no postings self-join, no all-pairs pass.
+    This is the verification shape that survives corpus scale; use
+    jaccard_pairs only when the candidate set itself must be generated
+    from shingle overlap."""
+    sets = shingled.select(F.col(id_col), F.col(shingle_col).alias("__shs"))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .drop("__sa", "__sb")
+    )

@@ -209,12 +209,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs, verified with
-    exact Jaccard — the 100 TB near-dup path (no cross join anywhere)."""
+    exact Jaccard — the 100 TB near-dup path. Candidate generation is a
+    band-bucket join and verification scores ONLY the candidate pairs
+    (array_intersect per pair), so no stage is quadratic in the corpus."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
     sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=32)
     cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4)
-    verified = cand.join(D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.0), ["id_a", "id_b"])
+    verified = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
     return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).filter(F.col("jaccard") >= 0.2)
 
 

@@ -73,3 +73,29 @@ def test_jaccard_df_cap_bounds_boilerplate_explosion(spark):
     # a cap above every DF reproduces the exact uncapped result
     noop = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.0, max_doc_freq=1000)
     assert sorted(map(tuple, noop.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_jaccard_for_pairs_matches_postings_join(spark):
+    """The per-candidate verifier (array_intersect) must produce the same
+    values as the postings self-join when given every pair."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import dedup as D
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over a lazy dog"),
+        (2, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+        (3, "the quick brown cat naps under the lazy dog"),
+    ]
+    sh = D.shingle(spark.createDataFrame(rows, "doc_id long, text string"), "text", n=3)
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.0).collect()
+    }
+    pairs = spark.createDataFrame(sorted(full), "id_a long, id_b long")
+    per_pair = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in D.jaccard_for_pairs(pairs, sh, "doc_id", "shingles").collect()
+    }
+    assert per_pair == full
