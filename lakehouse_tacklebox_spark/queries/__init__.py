@@ -129,6 +129,8 @@ _WINDOW_PRIORITY = [
     "metrics_error_classes",
     "metrics_user_activity",
     "metrics_top_durations",
+    "metrics_cost_efficiency",
+    "metrics_activity_heatmap",
     "join_salted_skew",
     # round-1-green entries worth re-proving inside the window
     "cdc_scd2_late_events",

@@ -306,3 +306,79 @@ def metrics_top_durations(spark, sf_dir):
         .orderBy("duration_rank", "event_id")
         .limit(100)
     )
+
+
+@register(
+    "metrics_cost_efficiency",
+    tags=("metrics", "ratio", "topk"),
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS units,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           round(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+                 / CAST(json_extract_string(props, '$.k') AS BIGINT), 4) AS cents_per_unit
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+      AND CAST(round(value * 100) AS BIGINT) > 5000
+    ORDER BY cents_per_unit ASC, event_id
+    LIMIT 20
+    """,
+)
+def metrics_cost_efficiency(spark, sf_dir):
+    """Ratio-threshold report (04-Metrics.sql:72-85 'long-running without
+    Photon' shape): derive a ratio from two measures, keep rows above an
+    absolute floor AND passing the ratio cut, order by the ratio with a
+    deterministic tie-break, top-20. Ratio inputs are exact integers
+    (units from the JSON payload, money as cents) so both engines divide
+    identical values."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    units = F.from_json("props", "k bigint").getField("k")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            units.alias("units"),
+            cents.alias("cents"),
+        )
+        .filter((F.col("units") > 0) & (F.col("cents") > 5000))
+        .withColumn(
+            "cents_per_unit",
+            F.round(F.col("cents").cast("double") / F.col("units"), 4),
+        )
+        .orderBy(F.col("cents_per_unit").asc(), "event_id")
+        .limit(20)
+    )
+
+
+@register(
+    "metrics_activity_heatmap",
+    tags=("metrics", "time"),
+    oracle="""
+    SELECT CAST(extract(dow FROM ts) AS INTEGER) AS dow,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY dow, hod
+    ORDER BY dow, hod
+    """,
+)
+def metrics_activity_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap (the metrics pack's
+    usage-over-time reports). Spark's dayofweek is 1-based Sunday=1;
+    DuckDB's extract(dow) is 0-based Sunday=0 — normalize to the 0-based
+    form on the Spark side. Exact integer counts and cents."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - F.lit(1)).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("dow", "hod")
+    )
