@@ -125,6 +125,7 @@ _WINDOW_PRIORITY = [
     "text_token_stats",
     "text_quality",
     "dedup_ngram_jaccard",
+    "text_langid",
     # new round-2 entries
     "metrics_error_classes",
     "metrics_user_activity",

@@ -129,11 +129,41 @@ def text_quality(spark, sf_dir):
 @register(
     "text_langid",
     tags=("text", "langid"),
-    oracle=None,  # marker-set heuristic is engine-internal → rows-only; pytest covers exactness
+    oracle="""
+    WITH toks AS (
+        SELECT lang AS labeled,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), scored AS (
+        SELECT labeled,
+               len(list_filter(t, x -> list_contains(['the','and','of','to','in'], x))) AS s_en,
+               len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+               len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+               len(list_filter(t, x -> list_contains(['el','la','que','de','los'], x))) AS s_es,
+               len(list_filter(t, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+        FROM toks
+    ), pred AS (
+        SELECT labeled,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                    ELSE 'de'
+               END AS predicted
+        FROM scored
+    )
+    SELECT labeled, predicted, count(*) AS docs
+    FROM pred GROUP BY labeled, predicted
+    """,
 )
 def text_langid(spark, sf_dir):
     """Stopword-marker language ID vs the labeled lang column:
-    confusion-matrix counts per (labeled, predicted)."""
+    confusion-matrix counts per (labeled, predicted). The heuristic is
+    pure set algebra (marker-hit argmax; array_max over (score, lang)
+    structs breaks ties toward the greatest lang code), so the oracle
+    replicates it relationally — the CASE chain checks languages in
+    descending code order to mirror the struct-max tie-break."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     return (
         d.withColumn("predicted", TX.detect_language("text"))
