@@ -126,6 +126,7 @@ _WINDOW_PRIORITY = [
     "text_quality",
     "dedup_ngram_jaccard",
     "text_langid",
+    "text_fingerprint_groups",
     # new round-2 entries
     "metrics_error_classes",
     "metrics_user_activity",

@@ -175,16 +175,31 @@ def text_langid(spark, sf_dir):
 @register(
     "text_fingerprint_groups",
     tags=("text", "dedup"),
-    oracle=None,  # xxhash64 is Spark-specific → rows-only
+    oracle="""
+    SELECT min(doc_id) AS representative, count(*) AS cluster_size
+    FROM (
+        SELECT doc_id,
+               array_to_string(string_split_regex(lower(trim(text)), '\\s+')[1:16], ' ') AS head
+        FROM documents
+    )
+    GROUP BY head
+    """,
 )
 def text_fingerprint_groups(spark, sf_dir):
-    """Rolling-hash prefix fingerprint → cluster sizes (doc clustering)."""
+    """Rolling-hash prefix fingerprint → cluster sizes (doc clustering).
+
+    The engine groups on xxhash64 of the normalized 16-token prefix so
+    the shuffle key is 8 bytes; the fingerprint VALUE is engine-specific
+    and stays out of the result, making the clustering itself
+    oracle-checkable: DuckDB groups on the prefix string and must find
+    identical (representative, cluster_size) rows (64-bit collisions are
+    negligible at any gate scale)."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     return (
         d.withColumn("fp", TX.rolling_fingerprint("text", prefix_tokens=16))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("representative"))
-        .filter(F.col("cluster_size") >= 1)
+        .select("representative", "cluster_size")
     )
 
 
