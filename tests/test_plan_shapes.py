@@ -136,3 +136,12 @@ def test_metrics_error_classes_broadcasts_total(spark):
     df = REGISTRY["metrics_error_classes"].fn(spark, SF_DIR)
     plan = _plan(df, "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_stays_equi_join(spark):
+    # salting must produce a plain equi-join on (key, salt) — losing the
+    # salt from the join condition would silently cartesian the replicas
+    df = REGISTRY["join_salted_skew"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
