@@ -62,6 +62,18 @@ def shingle(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles")
     return df.withColumn(out_col, ngrams).drop("__toks")
 
 
+def _seeded_hash(seed: int):
+    """One-argument transform lambda hashing an element with a fixed seed.
+
+    Must stay one-argument: pyspark's ``F.transform`` treats a TWO-argument
+    lambda as (element, index) and silently binds the second parameter to
+    the array index — a closure default like ``lambda x, s=s:`` therefore
+    hashes with the element's position instead of the seed, collapsing all
+    signature positions to one position-dependent hash function.
+    """
+    return lambda x: F.xxhash64(x, F.lit(seed))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, shingle_col: str, num_hashes: int = 32
 ) -> DataFrame:
@@ -72,7 +84,7 @@ def minhash_signatures(
     """
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col(shingle_col), lambda x, s=s: F.xxhash64(x, F.lit(s))))
+            F.array_min(F.transform(F.col(shingle_col), _seeded_hash(s)))
             for s in range(num_hashes)
         ]
     )

@@ -134,6 +134,9 @@ _WINDOW_PRIORITY = [
     "metrics_cost_efficiency",
     "metrics_activity_heatmap",
     "join_salted_skew",
+    # verified-LSH near-dup: oracled against exact Jaccard (recall 1 at the
+    # corpus' similarity floor; verify stage makes precision exact)
+    "dedup_minhash_lsh",
     # round-1-green entries worth re-proving inside the window
     "cdc_scd2_late_events",
     "join_asof",

@@ -250,17 +250,47 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @register(
     "dedup_minhash_lsh",
     tags=("dedup", "text", "lsh"),
-    oracle=None,  # xxhash64 minhash is Spark-specific → rows-only; pytest asserts recall vs exact jaccard
+    # Oracled against EXACT Jaccard pairs (same SQL as dedup_ngram_jaccard):
+    # the verify stage computes exact Jaccard on candidates, so the output
+    # equals the exact pair set whenever LSH recall is 1 — with 16 bands ×
+    # 3 rows, a true pair at the corpus' similarity floor (j ≥ 0.8 at every
+    # SF) is missed with p = (1-0.8³)^16 ≈ 1e-5; xxhash64 is deterministic,
+    # so the gate result is stable run-to-run. A rows-only recall pytest
+    # still covers the approximate regime below the floor.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS sz FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs, verified with
+    """MinHash(48) + LSH(16 bands × 3 rows) candidate pairs, verified with
     exact Jaccard — the 100 TB near-dup path. Candidate generation is a
     band-bucket join and verification scores ONLY the candidate pairs
     (array_intersect per pair), so no stage is quadratic in the corpus."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
-    sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=32)
-    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4)
+    sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=48)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=3)
     verified = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
     return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).filter(F.col("jaccard") >= 0.2)
 

@@ -99,3 +99,48 @@ def test_jaccard_for_pairs_matches_postings_join(spark):
         for r in D.jaccard_for_pairs(pairs, sh, "doc_id", "shingles").collect()
     }
     assert per_pair == full
+
+
+def test_minhash_seeds_are_independent_hash_functions(spark):
+    """Regression: pyspark's ``F.transform`` treats a two-argument lambda
+    as (element, index), so a seed captured via ``lambda x, s=s:`` was
+    silently replaced by the array index — every signature position
+    collapsed to one POSITION-DEPENDENT hash, and a 0.99-Jaccard pair
+    whose texts differ by one leading token (shifting every index) missed
+    every band. Pin both properties the real MinHash must have."""
+    from lakehouse_tacklebox_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1, ["a b c", "b c d", "c d e", "d e f"])],
+                                 "doc_id long, shingles array<string>")
+    sig = D.minhash_signatures(docs, "doc_id", "shingles", num_hashes=16).collect()[0].sig
+    # independent seeds -> positions are (overwhelmingly) not all equal
+    assert len(set(sig)) > 8
+
+    # permutation invariance: shingle ORDER must not change the signature
+    rev = spark.createDataFrame([(1, ["d e f", "c d e", "b c d", "a b c"])],
+                                "doc_id long, shingles array<string>")
+    assert D.minhash_signatures(rev, "doc_id", "shingles", num_hashes=16).collect()[0].sig == sig
+
+
+def test_minhash_lsh_finds_position_shifted_neardup(spark):
+    """A duplicate with one token PREPENDED (the sf0.01 doc 285/301 shape:
+    91 of 92 shingles shared, but every shingle at a different index) must
+    be caught by banded MinHash — the broken index-as-seed variant missed
+    it with probability ~1."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import dedup as D
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, "extra " + base),  # shifts every token position by one
+        (3, " ".join(f"other{i}" for i in range(60))),
+    ]
+    sh = D.shingle(spark.createDataFrame(rows, "doc_id long, text string"), "text", n=3)
+    sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=48)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=3)
+    ver = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles").filter(F.col("jaccard") >= 0.2)
+    got = {(r.id_a, r.id_b) for r in ver.collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
