@@ -36,7 +36,15 @@ class StreamMetricsCollector(StreamingQueryListener):
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
-        p = json.loads(event.progress.json)
+        self.ingest_progress(json.loads(event.progress.json))
+
+    def ingest_progress(self, p: dict) -> None:
+        """Record one progress payload (the dict form of
+        StreamingQueryProgress.json). The listener callback funnels here;
+        callers can also feed ``query.recentProgress`` directly, which
+        makes metrics capture usable in pull mode when no listener is
+        attached (or when the async listener bus lags behind a
+        short-lived availableNow query)."""
         self.events.append(
             {
                 "query_id": p.get("id"),
