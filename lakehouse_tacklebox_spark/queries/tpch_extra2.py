@@ -164,21 +164,22 @@ def q17_small_quantity_revenue(spark, sf_dir):
     """q17: correlated 0.2*avg(qty) threshold, decorrelated into a
     per-part aggregate joined back to the fact.
 
-    Scale: the per-part avg is a partial-aggregated groupBy on partkey
-    restricted to the (broadcast-pruned) brand/type slice first — we
-    semi-join lineitem to the filtered part *before* computing the avg
-    so the threshold agg reads only the relevant sliver, then broadcast
-    the tiny threshold table back onto the same sliver.
+    Scale: lineitem is semi-joined to the (broadcast-pruned) brand/type
+    slice FIRST, so only the relevant sliver flows on; the per-part avg
+    is then a window over that sliver — one narrow shuffle on partkey,
+    the fact scanned exactly once (the agg-and-join-back form reads it
+    twice).
     """
+    from pyspark.sql import Window as W
+
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     part = t["part"].filter((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL")).select("p_partkey")
     li = t["lineitem"].join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-    thresholds = (
-        li.groupBy(F.col("l_partkey").alias("t_partkey"))
-        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
-    )
     return (
-        li.join(F.broadcast(thresholds), F.col("t_partkey") == F.col("l_partkey"))
+        li.withColumn(
+            "qty_threshold",
+            F.lit(0.2) * F.avg("l_quantity").over(W.partitionBy("l_partkey")),
+        )
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(F.sum(dmoney("l_extendedprice")).cast("double") / F.lit(7.0), 2)

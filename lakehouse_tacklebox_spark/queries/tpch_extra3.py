@@ -169,10 +169,12 @@ def q20_excess_share_suppliers(spark, sf_dir):
     semi-join up to supplier names.
 
     Scale: the part-type and date predicates prune the fact scan; the
-    (supplier, part) agg is the one full-width shuffle; the per-part
-    rollup re-aggregates the already-small pair table; the share test
-    is pure integer arithmetic (quantities are integral → BIGINT), so
-    no float boundary can disagree with the oracle.
+    (supplier, part) agg is the one full-width shuffle (with map-side
+    combine); the per-part rollup is a window over the already-small
+    pair table — one narrow reshuffle, no self-join, the fact scanned
+    exactly once. The share test is pure integer arithmetic (quantities
+    are integral → BIGINT), so no float boundary can disagree with the
+    oracle.
     """
     t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
     promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
@@ -186,9 +188,7 @@ def q20_excess_share_suppliers(spark, sf_dir):
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
     )
-    per_part = pairs.groupBy(F.col("l_partkey").alias("pp")).agg(
-        F.sum("sq").alias("tot"), F.count(F.lit(1)).alias("nsupp")
-    )
+    wp = W.partitionBy("l_partkey")
     n2 = t["nation"].filter(
         F.col("n_name").isin("NATION_2", "NATION_8", "NATION_9", "NATION_21")
     ).select("n_nationkey")
@@ -196,7 +196,8 @@ def q20_excess_share_suppliers(spark, sf_dir):
         F.broadcast(n2), F.col("n_nationkey") == F.col("s_nationkey")
     ).select("s_suppkey", "s_name")
     return (
-        pairs.join(per_part, F.col("pp") == F.col("l_partkey"))
+        pairs.withColumn("tot", F.sum("sq").over(wp))
+        .withColumn("nsupp", F.count(F.lit(1)).over(wp))
         .filter(F.col("sq") * 2 * F.col("nsupp") > F.col("tot"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name")
