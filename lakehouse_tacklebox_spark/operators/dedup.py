@@ -191,17 +191,33 @@ def jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, built from JVM expressions.
+def md5_hash60(col) -> "F.Column":
+    """Portable 60-bit token hash: the first 15 hex chars of md5.
 
-    Each token hashes to 64 bits (xxhash64); per bit position the
-    signature takes the sign of the sum of ±1 votes. Computed via
-    explode + groupBy(sum) over bit columns, which partial-aggregates
-    map-side — no per-row Python.
+    Unlike xxhash64 this is computable by any engine with md5 + hex
+    parsing (DuckDB: ``('0x' || substr(md5(t),1,15))::BIGINT``), which
+    makes simhash signatures oracle-checkable. 60 bits keeps the value
+    inside a signed BIGINT on both sides.
     """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, token_hash=None
+) -> DataFrame:
+    """SimHash over whitespace tokens, built from JVM expressions.
+
+    Each token hashes to ``bits`` bits (xxhash64 by default; pass
+    ``token_hash=md5_hash60, bits=60`` for the engine-portable variant);
+    per bit position the signature takes the sign of the sum of ±1
+    votes, weighted by term frequency. Computed via explode +
+    groupBy(sum) over bit columns, which partial-aggregates map-side —
+    no per-row Python.
+    """
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     tokens = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash_fn(F.col("tok")))
     one = F.lit(1).cast("long")
     votes = tokens.groupBy(id_col).agg(
         *[

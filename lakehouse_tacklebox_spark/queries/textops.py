@@ -295,14 +295,48 @@ def dedup_minhash_lsh(spark, sf_dir):
     return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).filter(F.col("jaccard") >= 0.2)
 
 
+# The simhash oracle recomputes the signature brute-force in DuckDB using
+# the engine-portable md5-based 60-bit token hash (md5_hash60), then scores
+# every pair; the Spark side's pigeonhole block join is exact (distance ≤ 3
+# over 4 blocks ⇒ ≥ 1 identical block), so the two pair sets must be equal.
+_SIMHASH_BITS = 60
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM toks
+    ), votes AS (
+        SELECT doc_id,
+               {", ".join(f"sum(CASE WHEN (h & (1::BIGINT << {i})) != 0 THEN 1 ELSE -1 END) AS b{i}" for i in range(_SIMHASH_BITS))}
+        FROM hashed GROUP BY doc_id
+    ), sims AS (
+        SELECT doc_id,
+               ({" + ".join(f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END" for i in range(_SIMHASH_BITS))}) AS sh
+        FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
 @register(
     "dedup_simhash",
     tags=("dedup", "text", "simhash"),
-    oracle=None,  # xxhash64 simhash is Spark-specific → rows-only
+    oracle=_SIMHASH_ORACLE,
 )
 def dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup candidates within Hamming distance 3 via the
-    pigeonhole block join."""
+    """SimHash near-dup candidates within Hamming distance 3 via the
+    pigeonhole block join. Uses the portable md5-based 60-bit token hash
+    so the signature — and therefore the pair set — is reproducible by
+    the DuckDB oracle; the default xxhash64 path stays available for
+    production (one JVM hash call vs md5+conv per token)."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    sims = D.simhash(d.select("doc_id", "text"), "doc_id", "text")
+    sims = D.simhash(
+        d.select("doc_id", "text"), "doc_id", "text",
+        bits=_SIMHASH_BITS, token_hash=D.md5_hash60,
+    )
     return D.hamming_pairs(sims, "doc_id", max_distance=3)
