@@ -193,6 +193,74 @@ def deterministic_centroids(df: DataFrame, id_col: str = "vec_id", vec_col: str 
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 4,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over an array<float> column, all-DataFrame.
+
+    Seeding: the k vectors with the smallest xxhash64(id) — a
+    deterministic scatter across the corpus (hash order is uncorrelated
+    with row order, unlike take-first-k). Each iteration broadcasts the
+    k current centroids, assigns every vector to its nearest by cosine,
+    and recomputes each centroid as the element-wise mean of its members
+    (posexplode → avg → rebuild). Only k rows per iteration touch the
+    driver (the centroids themselves — same control-plane shape as
+    MLlib's KMeans); assignment and averaging stay distributed.
+
+    At corpus scale pass ``sample_mod=m`` to train on the deterministic
+    1/m hash-sample ``xxhash64(id) % m == 0`` — centroid quality needs
+    a sample, not the full 100 TB scan, and the sample never sorts or
+    shuffles the corpus. Empty clusters keep their previous centroid.
+    Returns (centroid_id, vec_col as array<double>).
+    """
+    spark = df.sparkSession
+    train = df.select(F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col))
+    if sample_mod is not None and sample_mod > 1:
+        train = train.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+
+    seed_rows = (
+        train.withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [list(r[vec_col]) for r in seed_rows]
+
+    def as_df(vecs: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(vecs)],
+            schema=f"centroid_id INT, {vec_col} ARRAY<DOUBLE>",
+        )
+
+    for _ in range(iters):
+        assigned = ivf_assign(train, as_df(cents), id_col, vec_col, nprobe=1).drop("rank")
+        members = train.join(assigned, id_col)
+        means = (
+            members.select("centroid_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias(vec_col)
+            )
+            .collect()
+        )
+        new_cents = list(cents)  # empty clusters keep their previous centroid
+        for r in means:
+            new_cents[r["centroid_id"] - 1] = list(r[vec_col])
+        cents = new_cents
+
+    return as_df(cents)
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -201,13 +269,27 @@ def knn_ivf(
     k: int = 5,
     num_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    kmeans_iters: int = 4,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's nprobe nearest IVF lists.
 
     Cuts the compare count by ~num_centroids/nprobe versus brute force;
-    recall depends on centroid quality. Join is bucketed on centroid_id.
+    recall depends on centroid quality — by default the lists are built
+    from real Lloyd's k-means (kmeans_centroids; deterministic seeding,
+    optional hash-sample training via train_sample_mod). Pass a
+    precomputed ``centroids`` frame to reuse a trained quantizer across
+    queries, which is what a production index would do. Join is bucketed
+    on centroid_id.
     """
-    cents = deterministic_centroids(corpus, id_col, vec_col, num_centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            corpus, id_col, vec_col, k=num_centroids, iters=kmeans_iters, sample_mod=train_sample_mod
+        )
+    )
     corpus_lists = corpus.join(ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).drop("rank"), id_col)
     q_lists = queries.join(ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).drop("rank"), id_col)
     q = q_lists.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id")

@@ -82,8 +82,10 @@ def emb_neardup_lsh(spark, sf_dir):
     oracle=None,  # approximate by construction → rows-only; pytest asserts recall vs brute force
 )
 def knn_ivf(spark, sf_dir):
-    """IVF-bucketed approximate top-5 — the scale path: assignment
-    buckets the corpus so each query compares against ~nprobe/k of it."""
+    """IVF-bucketed approximate top-5 — the scale path: Lloyd's k-means
+    (all-DataFrame, hash-seeded) builds balanced lists, then each query
+    compares against only its nprobe nearest lists (~nprobe/k of the
+    corpus). Recall and list balance are pinned in tests/test_embed.py."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return S.knn_ivf(e, e.filter(F.col("vec_id") < 10), k=5, num_centroids=8, nprobe=3)
 

@@ -46,23 +46,65 @@ def test_embeddings_feed_knn(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """knn_ivf is approximate; quantify it. With the battery's settings
-    (8 lists, nprobe=3) recall@5 vs exact brute force is 0.90 on the
-    fixture corpus — deterministic because centroids and tie-breaks are.
-    Pin a floor, and check more probes never hurt recall."""
+    """knn_ivf is approximate; quantify it. The fixture embeddings are
+    uniform random (same-label cosine == diff-label cosine == 0), the
+    hardest case for IVF: with balanced k-means lists, nprobe of 8 lists
+    scans ~nprobe/8 of the corpus and recall tracks that fraction
+    (measured: 0.38/0.62/0.78 at nprobe 2/3/4). Pin a floor at the
+    battery's nprobe=3, monotonicity in nprobe, and exactness when every
+    list is probed. (The old 0.90-at-nprobe-3 number came from
+    degenerate take-first-k 'centroids' that collapsed the corpus into
+    one giant list — near-brute-force recall with no pruning at all.)"""
     from lakehouse_tacklebox_spark.operators import similarity as S
 
     e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
     exact = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce(e, q, k=5).collect()}
+    cents = S.kmeans_centroids(e, k=8)  # train once, reuse across probes
 
     def recall(nprobe):
         approx = {
             (r.query_id, r.neighbor_id)
-            for r in S.knn_ivf(e, q, k=5, num_centroids=8, nprobe=nprobe).collect()
+            for r in S.knn_ivf(e, q, k=5, num_centroids=8, nprobe=nprobe, centroids=cents).collect()
         }
         return len(exact & approx) / len(exact)
 
     r3 = recall(3)
-    assert r3 >= 0.85, f"recall@5 dropped to {r3}"
-    assert recall(8) >= r3  # probing every list recovers brute force
+    assert r3 >= 0.5, f"recall@5 dropped to {r3}"
+    assert recall(4) >= r3  # more probes never hurt
+    assert recall(8) == 1.0  # probing every list IS brute force
+
+
+def test_kmeans_lists_are_balanced(spark):
+    """The scale property IVF actually buys: k-means lists partition the
+    corpus roughly evenly, so probing nprobe lists scans ~nprobe/k of
+    the vectors. Degenerate centroids fail this badly (one list held
+    ~90% of the corpus); real Lloyd's iterations must keep every list
+    under 3x its fair share on the uniform fixture."""
+    from lakehouse_tacklebox_spark.operators import similarity as S
+
+    e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    cents = S.kmeans_centroids(e, k=8)
+    sizes = (
+        S.ivf_assign(e, cents, nprobe=1)
+        .groupBy("centroid_id")
+        .count()
+        .collect()
+    )
+    n = sum(r["count"] for r in sizes)
+    assert len(sizes) == 8  # no empty lists on the fixture
+    assert max(r["count"] for r in sizes) <= 3 * n / 8
+
+
+def test_kmeans_deterministic_and_sampled_training(spark):
+    """Hash-seeded Lloyd's is reproducible run-to-run, and hash-sample
+    training (the 100 TB path) still yields full-coverage centroids."""
+    from lakehouse_tacklebox_spark.operators import similarity as S
+
+    e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    a = {r.centroid_id: tuple(r.embedding) for r in S.kmeans_centroids(e, k=4, iters=2).collect()}
+    b = {r.centroid_id: tuple(r.embedding) for r in S.kmeans_centroids(e, k=4, iters=2).collect()}
+    assert a == b
+    sampled = S.kmeans_centroids(e, k=4, iters=2, sample_mod=4).collect()
+    assert len(sampled) == 4
+    assert all(len(r.embedding) == 64 for r in sampled)
