@@ -303,7 +303,7 @@ def join_asof(spark, sf_dir):
     tags=("join", "skew"),
     oracle="""
     SELECT n_name, count(*) AS n_lines,
-           sum(CAST(l_quantity AS BIGINT)) AS total_qty
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey

@@ -168,7 +168,7 @@ def event_log_json_analytics(spark, sf_dir):
     totals AS (SELECT count(*) AS n_total FROM classified)
     SELECT doc_class,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(100.0 * count(*) / n_total, 4) AS pct_of_docs
     FROM classified, totals
     GROUP BY doc_class, n_total
@@ -359,7 +359,7 @@ def metrics_cost_efficiency(spark, sf_dir):
     SELECT CAST(extract(dow FROM ts) AS INTEGER) AS dow,
            CAST(extract(hour FROM ts) AS INTEGER) AS hod,
            count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
     GROUP BY dow, hod
     ORDER BY dow, hod

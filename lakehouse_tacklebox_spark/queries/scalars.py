@@ -110,10 +110,10 @@ def scalar_json(spark, sf_dir):
                 WHEN c_acctbal < 3000 THEN 'low'
                 WHEN c_acctbal < 7000 THEN 'mid'
                 ELSE 'high' END                      AS bal_band,
-           CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 2.0
+           CAST(CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 2.0
                 WHEN c_mktsegment = 'MACHINERY' THEN 1.5
                 ELSE 1.0 END
-             * CASE WHEN c_acctbal > 5000 THEN 2 ELSE 1 END AS segment_score,
+             * CASE WHEN c_acctbal > 5000 THEN 2 ELSE 1 END AS DOUBLE) AS segment_score,
            coalesce(NULLIF(c_mktsegment, 'HOUSEHOLD'), 'OTHER') AS segment_or_other
     FROM customer
     """,

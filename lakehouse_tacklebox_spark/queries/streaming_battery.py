@@ -142,7 +142,7 @@ def stream_stateful_dedup(spark, sf_dir):
     tags=("streaming", "stateful", "agg"),
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
     GROUP BY user_id
     """,
