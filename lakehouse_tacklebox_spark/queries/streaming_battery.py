@@ -17,7 +17,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, normalize_event_ts
 from lakehouse_tacklebox_spark.streaming.windows import windowed_agg
 
 
@@ -64,20 +64,7 @@ def stream_hourly_rollup(spark, sf_dir):
     """Event-time tumbling-window rollup executed AS A STREAM (availableNow
     → memory sink), returned for batch comparison: streaming and batch
     answers must be identical."""
-    ev = load_tables(spark, sf_dir, ["events"])["events"]  # sets nanos/UTC confs
-    # raw parquet carries ts as TIMESTAMP(NANOS) → long under nanosAsLong;
-    # the stream schema must match the raw layout, then convert like batch
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    raw_schema = StructType(
-        [StructField("ts", LongType()) if f.name == "ts" else f for f in ev.schema.fields]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     rolled = windowed_agg(
         stream,
         "ts",
@@ -95,20 +82,20 @@ def stream_hourly_rollup(spark, sf_dir):
 
 
 def _events_stream(spark, sf_dir):
-    """Streaming read of events.parquet with the same ts conversion as the
-    batch path (TIMESTAMP(NANOS) → long under nanosAsLong → µs timestamp)."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    """Streaming read of events.parquet with the same ts normalization as
+    the batch path. The stream schema must match the RAW parquet layout
+    (nanos→long under nanosAsLong, or micros→TIMESTAMP_NTZ), so take it
+    from a batch scan of the same file, then normalize."""
+    import os
 
-    ev = load_tables(spark, sf_dir, ["events"])["events"]  # sets nanos/UTC confs
-    raw_schema = StructType(
-        [StructField("ts", LongType()) if f.name == "ts" else f for f in ev.schema.fields]
-    )
-    return (
+    load_tables(spark, sf_dir, [])  # sets nanos/UTC confs only
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return normalize_event_ts(stream)
 
 
 @register(

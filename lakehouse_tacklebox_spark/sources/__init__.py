@@ -1,1 +1,6 @@
-from lakehouse_tacklebox_spark.sources.catalog import TABLE_NAMES, load_tables, register_views  # noqa: F401
+from lakehouse_tacklebox_spark.sources.catalog import (  # noqa: F401
+    TABLE_NAMES,
+    load_tables,
+    normalize_event_ts,
+    register_views,
+)

@@ -31,16 +31,31 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to session-TZ TimestampType
+    regardless of how the parquet file encodes it.
+
+    The driver's testdata has shipped ``ts`` both as parquet
+    TIMESTAMP(NANOS) (readable only as long under nanosAsLong — convert
+    with integer division, float would lose precision above 2^53) and as
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Dispatch on the observed
+    type so either layout works under any caller-provided session.
+    """
+    from pyspark.sql.types import LongType, TimestampType
+
+    t = df.schema[col].dataType
+    if isinstance(t, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if not isinstance(t, TimestampType):
+        # TIMESTAMP_NTZ → TimestampType; values identical under UTC session
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
-        # default; we read it as a long (nanosAsLong) and truncate to
-        # microseconds — same truncation DuckDB applies, so both engines
-        # see identical values.
-        # integer division: float division would lose precision on
-        # epoch-nanos magnitudes (> 2^53)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 
