@@ -56,8 +56,10 @@ def connected_components(
 
     for _ in range(max_iter):
         # min over {own label} ∪ {neighbor labels}
-        msgs = sym.join(labels, sym["v"] == labels["u"], "inner").select(
-            sym["u"].alias("u"), F.col("label")
+        msgs = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"), "inner")
+            .select(F.col("e.u").alias("u"), F.col("l.label").alias("label"))
         )
         new_labels = (
             labels.unionByName(msgs).groupBy("u").agg(F.min("label").alias("label"))

@@ -1,0 +1,154 @@
+"""Corpus-preparation operators for training-data pipelines: deterministic
+sampling, token-budget sharding, and PII scrubbing.
+
+All three are pure JVM expression compositions (no UDFs): at 100 TB these
+run inside whole-stage codegen, shuffle only where a window/groupBy
+demands it, and are reproducible run-to-run — the property that matters
+for dataset versioning (a re-run selects byte-identical training sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.operators.dedup import shingle
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic bucket in [0, buckets) from the md5 of a value's
+    string form. Engine-portable (any system with md5 + hex→int yields
+    identical buckets — DuckDB: ``('0x' || substr(md5(v), 1, 15))::BIGINT
+    % buckets``), unlike rand(seed), whose stream depends on partitioning.
+    The first 15 hex chars (60 bits) stay inside a signed BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, rates: dict[str, int], id_col: str, default_rate: int = 0
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its id's hash
+    bucket falls below its stratum's percentage rate.
+
+    Unlike ``df.sampleBy`` (per-partition RNG: resampling after a
+    repartition changes the selected rows), membership depends only on
+    the id value — stable across cluster size, partitioning, and reruns,
+    so the sampled corpus is a reproducible artifact. Selection is a
+    map-side filter; no shuffle.
+    """
+    rate = None
+    for stratum, pct in sorted(rates.items()):
+        cond = F.when(F.col(strata_col) == stratum, F.lit(pct))
+        rate = cond if rate is None else rate.when(F.col(strata_col) == stratum, F.lit(pct))
+    rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(default_rate)
+    return df.filter(hash_bucket(F.col(id_col)) < rate)
+
+
+def pack_shards(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Sequential token-budget sharding: within each partition (e.g.
+    language), order rows deterministically and cut a new shard every
+    ``budget`` size units: shard = floor(running_size_before_row / budget).
+
+    One window shuffle on (part_col); no driver loop. This is the
+    scale-sane approximation of bin packing — true first-fit packing is
+    inherently sequential, while contiguous cuts over a deterministic
+    order parallelize per partition and over-fill a shard by at most one
+    document. Rows larger than ``budget`` get a shard of their own.
+    """
+    w = W.partitionBy(part_col).orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum(size_col).over(w)
+    return df.withColumn(
+        shard_col, F.floor((cum - F.col(size_col)) / F.lit(budget)).cast("long")
+    )
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation set.
+
+    The eval side (benchmark suites: thousands of documents, not
+    billions) collapses to its DISTINCT shingle set and is broadcast, so
+    the corpus side is a map-side semi-join probe — the 100 TB scan
+    never shuffles, and documents too short to shingle are trivially
+    clean. Returns ``train`` plus a boolean ``contaminated`` column.
+    """
+    eval_sh = (
+        shingle(eval_df.select(text_col), text_col, n=n)
+        .select(F.explode("shingles").alias("__s"))
+        .distinct()
+    )
+    hit_ids = (
+        shingle(train.select(id_col, text_col), text_col, n=n)
+        .select(id_col, F.explode("shingles").alias("__s"))
+        .join(F.broadcast(eval_sh), "__s", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        train.join(hit_ids, id_col, "left")
+        .withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str, min_doc_freq: int = 1, id_col: str | None = None
+) -> DataFrame:
+    """Corpus vocabulary: per-token corpus frequency (``tf``) and document
+    frequency (``df``) — the first step of any tokenizer/BPE training or
+    stopword derivation run over a training corpus.
+
+    explode → one hash aggregation; ``df`` rides the same shuffle as a
+    count of distinct ids per token. At 100 TB this is the canonical
+    word-count shape: partial aggregation map-side, one shuffle on token.
+    """
+    id_col = id_col or df.columns[0]
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    out = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("__doc").alias("df"),
+    )
+    return out.filter(F.col("df") >= min_doc_freq) if min_doc_freq > 1 else out
+
+
+# Public, intentionally simple patterns — a real deployment swaps in its
+# own (the operator shape is what matters: regexp_count + regexp_replace
+# stay JVM-side; never a per-row Python UDF for redaction).
+PII_PATTERNS = {
+    "phone": r"\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+}
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str, patterns: dict[str, str] | None = None, out_col: str | None = None
+) -> DataFrame:
+    """Redact PII patterns from ``text_col`` and count hits per kind.
+
+    Adds ``n_<kind>`` match-count columns and ``out_col`` (default
+    ``<text_col>_scrubbed``) with every pattern replaced by ``[<KIND>]``.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out_col = out_col or f"{text_col}_scrubbed"
+    scrubbed = F.col(text_col)
+    for kind, pat in patterns.items():
+        df = df.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
+    return df.withColumn(out_col, scrubbed)

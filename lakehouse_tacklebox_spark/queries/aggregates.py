@@ -328,3 +328,43 @@ def agg_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
         F.count(F.lit(1)).alias("orders"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("agg", "groupingsets"),
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Multi-granularity aggregate in ONE scan via GROUPING SETS: detail
+    (flag, status), per-flag subtotal, and grand total — the idiom that
+    replaces three separate scans + union at warehouse scale (Spark
+    expands the sets after partial aggregation, so the fact table is
+    read once). Group keys are non-null in lineitem, so coalescing the
+    grouping nulls to 'ALL' is unambiguous and keeps the result
+    relational for the oracle."""
+    l = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_qty",
+        )
+    )

@@ -157,3 +157,61 @@ def stream_stateful_user_stats(spark, sf_dir):
         F.col("s.n_events").alias("n_events"),
         F.col("s.total").cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "stream_stream_join",
+    tags=("streaming", "join"),
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (attribution: purchases within 30
+    minutes of a click by the same user), executed as a REAL stream on
+    both sides. Each side carries an event-time watermark and the join
+    condition bounds purchase time to [click, click + 30 min], so Spark
+    can expire join state — the only formulation that runs unbounded at
+    scale (state size is O(events inside the watermark horizon), not
+    O(stream)). The batch oracle is the plain interval self-join; the
+    streamed answer must match it exactly."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "31 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("lag_seconds"),
+    )
+    return _run_memory_sink(spark, joined, "append", "ss_join")

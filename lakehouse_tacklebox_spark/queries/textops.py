@@ -249,6 +249,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_minhash_lsh",
+    bench=True,
     tags=("dedup", "text", "lsh"),
     # Oracled against EXACT Jaccard pairs (same SQL as dedup_ngram_jaccard):
     # the verify stage computes exact Jaccard on candidates, so the output
@@ -340,3 +341,259 @@ def dedup_simhash(spark, sf_dir):
         bits=_SIMHASH_BITS, token_hash=D.md5_hash60,
     )
     return D.hamming_pairs(sims, "doc_id", max_distance=3)
+
+
+@register(
+    "dedup_cluster_assign",
+    bench=True,
+    tags=("dedup", "text", "graph"),
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS sz FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+    )
+    SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS component FROM reach GROUP BY u
+    """,
+)
+def dedup_cluster_assign(spark, sf_dir):
+    """Transitive near-dup clustering: exact-Jaccard pairs (>= 0.2) become
+    an undirected graph; every document gets the min doc_id reachable as
+    its cluster (component) id, singletons included. Engine side runs
+    hash-min label propagation (operators/cluster.py) — one edge-shuffle
+    per round, converging in ~diameter rounds; the oracle computes the
+    same closure with a recursive CTE, so the iterative DataFrame
+    algorithm is value-checked end-to-end, not just smoke-run."""
+    from lakehouse_tacklebox_spark.operators.cluster import connected_components
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
+    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.2, max_doc_freq=500)
+    return connected_components(
+        pairs.select("id_a", "id_b"), vertices=d.select("doc_id"), id_col="doc_id"
+    )
+
+
+@register(
+    "sample_stratified",
+    tags=("corpus", "sampling"),
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+               CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 WHEN 'fr' THEN 35
+                         WHEN 'es' THEN 50 WHEN 'zh' THEN 80 ELSE 0 END AS rate
+        FROM documents
+    )
+    SELECT doc_id, lang FROM rated WHERE bucket < rate
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-language stratified sampling (e.g. downsample
+    dominant languages when balancing a training corpus). Membership is a
+    pure function of doc_id — md5 bucket < stratum rate — so the sample
+    is identical across reruns, partitionings, and engines; the oracle
+    recomputes the same buckets and must select the same rows."""
+    from lakehouse_tacklebox_spark.operators import corpus as C
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    rates = {"en": 20, "de": 50, "fr": 35, "es": 50, "zh": 80}
+    return C.stratified_sample(d, "lang", rates, "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "corpus_shard_pack",
+    tags=("corpus", "sharding"),
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT lang, CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY lang, shard_id
+    """,
+)
+def corpus_shard_pack(spark, sf_dir):
+    """Token-budget shard packing: within each language, documents are
+    laid out in deterministic doc_id order and cut into ~2000-token
+    shards (floor of the running token count before the row / budget) —
+    the distributed approximation of bin packing used to build
+    fixed-size training shards. One window shuffle per language; the
+    oracle replays the same cumulative cut and must produce identical
+    (lang, shard_id, n_docs, total_tokens) rows."""
+    from lakehouse_tacklebox_spark.operators import corpus as C
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+    )
+    packed = C.pack_shards(toks, "lang", "doc_id", "n_tokens", budget=2000)
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    tags=("corpus", "pii"),
+    oracle="""
+    WITH contacts AS (
+        SELECT c_mktsegment,
+               c_name || ' reachable at ' || printf('%02d-%03d-%03d-%04d',
+                   10 + c_nationkey % 90,
+                   c_custkey % 1000,
+                   (c_custkey * 7) % 1000,
+                   abs(CAST(round(c_acctbal * 100) AS BIGINT)) % 10000) AS contact
+        FROM customer
+    ), scrubbed AS (
+        SELECT c_mktsegment,
+               len(regexp_extract_all(contact, '\\b\\d{2,3}-\\d{3}-\\d{3,4}-\\d{4}\\b')) AS n_phone,
+               regexp_replace(contact, '\\b\\d{2,3}-\\d{3}-\\d{3,4}-\\d{4}\\b', '[PHONE]', 'g') AS clean
+        FROM contacts
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           CAST(sum(n_phone) AS BIGINT) AS n_phone_hits,
+           CAST(sum(len(clean)) AS BIGINT) AS scrubbed_chars
+    FROM scrubbed GROUP BY c_mktsegment
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction before corpus release: phone-shaped substrings are
+    counted and replaced with [PHONE] in a composed contact string (the
+    testdata has no real PII column, so a deterministic phone-shaped
+    string is synthesized from the customer keys on BOTH sides).
+    regexp_count/regexp_replace stay JVM-side — redaction at 100 TB must
+    never drop into per-row Python. The oracle re-scrubs with the same
+    regex and checks hit counts AND the total length of the scrubbed
+    text, so the replacement itself is value-checked."""
+    from lakehouse_tacklebox_spark.operators import corpus as C
+
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        (F.lit(10) + F.col("c_nationkey") % 90).cast("int"),
+        (F.col("c_custkey") % 1000).cast("int"),
+        ((F.col("c_custkey") * 7) % 1000).cast("int"),
+        (F.abs(F.round(F.col("c_acctbal") * 100).cast("bigint")) % 10000).cast("int"),
+    )
+    contacts = c.select(
+        "c_mktsegment",
+        F.concat_ws(" reachable at ", F.col("c_name"), phone).alias("contact"),
+    )
+    scrubbed = C.scrub_pii(
+        contacts, "contact", patterns={"phone": r"\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b"}
+    )
+    return scrubbed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_phone").cast("long").alias("n_phone_hits"),
+        F.sum(F.length("contact_scrubbed")).cast("long").alias("scrubbed_chars"),
+    )
+
+
+@register(
+    "text_decontaminate",
+    bench=True,
+    tags=("corpus", "dedup", "decontamination"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS shingles
+        FROM toks WHERE len(t) >= 5
+    ), ev AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+    ), hits AS (
+        SELECT DISTINCT sh.doc_id
+        FROM sh, unnest(sh.shingles) AS u(s)
+        WHERE sh.doc_id % 20 != 0 AND u.s IN (SELECT s FROM ev)
+    )
+    SELECT d.lang,
+           count(*) AS n_train,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 20 != 0
+    GROUP BY d.lang
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (per-language contamination report): the
+    held-out eval set (here: every 20th doc_id) is collapsed to its
+    distinct 5-gram set and BROADCAST; training documents sharing any
+    5-gram are flagged. The corpus scan never shuffles — the plan is
+    scan → explode → broadcast semi-join → distinct ids — which is the
+    shape that survives a 100 TB training corpus with a fixed-size
+    benchmark suite on the other side."""
+    from lakehouse_tacklebox_spark.operators import corpus as C
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    flagged = C.contamination_flags(train, ev, "doc_id", "text", n=5)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
+    )
+
+
+@register(
+    "corpus_vocab",
+    bench=True,
+    tags=("corpus", "vocab", "topk"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ), stats AS (
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM toks WHERE token != '' GROUP BY token
+    )
+    SELECT token, tf, df FROM stats
+    ORDER BY tf DESC, token LIMIT 25
+    """,
+)
+def corpus_vocab(spark, sf_dir):
+    """Vocabulary building (tokenizer/BPE training prep): corpus term
+    frequency + document frequency per token in ONE shuffle (map-side
+    partial agg on token), then a tie-broken top-k. The full vocab table
+    is the real product; the top-25 keeps the gate result small and
+    deterministic."""
+    from lakehouse_tacklebox_spark.operators import corpus as C
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = C.vocabulary(d, "text", id_col="doc_id")
+    return vocab.orderBy(F.col("tf").desc(), "token").limit(25)
