@@ -51,6 +51,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
+    # keep the recorded bench tail to the JSON line: the deliberate
+    # single-partition windows (tiny aggregated frames / WindowGroupLimit
+    # top-k, documented per-query) otherwise spam WARN into the artifact
+    spark.sparkContext.setLogLevel("ERROR")
 
     specs = headline_specs()
     # warm-up pass (un-timed): plan compilation + JIT

@@ -30,6 +30,7 @@ class StreamMetricsCollector(StreamingQueryListener):
     def __init__(self, table_path: str | None = None):
         self.events: list[dict] = []
         self.table_path = table_path
+        self._seen: set[tuple] = set()  # (run_id, batch_id) dedupe
 
     # -- listener callbacks --------------------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802
@@ -44,7 +45,13 @@ class StreamMetricsCollector(StreamingQueryListener):
         callers can also feed ``query.recentProgress`` directly, which
         makes metrics capture usable in pull mode when no listener is
         attached (or when the async listener bus lags behind a
-        short-lived availableNow query)."""
+        short-lived availableNow query). Idempotent per (runId, batchId):
+        pull-mode progress can be merged on top of whatever subset the
+        async listener already delivered without double-counting."""
+        key = (p.get("runId"), p.get("batchId"))
+        if key in self._seen:
+            return
+        self._seen.add(key)
         self.events.append(
             {
                 "query_id": p.get("id"),

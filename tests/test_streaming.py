@@ -196,10 +196,12 @@ def test_stream_to_table_and_metrics_listener(spark, tmp_path):
         deadline = time.monotonic() + 30
         while not collector.events and time.monotonic() < deadline:
             time.sleep(0.5)
-        if not collector.events:
-            # pull-mode fallback: same parsing path, minus the async bus
-            for p in progress:
-                collector.ingest_progress(json.loads(p.json) if hasattr(p, "json") else p)
+        # Merge pull-mode progress UNCONDITIONALLY: the async bus may have
+        # delivered only a subset (e.g. just the zero-row trailing batch).
+        # ingest_progress dedupes on (runId, batchId), so listener-delivered
+        # and pulled events never double-count.
+        for p in progress:
+            collector.ingest_progress(json.loads(p.json) if hasattr(p, "json") else p)
     finally:
         spark.streams.removeListener(collector)
 
