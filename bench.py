@@ -61,10 +61,14 @@ def main() -> None:
     for spec in specs.values():
         spec.fn(spark, sf_dir).count()
 
-    # serial timed pass: clean per-query wall-clock
+    # serial timed pass: clean per-query wall-clock. Drop persisted
+    # intermediates between queries so one query's cache (the dedup
+    # pipelines persist their shingle/posting frames) doesn't squeeze
+    # executor memory under a later query's timing.
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         timings[name] = round(run_query(spark, spec, sf_dir), 3)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
 
     # concurrent phase: N threads, `REPETITIONS` timed runs per query, no

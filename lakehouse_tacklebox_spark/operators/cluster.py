@@ -47,11 +47,13 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    # Materialize the edge list FIRST, then derive the vertex set from the
+    # checkpointed edges: the upstream pair-generation pipeline (often an
+    # expensive similarity join) runs exactly once, not once per consumer.
+    sym = sym.localCheckpoint(eager=True)
     verts = sym.select("u").distinct()
     if vertices is not None:
         verts = verts.union(vertices.select(F.col(id_col).alias("u"))).distinct()
-    # Edges are reused every round: materialize once.
-    sym = sym.localCheckpoint(eager=True)
     labels = verts.select(F.col("u"), F.col("u").alias("label")).localCheckpoint(eager=True)
 
     for _ in range(max_iter):

@@ -152,3 +152,64 @@ def scrub_pii(
         df = df.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
     return df.withColumn(out_col, scrubbed)
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document repetition scoring (Gopher-style quality rule): how
+    dominated is a document by its single most frequent word ``n``-gram?
+
+    Adds ``n_grams`` (total n-gram occurrences), ``top_gram_count`` (the
+    modal n-gram's occurrences) and ``rep_ratio`` (their quotient).
+    Counting goes explode → two hash aggregations (one shuffle on
+    (doc, gram)); the per-doc quadratic array-ops alternative is O(len²)
+    per document and dies on long documents, so it is deliberately not
+    used. Documents too short to shingle score 0.
+    """
+    from lakehouse_tacklebox_spark.operators.dedup import shingle
+
+    g = shingle(df.select(id_col, text_col), text_col, n=n, out_col="__g", distinct=False)
+    # Count on the 64-bit hash of the gram, not the gram string: the
+    # shuffle key is 8 bytes instead of an n-gram, and a 64-bit collision
+    # inside ONE document's grams is vanishingly unlikely at any doc size.
+    per = (
+        g.select(id_col, F.explode("__g").alias("__gram"))
+        .select(id_col, F.xxhash64("__gram").alias("__gram"))
+        .groupBy(id_col, "__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = per.groupBy(id_col).agg(
+        F.sum("__c").alias("n_grams"), F.max("__c").alias("top_gram_count")
+    )
+    return (
+        df.join(agg, id_col, "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+        .withColumn("top_gram_count", F.coalesce("top_gram_count", F.lit(0)))
+        .withColumn(
+            "rep_ratio",
+            F.when(
+                F.col("n_grams") > 0, F.col("top_gram_count") / F.col("n_grams")
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def incremental_dedup(
+    incoming: DataFrame, existing: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus: drop
+    rows whose normalized-content fingerprint exists in ``existing``,
+    then keep one row per fingerprint within the batch (min ``id_col``).
+
+    This is the daily-increment flow at corpus scale: the historical
+    side is projected to its 32-byte digest column before the anti-join,
+    so the shuffle moves fingerprints, never documents; the within-batch
+    dedup reuses the same digest.
+    """
+    from lakehouse_tacklebox_spark.operators.dedup import dedup_exact, fingerprint_sha2
+
+    inc = fingerprint_sha2(incoming, text_col)
+    seen = fingerprint_sha2(existing.select(text_col), text_col).select("fingerprint")
+    fresh = inc.join(seen, "fingerprint", "left_anti")
+    return dedup_exact(fresh, cols=["fingerprint"], tiebreaker=id_col)

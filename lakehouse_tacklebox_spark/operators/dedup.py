@@ -43,22 +43,34 @@ def fingerprint_sha2(df: DataFrame, text_col: str, out_col: str = "fingerprint")
     return df.withColumn(out_col, F.sha2(normalized, 256))
 
 
-def shingle(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
-    """Distinct word n-gram shingles per row (array column).
+def shingle(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles", distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per row (array column), deduped by default.
 
     Tokenization is split-on-whitespace of the lowercased text; shingles
-    are the n-token sliding windows, deduped per document.
+    are the n-token sliding windows. ``distinct=False`` keeps every
+    occurrence (needed by repetition scoring, where multiplicity IS the
+    signal).
     """
     df = df.withColumn("__toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    ngrams = F.when(
-        F.size("__toks") >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
-            )
-        ),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
+    # Zip n shifted slices of the token array, then concat per struct.
+    # NOT a per-position lambda over element_at/slice: Catalyst's
+    # CollapseProject inlines the __toks projection into the transform
+    # lambda, and a per-position formulation then re-evaluates split()
+    # for every gram position — O(len²) per document (measured 8-16 s
+    # for a 260k-gram corpus that this form does in <1 s). Here the
+    # slices are row-level expressions, so worst-case inlining costs n
+    # splits per ROW — still linear.
+    t = F.col("__toks")
+    n_grams = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(t, 1 + off, n_grams) for off in range(n)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(off)] for off in range(n)]))
+    if distinct:
+        grams = F.array_distinct(grams)
+    ngrams = F.when(F.size(t) >= n, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
+    )
     return df.withColumn(out_col, ngrams).drop("__toks")
 
 

@@ -100,9 +100,9 @@ _WINDOW_PRIORITY = [
     "text_decontaminate",
     "corpus_vocab",
     "stream_stream_join",
+    "text_repetition_filter",
+    "dedup_incremental",
     # (c) green only in round 1 — refresh their rows
-    "agg_global",
-    "agg_count_distinct",
     "agg_conditional",
     "agg_minmax_scaled",
     "agg_collect_sorted",
@@ -140,7 +140,8 @@ _WINDOW_PRIORITY = [
 ]
 # Green-in-round-1 entries deliberately OUTSIDE the 50-slot window (their
 # r01 rows stand): set_union_distinct/_all, set_intersect, set_except,
-# join_cross — value-stable set ops on tiny dims.
+# join_cross, agg_global, agg_count_distinct — value-stable ops on tiny or
+# trivially-aggregated inputs.
 
 
 def _reorder_registry() -> None:

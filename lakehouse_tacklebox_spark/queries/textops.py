@@ -17,6 +17,17 @@ from lakehouse_tacklebox_spark.queries import register
 from lakehouse_tacklebox_spark.sources import load_tables
 
 
+def _spread(df, key: str = "doc_id"):
+    """Hash-repartition to full parallelism before heavy per-row compute.
+
+    The gate corpus arrives as one small parquet file → one input split,
+    which serializes shingling/hashing on a single core regardless of
+    cluster size. A 100 TB corpus arrives as many splits and doesn't need
+    this; for small-file inputs the tiny shuffle buys back every core.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 @register(
     "dedup_exact_stats",
     tags=("dedup", "text"),
@@ -238,7 +249,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     Explode-join-on-shingle (never a cross join): the verification stage
     of the LSH pipeline, oracle-checkable because it is pure set algebra.
     """
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
     # max_doc_freq=500 is a no-op at every gate SF (max shingle DF: 25 at
     # sf0.1) so the oracle comparison stays exact, while bounding the
@@ -288,8 +299,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     exact Jaccard — the 100 TB near-dup path. Candidate generation is a
     band-bucket join and verification scores ONLY the candidate pairs
     (array_intersect per pair), so no stage is quadratic in the corpus."""
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    # The shingled corpus feeds three plan branches (signatures + both
+    # sides of the verify join) — materialize it once.
+    sh = (
+        D.shingle(d.select("doc_id", "text"), "text", n=3)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
     sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=48)
     cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=3)
     verified = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
@@ -335,7 +352,7 @@ def dedup_simhash(spark, sf_dir):
     so the signature — and therefore the pair set — is reproducible by
     the DuckDB oracle; the default xxhash64 path stays available for
     production (one JVM hash call vs md5+conv per token)."""
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     sims = D.simhash(
         d.select("doc_id", "text"), "doc_id", "text",
         bits=_SIMHASH_BITS, token_hash=D.md5_hash60,
@@ -388,7 +405,7 @@ def dedup_cluster_assign(spark, sf_dir):
     from lakehouse_tacklebox_spark.operators.cluster import connected_components
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
+    sh = D.shingle(_spread(d).select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
     pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.2, max_doc_freq=500)
     return connected_components(
         pairs.select("id_a", "id_b"), vertices=d.select("doc_id"), id_col="doc_id"
@@ -560,7 +577,7 @@ def text_decontaminate(spark, sf_dir):
     benchmark suite on the other side."""
     from lakehouse_tacklebox_spark.operators import corpus as C
 
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     train = d.filter(F.col("doc_id") % 20 != 0)
     ev = d.filter(F.col("doc_id") % 20 == 0)
     flagged = C.contamination_flags(train, ev, "doc_id", "text", n=5)
@@ -594,6 +611,86 @@ def corpus_vocab(spark, sf_dir):
     deterministic."""
     from lakehouse_tacklebox_spark.operators import corpus as C
 
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     vocab = C.vocabulary(d, "text", id_col="doc_id")
     return vocab.orderBy(F.col("tf").desc(), "token").limit(25)
+
+
+@register(
+    "text_repetition_filter",
+    tags=("corpus", "quality"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, lang, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS gram
+        FROM toks WHERE len(t) >= 3
+    ), per AS (
+        SELECT doc_id, lang, gram, count(*) AS c FROM grams GROUP BY ALL
+    ), scored AS (
+        SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(max(c) AS BIGINT) AS top_c
+        FROM per GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           count(*) AS docs,
+           CAST(sum(CASE WHEN CAST(top_c AS DOUBLE) / n_grams > 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           CAST(sum(top_c) AS BIGINT) AS total_top,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams
+    FROM scored GROUP BY lang
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition gate: per language, how many documents are
+    dominated by one repeated 3-gram (modal-trigram share > 2%), plus the
+    exact integer numerator/denominator of the corpus-level repetition
+    rate (integer sums — no cross-engine float-summation skew). Counting
+    is explode → two hash aggs, one shuffle; never per-doc quadratic
+    array ops."""
+    from lakehouse_tacklebox_spark.operators import corpus as C
+
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = C.repetition_scores(d, "doc_id", "text", n=3).filter(F.col("n_grams") > 0)
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((F.col("rep_ratio") > 0.02).cast("bigint")).alias("n_repetitive"),
+        F.sum("top_gram_count").cast("bigint").alias("total_top"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+    )
+
+
+@register(
+    "dedup_incremental",
+    tags=("corpus", "dedup", "incremental"),
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, source,
+               sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ), existing AS (
+        SELECT DISTINCT f FROM fp WHERE doc_id % 3 != 0
+    ), incoming AS (
+        SELECT * FROM fp WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, lang, source FROM (
+        SELECT i.*, row_number() OVER (PARTITION BY i.f ORDER BY i.doc_id) AS rn
+        FROM incoming i LEFT JOIN existing e ON i.f = e.f
+        WHERE e.f IS NULL
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental corpus ingest dedup: the incoming batch (every 3rd
+    doc_id) is deduped against the already-ingested corpus by normalized
+    content fingerprint, then within itself. Both joins move 32-byte
+    digests, never document bodies — the flow that holds when the
+    historical side is 100 TB and the increment is a day's crawl."""
+    from lakehouse_tacklebox_spark.operators import corpus as C
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    existing = d.filter(F.col("doc_id") % 3 != 0)
+    return C.incremental_dedup(incoming, existing, "text", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
