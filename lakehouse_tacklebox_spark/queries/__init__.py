@@ -102,6 +102,7 @@ _WINDOW_PRIORITY = [
     "stream_stream_join",
     "text_repetition_filter",
     "dedup_incremental",
+    "corpus_pipeline",
     # (c) green only in round 1 — refresh their rows
     "agg_conditional",
     "agg_minmax_scaled",
@@ -116,7 +117,6 @@ _WINDOW_PRIORITY = [
     "join_anti",
     "join_semi",
     "join_full_outer",
-    "join_self_pairs",
     "join_range_band",
     "join_multiway_using",
     "metrics_ops_summary",
@@ -140,8 +140,8 @@ _WINDOW_PRIORITY = [
 ]
 # Green-in-round-1 entries deliberately OUTSIDE the 50-slot window (their
 # r01 rows stand): set_union_distinct/_all, set_intersect, set_except,
-# join_cross, agg_global, agg_count_distinct — value-stable ops on tiny or
-# trivially-aggregated inputs.
+# join_cross, join_self_pairs, agg_global, agg_count_distinct — value-stable
+# ops on tiny or trivially-aggregated inputs.
 
 
 def _reorder_registry() -> None:

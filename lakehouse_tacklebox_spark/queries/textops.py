@@ -694,3 +694,88 @@ def dedup_incremental(spark, sf_dir):
     return C.incremental_dedup(incoming, existing, "text", "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "corpus_pipeline",
+    bench=True,
+    tags=("corpus", "pipeline"),
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents
+    ), quality AS (
+        SELECT * FROM base WHERE n_tokens >= 5
+    ), dd AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY sha256(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ), train AS (
+        SELECT * FROM dd WHERE doc_id % 20 != 0
+    ), ev_toks AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE doc_id % 20 = 0
+    ), evsh AS (
+        SELECT DISTINCT unnest([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS s
+        FROM ev_toks WHERE len(t) >= 5
+    ), tr_sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(u.t[i:i+4], ' ') for i in range(1, len(u.t) - 3)]) AS shingles
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM train) u
+        WHERE len(u.t) >= 5
+    ), hits AS (
+        SELECT DISTINCT tr_sh.doc_id
+        FROM tr_sh, unnest(tr_sh.shingles) AS un(s)
+        WHERE un.s IN (SELECT s FROM evsh)
+    ), clean AS (
+        SELECT t.doc_id, t.lang, t.n_tokens
+        FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        WHERE h.doc_id IS NULL
+    ), cuts AS (
+        SELECT lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM clean
+    )
+    SELECT lang,
+           CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM cuts GROUP BY lang, shard_id
+    """,
+)
+def corpus_pipeline(spark, sf_dir):
+    """Flagship end-to-end training-corpus build — quality gate → exact
+    dedup → benchmark decontamination → token-budget shard packing — as
+    ONE declarative DataFrame program, value-checked stage-for-stage by a
+    DuckDB CTE oracle.
+
+    The composition preserves each stage's scale shape: the quality gate
+    is a map-side filter, dedup shuffles 32-byte digests, decontamination
+    is a broadcast semi-join probe, and packing is one window shuffle per
+    language — so the whole pipeline is (filter → 1 digest shuffle →
+    broadcast probe → 1 window shuffle) over a corpus scanned once."""
+    from lakehouse_tacklebox_spark.operators import corpus as C
+
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    quality = d.withColumn("n_tokens", tokens).filter(F.col("n_tokens") >= 5)
+    deduped = D.dedup_exact(
+        D.fingerprint_sha2(quality, "text"), cols=["fingerprint"], tiebreaker="doc_id"
+    )
+    train = deduped.filter(F.col("doc_id") % 20 != 0)
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    clean = (
+        C.contamination_flags(train, ev, "doc_id", "text", n=5)
+        .filter(~F.col("contaminated"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    packed = C.pack_shards(clean, "lang", "doc_id", "n_tokens", budget=2000)
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
