@@ -303,3 +303,28 @@ def knn_ivf(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) ∈ [-127, 127].
+
+    The 4× storage/bandwidth reduction for embedding stores; all
+    array-expression JVM math. Rounding is spelled floor(x + 0.5) rather
+    than a library round() so the quantized values are engine-portable
+    (round-half conventions differ across engines; floor does not).
+    Zero vectors quantize to zeros with scale 1.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    df = df.withColumn(scale_col, scale)
+    q = F.transform(
+        v, lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("int")
+    )
+    return df.withColumn(out_col, q)

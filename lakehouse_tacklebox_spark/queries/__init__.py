@@ -103,6 +103,7 @@ _WINDOW_PRIORITY = [
     "text_repetition_filter",
     "dedup_incremental",
     "corpus_pipeline",
+    "emb_quantize_stats",
     # (c) green only in round 1 — refresh their rows
     "agg_conditional",
     "agg_minmax_scaled",
@@ -129,7 +130,6 @@ _WINDOW_PRIORITY = [
     "scalar_dates",
     "scalar_json",
     "scalar_case_score",
-    "scalar_math",
     "scalar_array_ops",
     "knn_bruteforce",
     "emb_neardup_pairs",
@@ -140,7 +140,8 @@ _WINDOW_PRIORITY = [
 ]
 # Green-in-round-1 entries deliberately OUTSIDE the 50-slot window (their
 # r01 rows stand): set_union_distinct/_all, set_intersect, set_except,
-# join_cross, join_self_pairs, agg_global, agg_count_distinct — value-stable
+# join_cross, join_self_pairs, agg_global, agg_count_distinct, scalar_math —
+# value-stable
 # ops on tiny or trivially-aggregated inputs.
 
 

@@ -115,3 +115,56 @@ def emb_label_centroids(spark, sf_dir):
         F.round(F.avg(F.element_at(v, 2)), 6).alias("centroid_dim2"),
         F.round(F.avg(F.sqrt(dot)), 6).alias("avg_norm"),
     )
+
+
+@register(
+    "emb_quantize_stats",
+    tags=("similarity", "quantization"),
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, label, e,
+               CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                    THEN list_max(list_transform(e, x -> abs(x))) / 127.0
+                    ELSE 1.0 END AS s
+        FROM v
+    ), q AS (
+        SELECT vec_id, label, s,
+               list_transform(e, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS qv,
+               list_transform(e, x -> abs(x - floor(x / s + 0.5) * s)) AS errs
+        FROM scaled
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           CAST(sum(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT) AS q_l1_sum,
+           CAST(sum(list_sum(list_transform(errs, x -> floor(x * 1000000)))) AS BIGINT)
+               AS err_micro_sum
+    FROM q GROUP BY label
+    """,
+)
+def emb_quantize_stats(spark, sf_dir):
+    """Int8 embedding quantization, value-checked: per label, the exact
+    integer L1 mass of the quantized vectors and the floor-scaled
+    reconstruction-error sum. Integer outputs on both sides — no
+    float-summation-order skew can slip through, so the quantization
+    arithmetic itself is what's being compared."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = S.quantize_int8(e, "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.zip_with(
+        v,
+        F.col("qvec"),
+        lambda x, qi: F.floor(F.abs(x - qi.cast("double") * F.col("qscale")) * F.lit(1000000.0)),
+    )
+    return (
+        q.withColumn("q_l1", F.aggregate(F.transform("qvec", lambda x: F.abs(x).cast("bigint")), F.lit(0).cast("bigint"), lambda a, x: a + x))
+        .withColumn("err_micro", F.aggregate(err, F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("q_l1").alias("q_l1_sum"),
+            F.sum("err_micro").alias("err_micro_sum"),
+        )
+    )
