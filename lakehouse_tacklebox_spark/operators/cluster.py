@@ -63,8 +63,18 @@ def connected_components(
             .join(labels.alias("l"), F.col("e.v") == F.col("l.u"), "inner")
             .select(F.col("e.u").alias("u"), F.col("l.label").alias("label"))
         )
+        propagated = labels.unionByName(msgs).groupBy("u").agg(F.min("label").alias("label"))
+        # pointer jumping: also adopt the label's own label (path halving).
+        # Quasi-clique near-dup graphs converge in ~2 rounds either way;
+        # this turns adversarial chain-shaped graphs from O(diameter)
+        # rounds into O(log diameter) for one extra self-join per round.
         new_labels = (
-            labels.unionByName(msgs).groupBy("u").agg(F.min("label").alias("label"))
+            propagated.alias("x")
+            .join(propagated.alias("y"), F.col("x.label") == F.col("y.u"), "left")
+            .select(
+                F.col("x.u").alias("u"),
+                F.least(F.col("x.label"), F.col("y.label")).alias("label"),
+            )
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
