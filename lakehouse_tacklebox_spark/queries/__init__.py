@@ -100,6 +100,7 @@ _WINDOW_PRIORITY = [
     "text_decontaminate",
     "corpus_vocab",
     "stream_stream_join",
+    "stream_session_window",
     "text_repetition_filter",
     "dedup_incremental",
     "corpus_pipeline",
@@ -112,7 +113,6 @@ _WINDOW_PRIORITY = [
     "agg_time_bucket",
     "agg_rollup",
     "agg_histogram",
-    "agg_unpivot_stack",
     "agg_pivot",
     "join_left_outer",
     "join_anti",
@@ -140,7 +140,8 @@ _WINDOW_PRIORITY = [
 ]
 # Green-in-round-1 entries deliberately OUTSIDE the 50-slot window (their
 # r01 rows stand): set_union_distinct/_all, set_intersect, set_except,
-# join_cross, join_self_pairs, agg_global, agg_count_distinct, scalar_math —
+# join_cross, join_self_pairs, agg_global, agg_count_distinct, scalar_math,
+# agg_unpivot_stack —
 # value-stable
 # ops on tiny or trivially-aggregated inputs.
 

@@ -215,3 +215,62 @@ def stream_stream_join(spark, sf_dir):
         (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("lag_seconds"),
     )
     return _run_memory_sink(spark, joined, "append", "ss_join")
+
+
+@register(
+    "stream_session_window",
+    tags=("streaming", "window", "session"),
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, cents,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts, cents,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Gap-based session windows (30-minute inactivity gap) computed BY
+    THE STREAMING ENGINE — ``session_window`` state merges adjacent
+    events as micro-batches arrive — and compared exactly against the
+    batch gaps-and-islands formulation (lag → cumulative session id).
+    Session end is last-event + gap (half-open), so an event at exactly
+    the gap boundary opens a new session on both sides."""
+    from lakehouse_tacklebox_spark.streaming.windows import sessionized_agg
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = sessionized_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        ],
+        watermark=None,  # complete mode keeps all session state; no eviction
+    )
+    sunk = _run_memory_sink(
+        spark,
+        out.select("session_start", "session_end", "user_id", "n_events", "total_cents"),
+        "complete",
+        "session_win",
+    )
+    return sunk
