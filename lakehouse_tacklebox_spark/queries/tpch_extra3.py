@@ -204,3 +204,98 @@ def q20_excess_share_suppliers(spark, sf_dir):
         .distinct()
         .orderBy("s_name")
     )
+
+
+@register(
+    "ds_multi_count_buckets",
+    tags=("tpcds-shape", "agg", "conditional"),
+    bench=True,
+    oracle="""
+    SELECT
+        CAST(count(CASE WHEN h >= 0  AND h < 3  THEN 1 END) AS BIGINT) AS h00_03,
+        CAST(count(CASE WHEN h >= 3  AND h < 6  THEN 1 END) AS BIGINT) AS h03_06,
+        CAST(count(CASE WHEN h >= 6  AND h < 9  THEN 1 END) AS BIGINT) AS h06_09,
+        CAST(count(CASE WHEN h >= 9  AND h < 12 THEN 1 END) AS BIGINT) AS h09_12,
+        CAST(count(CASE WHEN h >= 12 AND h < 15 THEN 1 END) AS BIGINT) AS h12_15,
+        CAST(count(CASE WHEN h >= 15 AND h < 18 THEN 1 END) AS BIGINT) AS h15_18,
+        CAST(count(CASE WHEN h >= 18 AND h < 21 THEN 1 END) AS BIGINT) AS h18_21,
+        CAST(count(CASE WHEN h >= 21           THEN 1 END) AS BIGINT) AS h21_24
+    FROM (SELECT extract(hour FROM ts) AS h FROM events WHERE event_type IN ('click', 'view'))
+    """,
+)
+def ds_multi_count_buckets(spark, sf_dir):
+    """TPC-DS q88 shape: eight conditional counts over disjoint hour
+    buckets in ONE fact scan — the multi-CASE single-pass idiom that
+    replaces eight subquery scans (TPC-DS spells it as 8 self-joined
+    subqueries; a columnar engine should read the fact table once)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    h = F.hour("ts")
+    base = ev.filter(F.col("event_type").isin("click", "view")).select(h.alias("h"))
+
+    def bucket(lo, hi, name):
+        cond = (F.col("h") >= lo) & (F.col("h") < hi) if hi is not None else (F.col("h") >= lo)
+        return F.count(F.when(cond, 1)).alias(name)
+
+    return base.agg(
+        bucket(0, 3, "h00_03"),
+        bucket(3, 6, "h03_06"),
+        bucket(6, 9, "h06_09"),
+        bucket(9, 12, "h09_12"),
+        bucket(12, 15, "h12_15"),
+        bucket(15, 18, "h15_18"),
+        bucket(18, 21, "h18_21"),
+        bucket(21, None, "h21_24"),
+    )
+
+
+@register(
+    "ds_channel_rollup",
+    tags=("tpcds-shape", "union", "rollup"),
+    oracle="""
+    WITH channels AS (
+        SELECT 'orders' AS channel,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+               CAST(round(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT) AS cents
+        FROM orders
+        UNION ALL
+        SELECT 'events' AS channel,
+               CAST(date_trunc('month', ts) AS DATE) AS period,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT coalesce(channel, 'ALL') AS channel,
+           coalesce(CAST(period AS VARCHAR), 'ALL') AS period,
+           count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM channels
+    GROUP BY ROLLUP (channel, period)
+    """,
+)
+def ds_channel_rollup(spark, sf_dir):
+    """TPC-DS q5 shape: two 'channels' (orders ledger + purchase events)
+    unioned under a common schema, then a ROLLUP to (channel, period),
+    per-channel, and grand totals in one aggregation. Money is integer
+    cents end-to-end; the period is stringified so the rollup's NULL
+    grouping slots coalesce identically on both engines."""
+    t = load_tables(spark, sf_dir, ["orders", "events"])
+    o = t["orders"].select(
+        F.lit("orders").alias("channel"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("period"),
+        F.round(F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("bigint").alias("cents"),
+    )
+    e = t["events"].filter(F.col("event_type") == "purchase").select(
+        F.lit("events").alias("channel"),
+        F.date_trunc("month", "ts").cast("date").alias("period"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.unionByName(e)
+        .rollup("channel", "period")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("total_cents"))
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce(F.col("period").cast("string"), F.lit("ALL")).alias("period"),
+            "n_rows",
+            "total_cents",
+        )
+    )
