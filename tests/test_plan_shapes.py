@@ -145,3 +145,47 @@ def test_salted_join_stays_equi_join(spark):
     plan = _plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcast_semi_probe(spark):
+    """The corpus side of decontamination must be a broadcast semi-join
+    probe — never a shuffled join of the training scan."""
+    df = REGISTRY["text_decontaminate"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # no SortMergeJoin anywhere: the eval-set probe and the flag join-back
+    # both stay hash joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_ds_multi_count_single_scan(spark):
+    """q88 shape: eight conditional counts must read events exactly once."""
+    df = REGISTRY["ds_multi_count_buckets"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    scans = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Scan parquet" in line
+    ]
+    assert len(scans) == 1, scans
+
+
+def test_corpus_pipeline_single_corpus_scan_per_branch(spark):
+    """The pipeline composes filter → digest dedup → broadcast probe →
+    window pack without ever cross-joining or degenerating to a
+    cartesian plan."""
+    df = REGISTRY["corpus_pipeline"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # decontamination stage appears as a broadcast semi join
+    assert "LeftSemi" in plan
+
+
+def test_quantize_stays_in_expressions(spark):
+    """Quantization is pure array expressions — no Python evaluation node."""
+    df = REGISTRY["emb_quantize_stats"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert bad not in plan, bad
