@@ -107,11 +107,11 @@ _WINDOW_PRIORITY = [
     "emb_quantize_stats",
     "ds_multi_count_buckets",
     "ds_channel_rollup",
+    "metrics_daily_trend",
+    "metrics_error_bursts",
     # (c) green only in round 1 — refresh their rows
-    "agg_conditional",
     "agg_minmax_scaled",
     "agg_stats",
-    "agg_time_bucket",
     "agg_rollup",
     "agg_pivot",
     "join_left_outer",
@@ -141,7 +141,8 @@ _WINDOW_PRIORITY = [
 # Green-in-round-1 entries deliberately OUTSIDE the 50-slot window (their
 # r01 rows stand): set_union_distinct/_all, set_intersect, set_except,
 # join_cross, join_self_pairs, agg_global, agg_count_distinct, scalar_math,
-# agg_unpivot_stack, agg_histogram, agg_collect_sorted —
+# agg_unpivot_stack, agg_histogram, agg_collect_sorted, agg_time_bucket,
+# agg_conditional —
 # value-stable
 # ops on tiny or trivially-aggregated inputs.
 

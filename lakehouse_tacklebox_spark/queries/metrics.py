@@ -382,3 +382,85 @@ def metrics_activity_heatmap(spark, sf_dir):
         )
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "metrics_daily_trend",
+    tags=("metrics", "trend", "window"),
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM events GROUP BY 1
+    )
+    SELECT day, n_events, total_cents,
+           lag(n_events) OVER (ORDER BY day) AS prev_events,
+           CAST(n_events - lag(n_events) OVER (ORDER BY day) AS BIGINT) AS delta_events,
+           round(100.0 * (n_events - lag(n_events) OVER (ORDER BY day))
+                 / lag(n_events) OVER (ORDER BY day), 4) AS pct_change
+    FROM daily
+    """,
+)
+def metrics_daily_trend(spark, sf_dir):
+    """Day-over-day trend report (the metrics pack's usage-trend shape):
+    daily totals with lag deltas and percent change. The window runs over
+    the aggregated daily frame (≤ a few thousand rows regardless of fact
+    size), so the unpartitioned ordering is not a scale hazard; the pct
+    arithmetic is integer-ratio → one rounded division."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("n_events").over(w)
+    return daily.select(
+        "day",
+        "n_events",
+        "total_cents",
+        prev.alias("prev_events"),
+        (F.col("n_events") - prev).cast("bigint").alias("delta_events"),
+        F.round(F.lit(100.0) * (F.col("n_events") - prev) / prev, 4).alias("pct_change"),
+    )
+
+
+@register(
+    "metrics_error_bursts",
+    tags=("metrics", "anomaly", "window"),
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               count(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ), scored AS (
+        SELECT hour_start, n_errors,
+               avg(n_errors) OVER (ORDER BY hour_start
+                                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_avg
+        FROM hourly
+    )
+    SELECT hour_start, n_errors,
+           round(trailing_avg, 4) AS trailing_avg,
+           CAST(CASE WHEN trailing_avg IS NOT NULL
+                          AND n_errors > 2.0 * trailing_avg THEN 1 ELSE 0 END AS BOOLEAN) AS burst
+    FROM scored
+    """,
+)
+def metrics_error_bursts(spark, sf_dir):
+    """Error-burst detection (ops anomaly report): hourly error counts
+    flagged when exceeding 2× the trailing-24h average. The frame window
+    runs over the hourly aggregate (bounded rows), and the burst rule
+    compares an integer count against a rounded trailing mean — the
+    comparison itself uses the unrounded mean on both engines."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hourly = ev.filter(F.col("event_type") == "error").groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_errors"))
+    w = Window.orderBy("hour_start").rowsBetween(-24, -1)
+    trailing = F.avg("n_errors").over(w)
+    return hourly.select(
+        "hour_start",
+        "n_errors",
+        F.round(trailing, 4).alias("trailing_avg"),
+        (trailing.isNotNull() & (F.col("n_errors") > 2.0 * trailing)).alias("burst"),
+    )
