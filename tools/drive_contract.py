@@ -28,7 +28,8 @@ qs = E.queries()
 oracles = E.oracle_sql()
 print(f"queries: {len(qs)} registered, {len(oracles)} with oracles")
 
-SF = "/root/testdata/sf0.01"
+import sys as _sys
+SF = _sys.argv[1] if len(_sys.argv) > 1 else "/root/testdata/sf0.01"
 fails = []
 for name, fn in sorted(qs.items()):
     t0 = time.time()
@@ -52,4 +53,4 @@ if fails:
     for name, p in fails:
         print("FAIL", name, p[:2])
     sys.exit(1)
-print(f"ALL {len(qs)} QUERIES PASS AT sf0.01 under a vanilla SparkSession")
+print(f"ALL {len(qs)} QUERIES PASS AT {SF.rstrip('/').split('/')[-1]} under a vanilla SparkSession")
