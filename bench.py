@@ -25,7 +25,7 @@ from lakehouse_tacklebox_spark.benchmark.runner import BenchmarkRunner
 from lakehouse_tacklebox_spark.queries import REGISTRY
 from lakehouse_tacklebox_spark.session import get_spark
 
-CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "4"))
+CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
 REPETITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
