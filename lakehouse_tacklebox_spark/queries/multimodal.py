@@ -121,3 +121,52 @@ def mm_decode_features(spark, sf_dir):
         )
         .orderBy("modality")
     )
+
+
+@register(
+    "mm_block_dedup",
+    tags=("multimodal", "dedup", "storage"),
+    oracle=f"""
+    WITH {_ORACLE_MEDIA},
+    blocks AS (
+        SELECT d.doc_id,
+               unnest([md5(d.text[(i-1)*64+1 : i*64])
+                       for i in range(1, CAST(ceil(length(d.text)/64.0) AS BIGINT) + 1)]) AS bh
+        FROM documents d
+    )
+    SELECT m.mime,
+           count(*) AS total_blocks,
+           CAST(count(DISTINCT b.bh) AS BIGINT) AS distinct_blocks,
+           CAST(count(*) - count(DISTINCT b.bh) AS BIGINT) AS dup_blocks
+    FROM blocks b JOIN media m ON b.doc_id = m.doc_id
+    GROUP BY m.mime
+    """,
+)
+def mm_block_dedup(spark, sf_dir):
+    """Block-level storage dedup census over media payload bodies: the
+    body is cut into fixed 64-char blocks, each block is md5-fingerprinted
+    JVM-side, and per-mime distinct-vs-total block counts quantify the
+    dedup ratio a content-addressed store would achieve. The block hash
+    set is the basis of chunk-store dedup for large binary corpora; the
+    shuffle moves 16-byte digests, never payloads."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_blocks = F.ceil(F.length("text") / 64).cast("int")
+    blocks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_blocks),
+                lambda i: F.md5(F.substring(F.col("text"), (i - F.lit(1)) * 64 + 1, F.lit(64))),
+            )
+        ).alias("bh"),
+    )
+    media = MM.media_metadata(_media(spark, sf_dir)).select("doc_id", "mime")
+    return (
+        blocks.join(media, "doc_id")
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("total_blocks"),
+            F.countDistinct("bh").alias("distinct_blocks"),
+            (F.count(F.lit(1)) - F.countDistinct("bh")).alias("dup_blocks"),
+        )
+    )
