@@ -368,3 +368,28 @@ def agg_grouping_sets(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    tags=("agg", "sketch", "approx"),
+    oracle=None,  # approximate by construction → rows-only; pytest bounds the error
+)
+def agg_hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch distinct counting (DataSketches HLL): per-nation
+    customer sketches UNIONED into a global estimate without re-scanning
+    — the two-level rollup that exact count-distinct can't do (partials
+    don't merge). At 100 TB this is THE pattern: per-partition sketches
+    persist with table stats and any grouping rolls up by sketch union.
+    Error bound vs exact is pinned in tests/test_oracle_parity.py."""
+    o = load_tables(spark, sf_dir, ["orders", "customer"])["orders"]
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    per_nation = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    return per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers_global"),
+        F.sum("n_orders").alias("total_orders"),
+    )

@@ -33,3 +33,22 @@ def test_rows_only_queries_run(spark, name):
     # Must produce a stable schema and be collectable (≥0 rows).
     assert df.columns
     df.collect()
+
+
+def test_hll_sketch_rollup_error_bound(spark):
+    """The merged-sketch global estimate must land within 5% of the exact
+    distinct count (HLL lgK default = 12 → ~1.6% relative error)."""
+    from lakehouse_tacklebox_spark.queries import REGISTRY
+
+    est = REGISTRY["agg_hll_sketch_rollup"].fn(spark, SF_DIR).collect()[0]
+    import duckdb, os
+
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM read_parquet('{os.path.join(SF_DIR, 'orders.parquet')}')"
+    ).fetchone()[0]
+    con.close()
+    assert abs(est["approx_customers_global"] - exact) <= max(2, 0.05 * exact), (
+        est["approx_customers_global"],
+        exact,
+    )
