@@ -110,8 +110,8 @@ _WINDOW_PRIORITY = [
     "metrics_daily_trend",
     "metrics_error_bursts",
     "mm_block_dedup",
+    "text_html_strip",
     # (c) green only in round 1 — refresh their rows
-    "agg_minmax_scaled",
     "agg_rollup",
     "agg_pivot",
     "join_left_outer",
@@ -142,7 +142,7 @@ _WINDOW_PRIORITY = [
 # r01 rows stand): set_union_distinct/_all, set_intersect, set_except,
 # join_cross, join_self_pairs, agg_global, agg_count_distinct, scalar_math,
 # agg_unpivot_stack, agg_histogram, agg_collect_sorted, agg_time_bucket,
-# agg_conditional, agg_stats —
+# agg_conditional, agg_stats, agg_minmax_scaled —
 # value-stable
 # ops on tiny or trivially-aggregated inputs.
 

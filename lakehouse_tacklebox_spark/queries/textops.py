@@ -779,3 +779,60 @@ def corpus_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "text_html_strip",
+    tags=("corpus", "cleaning"),
+    oracle="""
+    WITH wrapped AS (
+        SELECT doc_id, lang,
+               '<html><body><p id="d' || CAST(doc_id AS VARCHAR) || '">' || text
+               || '</p><br/>&amp;footer</body></html>' AS html
+        FROM documents
+    ), stripped AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(regexp_replace(regexp_replace(html,
+                    '<[^>]*>', ' ', 'g'),
+                    '&amp;', '&', 'g'),
+                    '\\s+', ' ', 'g')) AS clean
+        FROM wrapped
+    )
+    SELECT lang,
+           count(*) AS docs,
+           CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+           CAST(sum(CASE WHEN clean LIKE '%&footer' THEN 1 ELSE 0 END) AS BIGINT) AS n_footer
+    FROM stripped GROUP BY lang
+    """,
+)
+def text_html_strip(spark, sf_dir):
+    """HTML→text cleaning (reference: 02-Data-preparation.py wraps
+    BeautifulSoup in a pandas_udf — the Spark-first form is regex tag
+    stripping + entity decoding, fully JVM-side, with the UDF reserved
+    for documents that genuinely need a parser). The fixture wraps each
+    document in deterministic markup on BOTH sides, so the stripped
+    length and entity decoding are value-checked."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    html = F.concat(
+        F.lit('<html><body><p id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.col("text"),
+        F.lit("</p><br/>&amp;footer</body></html>"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(html, r"<[^>]*>", " "), "&amp;", "&"),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        d.select("lang", clean.alias("clean"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+            F.sum(F.col("clean").endswith("&footer").cast("bigint")).alias("n_footer"),
+        )
+    )
