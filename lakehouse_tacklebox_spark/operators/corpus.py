@@ -75,6 +75,7 @@ def contamination_flags(
     id_col: str,
     text_col: str,
     n: int = 5,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word ``n``-gram with an evaluation set.
@@ -84,14 +85,21 @@ def contamination_flags(
     the corpus side is a map-side semi-join probe — the 100 TB scan
     never shuffles, and documents too short to shingle are trivially
     clean. Returns ``train`` plus a boolean ``contaminated`` column.
+
+    ``probe`` (optional): frame to shingle for hit detection instead of
+    ``train`` — pass a cheaper UPSTREAM superset (e.g. the pre-dedup
+    corpus) when ``train`` itself is the product of an expensive plan, so
+    that plan isn't recomputed for the probe branch. Flags still attach
+    to ``train``; extra probe-only ids are dropped by the join.
     """
     eval_sh = (
         shingle(eval_df.select(text_col), text_col, n=n)
         .select(F.explode("shingles").alias("__s"))
         .distinct()
     )
+    probe = train if probe is None else probe
     hit_ids = (
-        shingle(train.select(id_col, text_col), text_col, n=n)
+        shingle(probe.select(id_col, text_col), text_col, n=n)
         .select(id_col, F.explode("shingles").alias("__s"))
         .join(F.broadcast(eval_sh), "__s", "left_semi")
         .select(id_col)

@@ -769,8 +769,12 @@ def corpus_pipeline(spark, sf_dir):
     )
     train = deduped.filter(F.col("doc_id") % 20 != 0)
     ev = d.filter(F.col("doc_id") % 20 == 0)
+    # probe the PRE-dedup corpus for contamination hits: the dedup window
+    # then appears once in the plan instead of once per consumer branch
+    # (survivor texts are a subset of quality texts, so flags agree).
+    probe = quality.filter(F.col("doc_id") % 20 != 0)
     clean = (
-        C.contamination_flags(train, ev, "doc_id", "text", n=5)
+        C.contamination_flags(train, ev, "doc_id", "text", n=5, probe=probe)
         .filter(~F.col("contaminated"))
         .select("doc_id", "lang", "n_tokens")
     )
