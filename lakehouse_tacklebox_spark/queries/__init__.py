@@ -111,6 +111,7 @@ _WINDOW_PRIORITY = [
     "metrics_error_bursts",
     "mm_block_dedup",
     "text_html_strip",
+    "join_interval_overlap",
     # (c) green only in round 1 — refresh their rows
     "agg_rollup",
     "agg_pivot",
@@ -130,7 +131,6 @@ _WINDOW_PRIORITY = [
     "scalar_dates",
     "scalar_json",
     "scalar_case_score",
-    "scalar_array_ops",
     "knn_bruteforce",
     "emb_neardup_pairs",
     "emb_label_centroids",
@@ -142,7 +142,7 @@ _WINDOW_PRIORITY = [
 # r01 rows stand): set_union_distinct/_all, set_intersect, set_except,
 # join_cross, join_self_pairs, agg_global, agg_count_distinct, scalar_math,
 # agg_unpivot_stack, agg_histogram, agg_collect_sorted, agg_time_bucket,
-# agg_conditional, agg_stats, agg_minmax_scaled —
+# agg_conditional, agg_stats, agg_minmax_scaled, scalar_array_ops —
 # value-stable
 # ops on tiny or trivially-aggregated inputs.
 

@@ -336,3 +336,47 @@ def join_salted_skew(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "join_interval_overlap",
+    tags=("join", "interval"),
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey, o_orderdate AS start_d,
+               o_orderdate + INTERVAL 7 DAY AS end_d
+        FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS id_a,
+           b.o_orderkey AS id_b
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.start_d < b.end_d AND b.start_d < a.end_d
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval overlap self-join (orders fulfilled in overlapping 7-day
+    service windows per customer) via time-bucket replication: intervals
+    replicate onto the weekly grid cells they touch and equi-join on
+    (customer, cell) — no banded nested-loop, no cross join, one hash
+    shuffle. The oracle states the textbook non-equi overlap predicate;
+    the bucketed plan must produce the identical pair set."""
+    from lakehouse_tacklebox_spark.operators.intervals import interval_overlap_pairs
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("end_d"),
+    )
+    pairs = interval_overlap_pairs(
+        iv, ["o_custkey"], "o_orderkey", "start_d", "end_d", granularity_days=7
+    )
+    return pairs.select(
+        F.col("o_custkey").alias("custkey"),
+        "id_a",
+        "id_b",
+    )

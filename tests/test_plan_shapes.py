@@ -189,3 +189,12 @@ def test_quantize_stays_in_expressions(spark):
     plan = _plan(df, "simple")
     for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert bad not in plan, bad
+
+
+def test_interval_overlap_is_equi_hash_join(spark):
+    """Bucket replication must turn the interval overlap into an
+    equi-join: no banded nested-loop, no cartesian anywhere."""
+    df = REGISTRY["join_interval_overlap"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
