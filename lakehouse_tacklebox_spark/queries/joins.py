@@ -340,6 +340,7 @@ def join_salted_skew(spark, sf_dir):
 
 @register(
     "join_interval_overlap",
+    bench=True,
     tags=("join", "interval"),
     oracle="""
     WITH iv AS (

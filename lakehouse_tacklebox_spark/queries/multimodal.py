@@ -125,6 +125,7 @@ def mm_decode_features(spark, sf_dir):
 
 @register(
     "mm_block_dedup",
+    bench=True,
     tags=("multimodal", "dedup", "storage"),
     oracle=f"""
     WITH {_ORACLE_MEDIA},

@@ -618,6 +618,7 @@ def corpus_vocab(spark, sf_dir):
 
 @register(
     "text_repetition_filter",
+    bench=True,
     tags=("corpus", "quality"),
     oracle="""
     WITH toks AS (
@@ -787,6 +788,7 @@ def corpus_pipeline(spark, sf_dir):
 
 @register(
     "text_html_strip",
+    bench=True,
     tags=("corpus", "cleaning"),
     oracle="""
     WITH wrapped AS (
