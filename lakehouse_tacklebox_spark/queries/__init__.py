@@ -112,6 +112,7 @@ _WINDOW_PRIORITY = [
     "mm_block_dedup",
     "text_html_strip",
     "join_interval_overlap",
+    "corpus_tfidf_top",
     # (c) green only in round 1 — refresh their rows
     "agg_rollup",
     "agg_pivot",
@@ -130,7 +131,6 @@ _WINDOW_PRIORITY = [
     "scalar_strings",
     "scalar_dates",
     "scalar_json",
-    "scalar_case_score",
     "knn_bruteforce",
     "emb_neardup_pairs",
     "emb_label_centroids",
@@ -142,7 +142,8 @@ _WINDOW_PRIORITY = [
 # r01 rows stand): set_union_distinct/_all, set_intersect, set_except,
 # join_cross, join_self_pairs, agg_global, agg_count_distinct, scalar_math,
 # agg_unpivot_stack, agg_histogram, agg_collect_sorted, agg_time_bucket,
-# agg_conditional, agg_stats, agg_minmax_scaled, scalar_array_ops —
+# agg_conditional, agg_stats, agg_minmax_scaled, scalar_array_ops,
+# scalar_case_score —
 # value-stable
 # ops on tiny or trivially-aggregated inputs.
 

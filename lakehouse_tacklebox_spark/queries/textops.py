@@ -9,6 +9,7 @@ and covered by pytest instead.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.operators import dedup as D
@@ -841,4 +842,64 @@ def text_html_strip(spark, sf_dir):
             F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
             F.sum(F.col("clean").endswith("&footer").cast("bigint")).alias("n_footer"),
         )
+    )
+
+
+@register(
+    "corpus_tfidf_top",
+    tags=("corpus", "tfidf", "topk"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks WHERE token != '' GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, round(score, 4) AS score
+    FROM (
+        SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rn
+        FROM scored
+    ) WHERE rn = 1 AND doc_id < 100
+    """,
+)
+def corpus_tfidf_top(spark, sf_dir):
+    """Per-document keyword extraction: the most distinctive token by
+    rarity-weighted frequency, score = tf × N / df. Deliberately NOT
+    ln-based tf-idf: IEEE multiply/divide of integers is correctly
+    rounded and therefore bit-identical across engines, while libm
+    transcendentals (ln) are not — and the ranking is monotone-identical
+    for fixed tf. Two hash aggregations + a token-keyed join; the doc_id
+    < 100 cut keeps the gate result bounded (the full per-doc keyword
+    table is the real product)."""
+    from lakehouse_tacklebox_spark.operators import corpus as C
+
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", F.round("score", 4).alias("score"))
     )
