@@ -74,6 +74,32 @@ def shingle(
     return df.withColumn(out_col, ngrams).drop("__toks")
 
 
+def shingle_hashes(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles", distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per row as 64-bit HASHES (array<long>).
+
+    Same tokenization and windowing as :func:`shingle`, but each gram is
+    hashed inside the transform lambda (``xxhash64(tok₀..tokₙ₋₁)`` —
+    multi-arg hashing, so token boundaries are part of the hash) instead
+    of materializing the gram string. This halves the shingling cost of
+    the dedup pipelines (no per-gram string allocation; array_distinct
+    and the downstream explode/shuffle all run over fixed-width longs)
+    and is the form every hash-based consumer (jaccard postings, minhash
+    signatures, pair-verify intersect) actually needs — the gram TEXT is
+    only needed by diagnostics, which use :func:`shingle`.
+    """
+    df = df.withColumn("__toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    t = F.col("__toks")
+    n_grams = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(t, 1 + off, n_grams) for off in range(n)])
+    grams = F.transform(zipped, lambda s: F.xxhash64(*[s[str(off)] for off in range(n)]))
+    if distinct:
+        grams = F.array_distinct(grams)
+    ngrams = F.when(F.size(t) >= n, grams).otherwise(F.expr("cast(array() as array<bigint>)"))
+    return df.withColumn(out_col, ngrams).drop("__toks")
+
+
 def _seeded_hash(seed: int):
     """One-argument transform lambda hashing an element with a fixed seed.
 
@@ -144,6 +170,7 @@ def jaccard_pairs(
     shingle_col: str,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -165,22 +192,49 @@ def jaccard_pairs(
     """
     # Shingle strings hash to 8-byte keys before the join: the shuffle
     # moves fixed-width longs instead of n-gram strings (64-bit collision
-    # odds are negligible at any realistic corpus cardinality). The
-    # postings list is persisted AFTER the stop-shingle cap because three
-    # plan branches (sizes + both join sides) would otherwise re-shingle
-    # the corpus — and an uncapped persist wouldn't fit at corpus scale.
+    # odds are negligible at any realistic corpus cardinality).
+    # ``hashed=True`` (shingle_hashes input): the grams are already
+    # 64-bit longs, explode them directly.
+    #
+    # Physical shape: one fully-pipelined DAG, no persist barrier. The
+    # stop-shingle cap is enforced by broadcasting the STOP set — the
+    # shingles whose document frequency EXCEEDS the cap — and left-anti
+    # joining it into every postings branch map-side. The stop set is
+    # tiny by construction at any corpus scale (it is exactly the
+    # pathological boilerplate: empty at every gate SF, and even on a
+    # 100 TB crawl a few million 8-byte hashes ≈ tens of MB), so the
+    # broadcast always fits; the census that derives it is a partial-
+    # aggregating groupBy whose shuffle moves one (hash, count) row per
+    # DISTINCT shingle, never the postings. The postings explode is
+    # recomputed per branch (census + sizes + both join sides) rather
+    # than persisted: it is a narrow, allocation-light map over the
+    # corpus (with hashed grams), the branches run concurrently inside
+    # one job, and a cache-write barrier here measured ~2× the pipelined
+    # wall-clock at bench scale (the r3 regression was exactly such a
+    # barrier, plus a second materialization). Callers whose upstream is
+    # expensive (normalization, decompression) should persist
+    # ``shingled`` itself — the minhash pipeline does.
+    # explode_OUTER + null-filter, not plain explode: a bare explode makes
+    # InferFiltersFromGenerate synthesize `size(shingles) > 0` and
+    # predicate pushdown then sinks that filter — with the whole shingle
+    # expression inlined ~12× — BELOW the caller's repartition into the
+    # (often single-task) file-scan stage, serializing the most expensive
+    # compute of the query. An outer explode infers nothing; the
+    # isNotNull filter references the GENERATED column, which nothing can
+    # push below the Generate. (Measured: 1.66 s single-task stage → gone.)
     exploded = shingled.select(
-        F.col(id_col), F.explode(F.col(shingle_col)).alias("sh")
-    ).select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+        F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    if not hashed:
+        exploded = exploded.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     if max_doc_freq is not None:
-        rare = (
+        stop = (
             exploded.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
+            .filter(F.col("df") > max_doc_freq)
             .select("sh")
         )
-        exploded = exploded.join(rare, "sh")
-    exploded = exploded.persist()
+        exploded = exploded.join(F.broadcast(stop), "sh", "left_anti")
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -227,8 +281,12 @@ def simhash(
     no per-row Python.
     """
     hash_fn = token_hash if token_hash is not None else F.xxhash64
+    # explode_outer: keep InferFiltersFromGenerate from sinking a
+    # size(split(...)) probe into the upstream scan stage (see
+    # jaccard_pairs); split() never yields an empty array so no
+    # null-filter is needed.
     tokens = df.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
+        F.col(id_col), F.explode_outer(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
     ).withColumn("h", hash_fn(F.col("tok")))
     one = F.lit(1).cast("long")
     votes = tokens.groupBy(id_col).agg(

@@ -251,11 +251,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     of the LSH pipeline, oracle-checkable because it is pure set algebra.
     """
     d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    sh = D.shingle(d.select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
+    # Hashed shingles (array<long>): the grams never exist as strings, so
+    # the explode/shuffle below moves fixed-width longs end-to-end. No
+    # size>0 pre-filter — explode drops empty arrays itself, and a filter
+    # here gets predicate-pushed below the _spread repartition where its
+    # inlined shingle expression would re-run single-threaded on the scan.
+    sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=3)
     # max_doc_freq=500 is a no-op at every gate SF (max shingle DF: 25 at
     # sf0.1) so the oracle comparison stays exact, while bounding the
     # postings self-join on boilerplate-heavy corpora.
-    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.2, max_doc_freq=500)
+    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.2, max_doc_freq=500, hashed=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -302,13 +307,17 @@ def dedup_minhash_lsh(spark, sf_dir):
     (array_intersect per pair), so no stage is quadratic in the corpus."""
     d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     # The shingled corpus feeds three plan branches (signatures + both
-    # sides of the verify join) — materialize it once.
-    sh = (
-        D.shingle(d.select("doc_id", "text"), "text", n=3)
-        .filter(F.size("shingles") > 0)
-        .persist()
+    # sides of the verify join) — materialize it once. Hashed shingles:
+    # signatures seed-hash the 8-byte gram hashes and the pair-verify
+    # array_intersect compares longs, never gram strings. No size>0
+    # filter before the persist: it would be predicate-pushed (with the
+    # whole shingle expression inlined) below the repartition into the
+    # single-task scan stage; too-short docs are dropped on the cheap
+    # after signing instead (their array_min over an empty array is null).
+    sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=3).persist()
+    sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=48).filter(
+        F.col("sig").getItem(0).isNotNull()
     )
-    sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=48)
     cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=3)
     verified = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
     return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).filter(F.col("jaccard") >= 0.2)
@@ -406,8 +415,8 @@ def dedup_cluster_assign(spark, sf_dir):
     from lakehouse_tacklebox_spark.operators.cluster import connected_components
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    sh = D.shingle(_spread(d).select("doc_id", "text"), "text", n=3).filter(F.size("shingles") > 0)
-    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.2, max_doc_freq=500)
+    sh = D.shingle_hashes(_spread(d).select("doc_id", "text"), "text", n=3)
+    pairs = D.jaccard_pairs(sh, "doc_id", "shingles", threshold=0.2, max_doc_freq=500, hashed=True)
     return connected_components(
         pairs.select("id_a", "id_b"), vertices=d.select("doc_id"), id_col="doc_id"
     )
