@@ -71,11 +71,23 @@ class BenchmarkRunner:
         if self.warmup:
             for fn in self.queries.values():
                 fn(self.spark).count()
-        work = [(name, fn, rep) for rep in range(self.repetitions) for name, fn in self.queries.items()]
+        # One repetition wave at a time, clearing persisted intermediates
+        # at the wave boundary: queries that persist (the dedup pipelines
+        # cache their shingle frames) would otherwise stack CONCURRENCY ×
+        # REPETITIONS cached copies into storage memory under the timed
+        # runs and leave eviction timing to LRU. The barrier between waves
+        # mirrors the reference's per-repetition loop; its cost is one
+        # thread-join + a metadata-only clearCache per wave.
         t0 = time.perf_counter()
+        self.results = []
         with ThreadPoolExecutor(max_workers=self.concurrency, thread_name_prefix="bench") as pool:
-            futures = [pool.submit(self._execute, name, fn, rep, t0) for name, fn, rep in work]
-            self.results = [f.result() for f in futures]
+            for rep in range(self.repetitions):
+                futures = [
+                    pool.submit(self._execute, name, fn, rep, t0)
+                    for name, fn in self.queries.items()
+                ]
+                self.results.extend(f.result() for f in futures)
+                self.spark.catalog.clearCache()
         self.makespan_s = time.perf_counter() - t0
         return self
 

@@ -175,15 +175,20 @@ def repetition_scores(
     per document and dies on long documents, so it is deliberately not
     used. Documents too short to shingle score 0.
     """
-    from lakehouse_tacklebox_spark.operators.dedup import shingle
+    from lakehouse_tacklebox_spark.operators.dedup import shingle_hashes
 
-    g = shingle(df.select(id_col, text_col), text_col, n=n, out_col="__g", distinct=False)
-    # Count on the 64-bit hash of the gram, not the gram string: the
-    # shuffle key is 8 bytes instead of an n-gram, and a 64-bit collision
-    # inside ONE document's grams is vanishingly unlikely at any doc size.
+    # Hash-shingles end-to-end: the grams never exist as strings (the
+    # hash is computed inside the shingling transform), so explode and
+    # the (doc, gram) shuffle move fixed-width longs; a 64-bit collision
+    # inside ONE document's grams is vanishingly unlikely at any doc
+    # size. explode_outer (not explode): a bare explode lets
+    # InferFiltersFromGenerate sink an inlined size(shingles)>0 probe
+    # below the caller's repartition into the scan stage (see
+    # dedup.jaccard_pairs).
+    g = shingle_hashes(df.select(id_col, text_col), text_col, n=n, out_col="__g", distinct=False)
     per = (
-        g.select(id_col, F.explode("__g").alias("__gram"))
-        .select(id_col, F.xxhash64("__gram").alias("__gram"))
+        g.select(id_col, F.explode_outer("__g").alias("__gram"))
+        .filter(F.col("__gram").isNotNull())
         .groupBy(id_col, "__gram")
         .agg(F.count(F.lit(1)).alias("__c"))
     )

@@ -33,8 +33,16 @@ def interval_overlap_pairs(
     cells of the epoch-day axis.
     """
     cell_lo = F.floor(F.unix_date(F.col(start_col)) / granularity_days)
-    # end is exclusive: the last touched cell belongs to end - 1 day
-    cell_hi = F.floor(F.unix_date(F.date_sub(F.col(end_col), 1)) / granularity_days)
+    # end is exclusive: the last touched cell belongs to end - 1 day.
+    # Clamp to cell_lo: a dirty interval with end <= start would make
+    # F.sequence DESCEND and replicate the row onto every cell between
+    # end and start — unbounded explode blowup for grossly inverted
+    # intervals. Clamped, empty/inverted intervals land on exactly one
+    # cell and the strict overlap predicate below still rejects their
+    # pairs, so correctness is unchanged and cost is bounded.
+    cell_hi = F.greatest(
+        F.floor(F.unix_date(F.date_sub(F.col(end_col), 1)) / granularity_days), cell_lo
+    )
     cells = df.select(
         *key_cols,
         F.col(id_col),
