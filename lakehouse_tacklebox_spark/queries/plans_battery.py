@@ -59,19 +59,84 @@ QUERY_LOG_FIXTURE = [
 ]
 
 
+# The lexer's parse of QUERY_LOG_FIXTURE, exploded to one row per
+# (query, read-table, referenced-column, usage flags) exactly as
+# parse_query_log does (every column mention counts toward every table
+# the query reads; the scorer's schema join drops misattributions
+# later). Pinned as oracle VALUES: the lexer is deterministic, so if its
+# extraction drifts, the aggregated counts — and the driver's hash —
+# drift with it.
+_ORACLE_PARSE_VALUES = """
+        ('customer', 'c_acctbal',      1, 0, 0), ('customer', 'c_mktsegment',   0, 0, 1),
+        ('customer', 'c_nationkey',    1, 0, 0), ('customer', 'c_custkey',      0, 1, 0),
+        ('customer', 'o_custkey',      0, 1, 0), ('orders',   'c_nationkey',    1, 0, 0),
+        ('orders',   'c_custkey',      0, 1, 0), ('orders',   'o_custkey',      0, 1, 0),
+        ('orders',   'o_orderdate',    1, 0, 0), ('orders',   'o_orderpriority',0, 0, 1),
+        ('orders',   'o_custkey',      1, 0, 0), ('orders',   'c_custkey',      1, 0, 0),
+        ('orders',   'customer',       1, 0, 0), ('orders',   'c_acctbal',      1, 0, 0),
+        ('customer', 'o_custkey',      1, 0, 0), ('customer', 'c_custkey',      1, 0, 0),
+        ('customer', 'customer',       1, 0, 0), ('customer', 'c_acctbal',      1, 0, 0),
+        ('customer', 'c_nationkey',    0, 0, 1), ('customer', 'c_custkey',      0, 1, 0),
+        ('customer', 'o_custkey',      0, 1, 0), ('customer', 'c_nationkey',    0, 1, 0),
+        ('orders',   'c_custkey',      0, 1, 0), ('orders',   'o_custkey',      0, 1, 0),
+        ('orders',   'c_nationkey',    0, 1, 0)
+"""
+
+_CARD_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS ColumnName, round(count(DISTINCT {c}) / greatest(count(*), 1), 6) AS distinct_ratio FROM customer"
+    for c in _CUSTOMER_COLS
+)
+
+
 @register(
     "optimizer_column_scores",
     tags=("optimizer",),
-    # No oracle: the scoring pipeline runs query-parsing UDFs that DuckDB
-    # can't evaluate; value-checked in tests/test_plans.py.
+    # Oracle: the lexer's per-query extraction is deterministic, so its
+    # exploded output is pinned as VALUES (see _ORACLE_PARSE_VALUES) and
+    # the aggregate→min-max-scale→blend scoring pipeline is replayed in
+    # SQL with the arithmetic in the same order as scale_and_score, term
+    # for term — bit-identical doubles.
+    oracle=f"""
+    WITH parsed(TableName, ColumnName, is_filter, is_join, is_group) AS (
+        VALUES {_ORACLE_PARSE_VALUES}
+    ), stats AS (
+        SELECT TableName, ColumnName,
+               count(*) AS QueryReferenceCount,
+               CAST(sum(is_filter) AS BIGINT) AS FilterCount,
+               CAST(sum(is_join) AS BIGINT) AS JoinCount,
+               CAST(sum(is_group) AS BIGINT) AS GroupCount
+        FROM parsed GROUP BY TableName, ColumnName
+    ), card AS (
+        {_CARD_SQL}
+    ), joined AS (
+        SELECT s.*, coalesce(c.distinct_ratio, 0.0) AS distinct_ratio
+        FROM stats s LEFT JOIN card c USING (ColumnName)
+    ), scaled AS (
+        SELECT *,
+            coalesce((FilterCount - min(FilterCount) OVER w)
+                     / nullif(max(FilterCount) OVER w - min(FilterCount) OVER w, 0), 0.0) AS sf,
+            coalesce((JoinCount - min(JoinCount) OVER w)
+                     / nullif(max(JoinCount) OVER w - min(JoinCount) OVER w, 0), 0.0) AS sj,
+            coalesce((GroupCount - min(GroupCount) OVER w)
+                     / nullif(max(GroupCount) OVER w - min(GroupCount) OVER w, 0), 0.0) AS sg
+        FROM joined WINDOW w AS (PARTITION BY TableName)
+    )
+    SELECT TableName, ColumnName, QueryReferenceCount, FilterCount, JoinCount, GroupCount,
+           round(0.4 * sf + 0.25 * sj + 0.15 * sg + 0.1 * distinct_ratio + 0.1 * 0.0, 6) AS score
+    FROM scaled
+    ORDER BY TableName, ColumnName
+    """,
 )
 def optimizer_column_scores(spark, sf_dir):
     """Query-log → per-(table, column) usage stats, min-max scaled and
-    blended into a ZORDER score (deltaoptimizer.py profile→score path)."""
+    blended into a ZORDER score (deltaoptimizer.py profile→score path).
+    Exact cardinality (COUNT DISTINCT, not HLL) so the blended score is
+    engine-reproducible; the approximate default stays the scale path
+    for `recommend`."""
     log = spark.createDataFrame(QUERY_LOG_FIXTURE, "query_text string, duration_s double")
     stats = OPT.parse_query_log(log)
     cust = load_tables(spark, sf_dir, ["customer"])["customer"]
-    card = PR.cardinality_stats(cust, sample_size=10_000)
+    card = PR.cardinality_stats(cust, exact=True)
     return (
         OPT.scale_and_score(stats, card)
         .select("TableName", "ColumnName", "QueryReferenceCount", "FilterCount", "JoinCount", "GroupCount", "score")

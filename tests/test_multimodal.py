@@ -63,6 +63,60 @@ def test_decode_pixels_deterministic_fake(spark, media):
     assert set(MM.decode_pixels(media).columns) == {"doc_id", "width", "height", "mean_brightness"}
 
 
-def test_resize_is_gated_stub(spark, media):
-    with pytest.raises(NotImplementedError):
-        MM.resize_image(media, 32, 32)
+@pytest.fixture(scope="module")
+def bmp(spark):
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    return MM.as_bmp_images(docs).cache()
+
+
+def test_bmp_encode_is_byte_real(spark, bmp):
+    import struct
+
+    for r in bmp.limit(10).collect():
+        b = bytes(r.payload)
+        assert b[:2] == b"BM"
+        (size,) = struct.unpack_from("<I", b, 2)
+        (offset,) = struct.unpack_from("<I", b, 10)
+        w, h = struct.unpack_from("<ii", b, 18)
+        (bpp,) = struct.unpack_from("<H", b, 28)
+        assert (w, h, bpp, offset) == (r.width, r.height, 24, 54)
+        assert size == len(b) == 54 + h * MM._bmp_stride(w)
+
+
+def test_decode_bmp_roundtrip_matches_numpy(spark, bmp):
+    decoded = {r.doc_id: r for r in MM.decode_bmp(bmp).collect()}
+    for r in bmp.limit(20).collect():
+        d = decoded[r.doc_id]
+        n = 3 * r.width * r.height
+        expect = ((r.doc_id + np.arange(n)) % 256).astype(np.uint8)
+        assert (d.width, d.height, d.pixel_bytes) == (r.width, r.height, n)
+        assert abs(d.mean_brightness - float(expect.mean())) < 1e-12
+
+
+def test_decode_bmp_handles_topdown_files(spark):
+    # a top-down BMP (negative height) from another producer must decode
+    import numpy as np
+
+    rows = (np.arange(4 * 9) % 256).astype(np.uint8).reshape(4, 9)  # 3x4 img
+    b = bytearray(MM._bmp_encode(rows))
+    import struct
+
+    struct.pack_into("<i", b, 22, -4)  # mark top-down
+    w, h, pix = MM._bmp_decode(bytes(b))
+    assert (w, h) == (3, 4)
+    np.testing.assert_array_equal(pix, rows[::-1])
+
+
+def test_resize_nearest_neighbor(spark, bmp):
+    small = bmp.limit(5)
+    resized = MM.resize_image(small, 8, 6)
+    src = {r.doc_id: r for r in small.collect()}
+    for r in resized.collect():
+        assert (r.width, r.height) == (8, 6)
+        w, h, pix = MM._bmp_decode(bytes(r.payload))
+        assert (w, h) == (8, 6)
+        sw, sh, spix = MM._bmp_decode(bytes(src[r.doc_id].payload))
+        src_img = spix.reshape(sh, sw, 3)
+        ys = (np.arange(6) * sh // 6).clip(0, sh - 1)
+        xs = (np.arange(8) * sw // 8).clip(0, sw - 1)
+        np.testing.assert_array_equal(pix.reshape(6, 8, 3), src_img[ys][:, xs])

@@ -191,6 +191,37 @@ def test_quantize_stays_in_expressions(spark):
         assert bad not in plan, bad
 
 
+def test_ngram_jaccard_stays_pipelined(spark):
+    """Pin the r4 jaccard shape: one fully-pipelined DAG, NO persist
+    barrier (a cache write between shingling and the postings join
+    measured ~2x the pipelined wall-clock — the r3 regression), the
+    stop-shingle cap applied to every postings branch as a broadcast
+    LEFT ANTI, and hash joins throughout."""
+    # another query's lingering persist (minhash shares the shingle
+    # subplan) would be CacheManager-substituted into this plan
+    spark.catalog.clearCache()
+    df = REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "InMemoryRelation" not in plan, "persist barrier reintroduced"
+    # four postings consumers (sizes x2, self-join a/b) each anti-joined
+    # against the broadcast stop set
+    assert plan.count("LeftAnti") == 4, plan.count("LeftAnti")
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_lsh_reuses_persisted_shingles(spark):
+    """Pin the r3 minhash shape: the shingled corpus is persisted ONCE
+    and its InMemoryRelation feeds all four consumers (signature build,
+    band join probe+build, pair verify) — a refactor that drops the
+    persist would re-shingle the corpus four times."""
+    spark.catalog.clearCache()
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert plan.count("InMemoryTableScan") == 4, plan.count("InMemoryTableScan")
+    assert "SortMergeJoin" not in plan
+
+
 def test_interval_overlap_is_equi_hash_join(spark):
     """Bucket replication must turn the interval overlap into an
     equi-join: no banded nested-loop, no cartesian anywhere."""
