@@ -28,6 +28,93 @@ from lakehouse_tacklebox_spark.session import get_spark
 CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
 REPETITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
+# --- sf1 scale-drift section -------------------------------------------------
+# One decade above the bench SF: a single timed pass over the most
+# drift-sensitive headline queries at ~6M-row lineitem / 50k docs,
+# catching accidental quadratics the sf0.1 gate can't see. Data is
+# synthesized deterministically from sf0.1 on first run (tools/
+# gen_sf1.py: key-shifted replicas; shingle/vector spaces rotated per
+# replica so similarity workloads scale linearly). Runs after the sf0.1
+# phases, so codegen is warm and the measured decade ratio is
+# plan-scaling, not JIT. SPARK_GRAFT_SF1=0 disables.
+SF1_ENABLED = os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", str(Path(__file__).resolve().parent / ".sf1_testdata"))
+SF1_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "300"))
+# drift-priority order: the families the plan audit flags as the ones
+# that COULD go quadratic (pair joins, interval replication, window
+# packs), then scan-bound TPC-H reference points for the linear floor.
+SF1_QUERIES = [
+    "dedup_cluster_assign",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "corpus_pipeline",
+    "text_repetition_filter",
+    "join_interval_overlap",
+    "mm_block_dedup",
+    "corpus_vocab",
+    "text_decontaminate",
+    "mm_frame_stats",
+    "profile_customer",
+    "ds_channel_rollup",
+    "q21_waiting_suppliers",
+    "q5_local_supplier_volume",
+    "q20_excess_share_suppliers",
+    "q9_product_profit",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "ds_top_parts_per_brand",
+    "ds_brand_monthly_deviation",
+]
+# documented-quadratic exact baselines — excluded BY DESIGN, not silently:
+# brute-force knn is O(n²) on purpose (the IVF/LSH variants are the scale
+# path), so a 100x decade ratio is its spec, not drift.
+SF1_EXCLUDED_QUADRATIC = ["knn_bruteforce"]
+
+
+def ensure_sf1() -> bool:
+    tables = ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings")
+    if all((Path(SF1_DIR) / f"{t}.parquet").exists() for t in tables):
+        return True
+    try:
+        import subprocess
+
+        gen = Path(__file__).resolve().parent / "tools" / "gen_sf1.py"
+        subprocess.run([sys.executable, str(gen), "/root/testdata/sf0.1", SF1_DIR], check=True, timeout=600)
+        return True
+    except Exception as e:  # noqa: BLE001 — sf1 is best-effort, never sinks the bench
+        print(f"sf1 generation failed: {e}", file=sys.stderr)
+        return False
+
+
+def run_sf1_section(spark, specs, sf01_timings: dict) -> dict:
+    selected = [n for n in SF1_QUERIES if n in specs]
+    not_selected = sorted(set(specs) - set(selected) - set(SF1_EXCLUDED_QUADRATIC))
+    timings: dict[str, float] = {}
+    skipped_budget: list[str] = []
+    t_section = time.perf_counter()
+    for name in selected:
+        if time.perf_counter() - t_section > SF1_BUDGET_S:
+            skipped_budget.append(name)
+            continue
+        timings[name] = round(run_query(spark, specs[name], SF1_DIR), 3)
+        spark.catalog.clearCache()
+    ratios = {
+        n: round(t / sf01_timings[n], 2)
+        for n, t in timings.items()
+        if sf01_timings.get(n)
+    }
+    return {
+        "dir": SF1_DIR,
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+        "decade_ratio_vs_sf0.1": ratios,
+        "max_decade_ratio": max(ratios.values()) if ratios else None,
+        "excluded_quadratic_baselines": SF1_EXCLUDED_QUADRATIC,
+        "not_selected": not_selected,
+        "skipped_budget": skipped_budget,
+    }
+
 
 def headline_specs() -> dict:
     """All TPC-H entries (every queries/tpch*.py registration) plus the
@@ -83,6 +170,10 @@ def main() -> None:
     ).run()
     failures = [r.name for r in runner.results if r.status != "SUCCESS"]
 
+    sf1 = None
+    if SF1_ENABLED and ensure_sf1():
+        sf1 = run_sf1_section(spark, specs, timings)
+
     print(
         json.dumps(
             {
@@ -98,6 +189,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "registered_queries": len(REGISTRY),
+                "sf1": sf1,
             }
         )
     )
