@@ -51,6 +51,8 @@ SF1_QUERIES = [
     "text_repetition_filter",
     "join_interval_overlap",
     "mm_block_dedup",
+    "mm_audio_features",
+    "mm_video_features",
     "corpus_vocab",
     "text_decontaminate",
     "mm_frame_stats",

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from lakehouse_tacklebox_spark.operators.dedup import shingle
+from lakehouse_tacklebox_spark.operators.dedup import shingle, shingle_hashes
 
 
 def hash_bucket(col, buckets: int = 100):
@@ -92,15 +92,23 @@ def contamination_flags(
     that plan isn't recomputed for the probe branch. Flags still attach
     to ``train``; extra probe-only ids are dropped by the join.
     """
+    # Hash-shingles on BOTH sides: the gram strings never materialize, the
+    # broadcast set is 8-byte longs (a few MB even for large eval suites)
+    # and the probe's semi join compares fixed-width keys. A 64-bit
+    # cross-collision mis-flagging a clean document needs ~2^64 /
+    # (|eval shingles| · |corpus grams|) luck — immaterial next to the
+    # n-gram heuristic itself. explode_outer keeps the inferred size()
+    # probe out of the upstream scan stage (see dedup.jaccard_pairs).
     eval_sh = (
-        shingle(eval_df.select(text_col), text_col, n=n)
+        shingle_hashes(eval_df.select(text_col), text_col, n=n)
         .select(F.explode("shingles").alias("__s"))
         .distinct()
     )
     probe = train if probe is None else probe
     hit_ids = (
-        shingle(probe.select(id_col, text_col), text_col, n=n)
-        .select(id_col, F.explode("shingles").alias("__s"))
+        shingle_hashes(probe.select(id_col, text_col), text_col, n=n)
+        .select(id_col, F.explode_outer("shingles").alias("__s"))
+        .filter(F.col("__s").isNotNull())
         .join(F.broadcast(eval_sh), "__s", "left_semi")
         .select(id_col)
         .distinct()
@@ -175,8 +183,6 @@ def repetition_scores(
     per document and dies on long documents, so it is deliberately not
     used. Documents too short to shingle score 0.
     """
-    from lakehouse_tacklebox_spark.operators.dedup import shingle_hashes
-
     # Hash-shingles end-to-end: the grams never exist as strings (the
     # hash is computed inside the shingling transform), so explode and
     # the (doc, gram) shuffle move fixed-width longs; a 64-bit collision

@@ -13,14 +13,15 @@ training-data pipeline:
 - per-byte work (feature extraction, decode) runs in Arrow-batched
   ``mapInPandas``/``pandas_udf`` — one Python round-trip per batch, not
   per row;
-- true codec decode is dependency-free for uncompressed 24-bit BMP:
-  ``as_bmp_images`` writes real BMP payloads (little-endian headers, row
-  padding, bottom-up rows), ``decode_bmp`` parses any 24-bit BMP back to
-  dims + pixel statistics, and ``resize_image`` does a real
-  nearest-neighbor resample + re-encode — all numpy inside Arrow
-  batches. Compressed codecs (PNG/JPEG) would need PIL, which is absent
-  here; ``decode_pixels`` keeps the PIL-or-deterministic-fake dispatch
-  for those payloads.
+- true codec decode is dependency-free across the whole modality triad:
+  uncompressed 24-bit BMP images (``as_bmp_images``/``decode_bmp``/
+  ``resize_image``), PCM16 mono WAV audio (``as_wav_audio``/
+  ``decode_wav``/``resample_audio``), and uncompressed-DIB AVI video
+  (``as_avi_videos``/``decode_avi``/``sample_avi_frames``) — real
+  little-endian headers, RIFF chunk walking, BMP row padding, all numpy
+  inside Arrow batches. Compressed codecs (PNG/JPEG/MP3/H.264) would
+  need external libraries, absent here; ``decode_pixels`` keeps the
+  PIL-or-deterministic-fake dispatch for those payloads.
 
 Scale notes: every metadata op is whole-stage-codegen eligible; frame
 sampling is ``transform(sequence(...))`` + ``posexplode`` (no Python, no
@@ -324,6 +325,323 @@ def decode_bmp(df: DataFrame, payload_col: str = "payload", keys: list[str] | No
             yield pd.DataFrame(rows, columns=[*keys, "width", "height", "pixel_bytes", "mean_brightness"])
 
     return df.select(*keys, payload_col).mapInPandas(_decode, schema)
+
+
+# ---------------------------------------------------------------------------
+# Real dependency-free audio codec: PCM 16-bit mono WAV.
+#
+# Same philosophy as the BMP path: RIFF/WAVE is parseable with byte
+# arithmetic alone — 12-byte RIFF header, then chunks ("fmt " carries
+# rate/bits/channels, "data" carries LE int16 samples). The decoder
+# walks chunks properly (skipping unknown ones), so it reads any
+# PCM16 mono WAV, not just our fixture.
+# ---------------------------------------------------------------------------
+
+WAV_HEADER_LEN = 44
+
+
+def _wav_encode(samples, sample_rate: int = 8000) -> bytes:
+    """int16 numpy array (mono) → canonical 44-byte-header PCM WAV."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def _wav_decode(b: bytes):
+    """WAV bytes → (sample_rate, int16 sample array). Walks the chunk
+    list (any chunk order, unknown chunks skipped); PCM16 mono only."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", b, body)
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(f"only PCM16 mono supported, got fmt={fmt} ch={channels} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(b, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def as_wav_audio(documents: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000) -> DataFrame:
+    """Deterministic real-WAV fixture over the audio-modality documents
+    (``doc_id % 3 == 1``, matching ``as_media``'s modality cycle).
+
+    n_samples = id%800+200; sample i = ((id·31 + i·7) % 2001) − 1000 —
+    analytic, so decoded statistics (peak, RMS) are recomputable by any
+    engine without an audio library. The payload is a byte-real PCM16
+    mono WAV (RIFF chunks, LE headers)."""
+    aud = documents.filter(F.col(id_col) % 3 == 1).select(
+        F.col(id_col), (F.col(id_col) % 800 + 200).cast("int").alias("n_samples")
+    )
+
+    @pandas_udf("binary")
+    def _enc(ids: pd.Series, ns: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i, n in zip(ids, ns):
+            s = ((int(i) * 31 + np.arange(int(n)) * 7) % 2001) - 1000
+            out.append(_wav_encode(s.astype("<i2"), sample_rate))
+        return pd.Series(out)
+
+    return aud.withColumn("payload", _enc(id_col, "n_samples"))
+
+
+def decode_wav(df: DataFrame, payload_col: str = "payload", keys: list[str] | None = None) -> DataFrame:
+    """Real WAV decode via mapInPandas: chunk-walked header + sample
+    statistics. Output: (keys..., sample_rate, n_samples, duration_ms,
+    peak_abs, rms). One Python crossing per Arrow batch."""
+    keys = keys or ["doc_id"]
+    schema = (
+        ", ".join(f"{k} long" for k in keys)
+        + ", sample_rate int, n_samples long, duration_ms long, peak_abs long, rms double"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rate, s = _wav_decode(bytes(r[payload_col]))
+                n = int(s.size)
+                sq = s.astype(np.float64)
+                rms = math.sqrt(float((sq * sq).sum()) / n) if n else 0.0
+                rows.append(
+                    [
+                        *(r[k] for k in keys),
+                        rate,
+                        n,
+                        n * 1000 // rate,
+                        int(np.abs(s.astype(np.int64)).max()) if n else 0,
+                        rms,
+                    ]
+                )
+            yield pd.DataFrame(
+                rows, columns=[*keys, "sample_rate", "n_samples", "duration_ms", "peak_abs", "rms"]
+            )
+
+    return df.select(*keys, payload_col).mapInPandas(_decode, schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    payload_col: str = "payload",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-neighbor resample of PCM16 WAV payloads to ``target_rate``,
+    re-encoded as WAV — real decode → numpy index-map → real re-encode,
+    the audio analogue of ``resize_image``."""
+    keys = keys or ["doc_id"]
+    schema = ", ".join(f"{k} long" for k in keys) + f", sample_rate int, n_samples long, {payload_col} binary"
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rate, s = _wav_decode(bytes(r[payload_col]))
+                n_out = max(1, int(s.size) * target_rate // rate)
+                idx = (np.arange(n_out) * rate // target_rate).clip(0, max(s.size - 1, 0))
+                out = s[idx] if s.size else s
+                rows.append([*(r[k] for k in keys), target_rate, int(out.size), _wav_encode(out, target_rate)])
+            yield pd.DataFrame(rows, columns=[*keys, "sample_rate", "n_samples", payload_col])
+
+    return df.select(*keys, payload_col).mapInPandas(_resample, schema)
+
+
+# ---------------------------------------------------------------------------
+# Real dependency-free video container: AVI with uncompressed DIB frames.
+#
+# AVI is RIFF like WAV: RIFF('AVI ') wrapping a LIST('hdrl') header
+# (avih main header + LIST('strl') with strh/strf, where strf is the
+# same BITMAPINFOHEADER as BMP) and a LIST('movi') whose '00db' chunks
+# are raw bottom-up DIB frames with BMP-style 4-byte row padding. The
+# encoder writes that structure for real; the decoder walks chunks,
+# reads dims from strf, and iterates frames — so it reads any
+# uncompressed-DIB AVI, not just our fixture.
+# ---------------------------------------------------------------------------
+
+
+def _avi_encode(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """list of (height, width*3) uint8 frame rows (bottom-up, unpadded)
+    → minimal uncompressed-DIB AVI."""
+    import struct
+
+    import numpy as np
+
+    stride = _bmp_stride(width)
+    frame_size = height * stride
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0, len(frames), 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_size, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    movi_body = b"movi"
+    for fr in frames:
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, : width * 3] = fr
+        movi_body += b"00db" + struct.pack("<I", frame_size) + padded.tobytes()
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_decode(b: bytes):
+    """AVI bytes → (width, height, [(height, width*3) uint8 frames,
+    bottom-up, unpadded]). Chunk-walking parser: dims from the strf
+    BITMAPINFOHEADER, frames from the movi LIST's 00db/00dc chunks."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = None
+    frames = []
+
+    def walk(pos: int, end: int):
+        nonlocal w, h
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", b, pos)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # skip the 4-byte list type
+            elif cid == b"strf":
+                _, w_, h_, _, bpp = struct.unpack_from("<IiiHH", b, body)
+                if bpp != 24:
+                    raise ValueError(f"only 24-bit DIB frames supported, got bpp={bpp}")
+                w, h = w_, abs(h_)
+            elif cid in (b"00db", b"00dc"):
+                frames.append((body, size))
+            pos = body + size + (size & 1)
+
+    walk(12, len(b))
+    if w is None or h is None:
+        raise ValueError("missing strf header")
+    stride = _bmp_stride(w)
+    out = []
+    for off, size in frames:
+        rows = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=off).reshape(h, stride)
+        out.append(rows[:, : w * 3])
+    return w, h, out
+
+
+def as_avi_videos(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-AVI fixture over the video-modality documents
+    (``doc_id % 3 == 2``, matching ``as_media``'s modality cycle).
+
+    n_frames = id%4+2, width = id%8+4, height = id%6+4; pixel byte i of
+    frame f (linear over the 3·w·h unpadded bytes) is
+    ``(doc_id + f·13 + i) % 256`` — analytic, so decoded statistics are
+    recomputable without a codec. The payload is a byte-real AVI."""
+    vids = documents.filter(F.col(id_col) % 3 == 2).select(
+        F.col(id_col),
+        (F.col(id_col) % 4 + 2).cast("int").alias("n_frames"),
+        (F.col(id_col) % 8 + 4).cast("int").alias("width"),
+        (F.col(id_col) % 6 + 4).cast("int").alias("height"),
+    )
+
+    @pandas_udf("binary")
+    def _enc(ids: pd.Series, nf: pd.Series, ws: pd.Series, hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i, n, w, h in zip(ids, nf, ws, hs):
+            npx = 3 * int(w) * int(h)
+            frames = [
+                ((int(i) + f * 13 + np.arange(npx)) % 256).astype(np.uint8).reshape(int(h), int(w) * 3)
+                for f in range(int(n))
+            ]
+            out.append(_avi_encode(frames, int(w), int(h)))
+        return pd.Series(out)
+
+    return vids.withColumn("payload", _enc(id_col, "n_frames", "width", "height"))
+
+
+def decode_avi(df: DataFrame, payload_col: str = "payload", keys: list[str] | None = None) -> DataFrame:
+    """Real AVI decode via mapInPandas: container walk + per-video frame
+    statistics. Output: (keys..., width, height, n_frames, frame_bytes,
+    mean_pixel) where frame_bytes is the unpadded 3·w·h and mean_pixel
+    averages every frame's pixel bytes."""
+    keys = keys or ["doc_id"]
+    schema = (
+        ", ".join(f"{k} long" for k in keys)
+        + ", width int, height int, n_frames int, frame_bytes long, mean_pixel double"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, frames = _avi_decode(bytes(r[payload_col]))
+                total = np.concatenate([f.reshape(-1) for f in frames]) if frames else np.zeros(0, np.uint8)
+                rows.append(
+                    [
+                        *(r[k] for k in keys),
+                        w, h, len(frames), 3 * w * h,
+                        float(total.mean()) if total.size else 0.0,
+                    ]
+                )
+            yield pd.DataFrame(rows, columns=[*keys, "width", "height", "n_frames", "frame_bytes", "mean_pixel"])
+
+    return df.select(*keys, payload_col).mapInPandas(_decode, schema)
+
+
+def sample_avi_frames(
+    df: DataFrame, every: int = 2, payload_col: str = "payload", keys: list[str] | None = None
+) -> DataFrame:
+    """Real frame sampling: decode the container, keep every ``every``-th
+    frame, re-encode each kept frame as a standalone BMP — the
+    video→image handoff of a training pipeline (frame dataset from a
+    video corpus), one row per kept frame."""
+    keys = keys or ["doc_id"]
+    schema = ", ".join(f"{k} long" for k in keys) + ", frame_idx int, frame_bmp binary"
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, frames = _avi_decode(bytes(r[payload_col]))
+                for idx in range(0, len(frames), every):
+                    rows.append([*(r[k] for k in keys), idx, _bmp_encode(frames[idx])])
+            yield pd.DataFrame(rows, columns=[*keys, "frame_idx", "frame_bmp"])
+
+    return df.select(*keys, payload_col).mapInPandas(_sample, schema)
 
 
 def resize_image(

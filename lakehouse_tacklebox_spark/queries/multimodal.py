@@ -134,6 +134,89 @@ def mm_decode_features(spark, sf_dir):
 
 
 @register(
+    "mm_audio_features",
+    bench=True,
+    tags=("multimodal", "pandas_udf", "audio"),
+    # Oracle: the payload is a REAL PCM16 mono WAV whose sample i is the
+    # analytic ((doc_id*31 + i*7) % 2001) - 1000, so DuckDB recomputes
+    # peak/RMS without an audio library while the engine chunk-walks the
+    # actual RIFF bytes. Sums of squares stay < 2^53, so the double math
+    # is exact and identical on both engines before the final round.
+    oracle="""
+    WITH aud AS (
+        SELECT doc_id, CAST(doc_id % 800 + 200 AS BIGINT) AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ), stats AS (
+        SELECT doc_id, n,
+               [CAST((doc_id * 31 + i * 7) % 2001 - 1000 AS DOUBLE) for i in range(n)] AS s
+        FROM aud
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           n AS n_samples,
+           CAST(floor(n * 1000 / 8000) AS BIGINT) AS duration_ms,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak_abs,
+           round(sqrt(list_aggregate(list_transform(s, x -> x * x), 'avg')), 4) AS rms
+    FROM stats
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """Arrow-batched REAL audio decode: documents → real PCM16 mono WAV
+    payloads (as_wav_audio) → mapInPandas RIFF chunk walk + sample stats
+    (decode_wav). Exercises the full byte path — chunk traversal, fmt
+    fields, LE int16 samples — against an analytic oracle, no audio
+    library involved."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    wav = MM.as_wav_audio(docs)
+    decoded = MM.decode_wav(wav, keys=["doc_id"])
+    return decoded.select(
+        "doc_id", "sample_rate", "n_samples", "duration_ms", "peak_abs",
+        F.round("rms", 4).alias("rms"),
+    )
+
+
+@register(
+    "mm_video_features",
+    bench=True,
+    tags=("multimodal", "pandas_udf", "video"),
+    # Oracle: the payload is a REAL AVI container (RIFF lists, avih/strh/
+    # strf headers, raw DIB frames with BMP row padding) whose pixel byte
+    # i of frame f is the analytic (doc_id + f*13 + i) % 256 — DuckDB
+    # recomputes the decoded statistics via one flat comprehension
+    # (f = idx / frame_bytes, i = idx % frame_bytes) without a codec.
+    oracle="""
+    WITH vid AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames,
+               CAST(doc_id % 8 + 4 AS INTEGER) AS width,
+               CAST(doc_id % 6 + 4 AS INTEGER) AS height,
+               CAST(3 * (doc_id % 8 + 4) * (doc_id % 6 + 4) AS BIGINT) AS frame_bytes
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, width, height, n_frames, frame_bytes,
+           round(list_aggregate(
+               [CAST((doc_id + (i // frame_bytes) * 13 + (i % frame_bytes)) % 256 AS DOUBLE)
+                for i in range(n_frames * frame_bytes)], 'avg'), 4) AS mean_pixel
+    FROM vid
+    """,
+)
+def mm_video_features(spark, sf_dir):
+    """Arrow-batched REAL video decode: documents → real uncompressed-DIB
+    AVI payloads (as_avi_videos) → mapInPandas container walk + frame
+    stats (decode_avi). Completes the byte-real multimodal triad
+    (BMP image / WAV audio / AVI video) — RIFF list traversal, strf
+    header parse, per-frame stride/padding handling, all against an
+    analytic oracle with no codec library."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    avi = MM.as_avi_videos(docs)
+    decoded = MM.decode_avi(avi, keys=["doc_id"])
+    return decoded.select(
+        "doc_id", "width", "height", "n_frames", "frame_bytes",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
+    )
+
+
+@register(
     "mm_block_dedup",
     bench=True,
     tags=("multimodal", "dedup", "storage"),

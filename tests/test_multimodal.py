@@ -107,6 +107,117 @@ def test_decode_bmp_handles_topdown_files(spark):
     np.testing.assert_array_equal(pix, rows[::-1])
 
 
+@pytest.fixture(scope="module")
+def wav(spark):
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    return MM.as_wav_audio(docs).cache()
+
+
+def test_wav_encode_is_byte_real(spark, wav):
+    import struct
+
+    for r in wav.limit(10).collect():
+        b = bytes(r.payload)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        fmt, ch, rate, byte_rate, block, bits = struct.unpack_from("<HHIIHH", b, 20)
+        assert (fmt, ch, rate, bits) == (1, 1, 8000, 16)
+        (data_len,) = struct.unpack_from("<I", b, 40)
+        assert data_len == 2 * r.n_samples
+        assert len(b) == 44 + data_len
+
+
+def test_decode_wav_roundtrip_matches_numpy(spark, wav):
+    import math
+
+    decoded = {r.doc_id: r for r in MM.decode_wav(wav).collect()}
+    for r in wav.limit(20).collect():
+        d = decoded[r.doc_id]
+        s = ((r.doc_id * 31 + np.arange(r.n_samples) * 7) % 2001) - 1000
+        assert (d.sample_rate, d.n_samples) == (8000, r.n_samples)
+        assert d.duration_ms == r.n_samples * 1000 // 8000
+        assert d.peak_abs == int(np.abs(s).max())
+        assert abs(d.rms - math.sqrt(float((s.astype(float) ** 2).mean()))) < 1e-12
+
+
+def test_decode_wav_skips_unknown_chunks(spark):
+    # a LIST chunk before data (common in real files) must be skipped
+    import struct
+
+    s = (np.arange(100) % 300 - 150).astype("<i2")
+    b = MM._wav_encode(s, 8000)
+    extra = struct.pack("<4sI", b"LIST", 6) + b"INFOxy"
+    patched = b[:12] + extra + b[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, out = MM._wav_decode(patched)
+    assert rate == 8000
+    np.testing.assert_array_equal(out, s)
+
+
+def test_resample_audio_nearest_neighbor(spark, wav):
+    small = wav.limit(5)
+    res = MM.resample_audio(small, 4000)
+    src = {r.doc_id: r for r in small.collect()}
+    for r in res.collect():
+        rate, out = MM._wav_decode(bytes(r.payload))
+        assert rate == 4000 and r.sample_rate == 4000
+        _, s = MM._wav_decode(bytes(src[r.doc_id].payload))
+        n_out = s.size * 4000 // 8000
+        idx = (np.arange(n_out) * 8000 // 4000).clip(0, s.size - 1)
+        np.testing.assert_array_equal(out, s[idx])
+        assert r.n_samples == n_out
+
+
+@pytest.fixture(scope="module")
+def avi(spark):
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    return MM.as_avi_videos(docs).cache()
+
+
+def test_avi_container_is_byte_real(spark, avi):
+    import struct
+
+    for r in avi.limit(10).collect():
+        b = bytes(r.payload)
+        assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+        (riff_size,) = struct.unpack_from("<I", b, 4)
+        assert riff_size == len(b) - 8
+        w, h, frames = MM._avi_decode(b)
+        assert (w, h, len(frames)) == (r.width, r.height, r.n_frames)
+        stride = MM._bmp_stride(r.width)
+        assert all(f.shape == (r.height, r.width * 3) for f in frames)
+        # container accounting: movi payload = n_frames x (8 + h*stride)
+        assert b.count(b"00db") == r.n_frames
+        assert stride % 4 == 0
+
+
+def test_decode_avi_matches_analytic_law(spark, avi):
+    decoded = {r.doc_id: r for r in MM.decode_avi(avi).collect()}
+    for r in avi.limit(20).collect():
+        d = decoded[r.doc_id]
+        npx = 3 * r.width * r.height
+        vals = np.concatenate(
+            [((r.doc_id + f * 13 + np.arange(npx)) % 256) for f in range(r.n_frames)]
+        )
+        assert (d.width, d.height, d.n_frames, d.frame_bytes) == (r.width, r.height, r.n_frames, npx)
+        assert abs(d.mean_pixel - float(vals.mean())) < 1e-12
+
+
+def test_sample_avi_frames_are_valid_bmps(spark, avi):
+    small = avi.limit(5)
+    frames = MM.sample_avi_frames(small, every=2)
+    src = {r.doc_id: r for r in small.collect()}
+    got = frames.collect()
+    assert got
+    for r in got:
+        assert r.frame_idx % 2 == 0
+        w, h, pix = MM._bmp_decode(bytes(r.frame_bmp))
+        s = src[r.doc_id]
+        assert (w, h) == (s.width, s.height)
+        npx = 3 * w * h
+        expect = ((s.doc_id + r.frame_idx * 13 + np.arange(npx)) % 256).astype(np.uint8)
+        np.testing.assert_array_equal(pix.reshape(-1), expect)
+
+
 def test_resize_nearest_neighbor(spark, bmp):
     small = bmp.limit(5)
     resized = MM.resize_image(small, 8, 6)
