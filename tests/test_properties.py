@@ -1,0 +1,199 @@
+"""Property-based tests (hypothesis): randomized inputs checked against
+naive reference implementations — the adversarial complement to the
+example-based suites. Spark-backed properties keep example counts small
+(each example runs real jobs); pure-numpy codec roundtrips run many.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.operators import multimodal as MM
+from lakehouse_tacklebox_spark.operators.cluster import connected_components
+from lakehouse_tacklebox_spark.operators.corpus import pack_shards
+from lakehouse_tacklebox_spark.operators.dedup import keep_latest
+from lakehouse_tacklebox_spark.operators.intervals import interval_overlap_pairs
+
+SPARK_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+# --- connected components vs pure-Python union-find -------------------------
+
+@SPARK_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=40,
+    ),
+    n_vertices=st.integers(1, 31),
+)
+def test_connected_components_matches_union_find(spark, edges, n_vertices):
+    verts = list(range(n_vertices))
+    edges = [e for e in edges if e[0] < n_vertices and e[1] < n_vertices]
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min vertex id per component
+    comp_min: dict[int, int] = {}
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expect = {v: comp_min[find(v)] for v in verts}
+
+    e_df = (
+        spark.createDataFrame(edges, "id_a long, id_b long")
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    v_df = spark.createDataFrame([(v,) for v in verts], "id long")
+    got = {r.id: r.component for r in connected_components(e_df, vertices=v_df).collect()}
+    assert got == expect
+
+
+# --- interval overlap vs naive O(n^2) predicate (incl. dirty intervals) -----
+
+@SPARK_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),        # key
+            st.integers(0, 60),       # start offset (days from epoch base)
+            st.integers(-5, 30),      # length in days; <= 0 makes a DIRTY interval
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_interval_overlap_matches_naive(spark, rows):
+    import datetime as dt
+
+    base = dt.date(2020, 1, 1)
+    data = [
+        (k, i, base + dt.timedelta(days=s), base + dt.timedelta(days=s + ln))
+        for i, (k, s, ln) in enumerate(rows)
+    ]
+    expect = set()
+    for k1, i1, s1, e1 in data:
+        for k2, i2, s2, e2 in data:
+            if k1 == k2 and i1 < i2 and s1 < e2 and s2 < e1:
+                expect.add((k1, i1, i2))
+    df = spark.createDataFrame(data, "k int, id long, start_d date, end_d date")
+    got = {
+        (r.k, r.id_a, r.id_b)
+        for r in interval_overlap_pairs(df, ["k"], "id", "start_d", "end_d", granularity_days=7).collect()
+    }
+    assert got == expect
+
+
+# --- shard packing invariants ------------------------------------------------
+
+@SPARK_SETTINGS
+@given(
+    sizes=st.lists(st.integers(1, 500), min_size=1, max_size=30),
+    budget=st.integers(50, 400),
+)
+def test_pack_shards_invariants(spark, sizes, budget):
+    data = [("g", i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(data, "grp string, id long, sz long")
+    out = sorted(
+        pack_shards(df, "grp", "id", "sz", budget=budget).collect(), key=lambda r: r.id
+    )
+    # shard of each row = floor(cumulative-size-before-row / budget):
+    # monotone in the deterministic order, starts at 0, and a shard's
+    # pre-row total never reaches budget + its own row (over-fill is at
+    # most one document)
+    cum = 0
+    for r in out:
+        assert r.shard_id == cum // budget
+        cum += r.sz
+    assert out[0].shard_id == 0
+    totals: dict[int, int] = {}
+    for r in out:
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.sz
+    for shard, tot in totals.items():
+        others = tot - max(r.sz for r in out if r.shard_id == shard)
+        assert others < budget  # remove its largest row and a shard fits
+
+
+# --- keep_latest vs pandas idxmax -------------------------------------------
+
+@SPARK_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=40
+    )
+)
+def test_keep_latest_matches_reference(spark, rows):
+    # unique tiebreaker: the row index rides along so order_by is total
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, v long, idx long")
+    got = {(r.k, r.v, r.idx) for r in keep_latest(df, ["k"], ["v", "idx"]).collect()}
+    expect = {}
+    for k, v, i in data:
+        if k not in expect or (v, i) > (expect[k][1], expect[k][2]):
+            expect[k] = (k, v, i)
+    assert got == set(expect.values())
+
+
+# --- codec roundtrips (pure numpy — no Spark, many examples) ----------------
+
+@settings(max_examples=150, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, 256, size=(h, w * 3), dtype=np.uint8)
+    got_w, got_h, got = MM._bmp_decode(MM._bmp_encode(rows))
+    assert (got_w, got_h) == (w, h)
+    np.testing.assert_array_equal(got, rows)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    n=st.integers(0, 3000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    got_rate, got = MM._wav_decode(MM._wav_encode(s, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(got, s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    n_frames=st.integers(0, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(w, h, n_frames, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=(h, w * 3), dtype=np.uint8) for _ in range(n_frames)]
+    got_w, got_h, got = MM._avi_decode(MM._avi_encode(frames, w, h))
+    assert (got_w, got_h, len(got)) == (w, h, n_frames)
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a, b)
