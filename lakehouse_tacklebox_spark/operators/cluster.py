@@ -89,11 +89,21 @@ def connected_components(
             .select(F.col("e.u").alias("u"), F.col("l.label").alias("label"))
         )
         propagated = labels.unionByName(msgs).groupBy("u").agg(F.min("label").alias("label"))
-        # pointer jumping: also adopt the label's own label (path halving).
-        # Quasi-clique near-dup graphs converge in ~1 round with seeding;
-        # this turns adversarial chain-shaped graphs from O(diameter)
-        # rounds into O(log diameter) for one extra self-join per round.
-        new_labels = (
+        # Convergence test BEFORE the pointer jump: a propagation fixpoint
+        # forces label[u] == label[v] across every edge (min with each
+        # neighbor moved nothing in both directions), i.e. labels are
+        # already constant per component — so the jump cannot change
+        # anything either and the final (verification) round costs two
+        # shuffles + a scalar agg, no jump join, no checkpoint write.
+        # With min-neighbor seeding this IS the only round on quasi-clique
+        # near-dup graphs.
+        prop_sum = _label_sum(propagated)
+        if prop_sum == prev_sum:
+            break
+        # pointer jumping: also adopt the label's own label (path halving)
+        # — turns adversarial chain-shaped graphs from O(diameter) rounds
+        # into O(log diameter) for one extra self-join per round.
+        labels = (
             propagated.alias("x")
             .join(propagated.alias("y"), F.col("x.label") == F.col("y.u"), "left")
             .select(
@@ -101,11 +111,7 @@ def connected_components(
                 F.least(F.col("x.label"), F.col("y.label")).alias("label"),
             )
         ).localCheckpoint(eager=True)
-        new_sum = _label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        prev_sum = _label_sum(labels)
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
 
 
