@@ -56,6 +56,7 @@ def bench_queries() -> dict[str, QuerySpec]:
 from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     aggregates,
     cdc_battery,
+    corpus_extra,
     joins,
     metrics,
     multimodal,
@@ -70,6 +71,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpch_extra2,
     tpch_extra3,
     tpcds_shapes,
+    tpcds_shapes2,
     validation,
     windows,
 )

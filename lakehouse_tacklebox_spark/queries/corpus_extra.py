@@ -1,0 +1,158 @@
+"""Corpus-health operators, round-4 wave: per-domain ingest triage and
+cross-document boilerplate detection — the two reports a training-data
+pipeline runs before deciding what to keep per source (reference intent:
+the per-table profiling loop in deltaoptimizer.py:1161-1242, re-aimed at
+a document corpus).
+
+Determinism: counts are BIGINT; every ratio is floor(a * 1e6 / b) over
+exact integer counts (single IEEE double op, engine-exact); averages use
+round(avg(int), 4) which both engines compute identically on integer
+inputs at gate scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+
+def _ppm(a, b) -> F.Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.floor(a.cast("double") * 1000000.0 / b).cast("bigint")
+
+
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "corpus_domain_stats",
+    tags=("corpus", "dedup", "profile"),
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS docs,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+               CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY source
+    )
+    SELECT source, docs, dup_docs,
+           CAST(floor(CAST(dup_docs AS DOUBLE) * 1000000.0 / docs) AS BIGINT) AS dup_ppm,
+           total_tokens,
+           CAST(floor(CAST(total_tokens AS DOUBLE) * 1000000.0
+                      / sum(total_tokens) OVER ()) AS BIGINT) AS token_share_ppm
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def corpus_domain_stats(spark, sf_dir):
+    """Per-source ingest triage: doc count, exact-duplicate rate, token
+    volume, and each source's share of the corpus token budget — the
+    keep/downsample/drop decision table for a multi-domain crawl.
+
+    Scale: ONE documents scan. The duplicate census groups on a 128-bit
+    digest of the text (map-side combinable count distinct via the
+    digest, never the text bytes); the token-share window runs over the
+    |sources|-row aggregated frame, not documents. At 100 TB the only
+    shuffle is |sources| + |distinct digests| rows of 16-40 bytes each.
+    """
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    per_source = (
+        d.select("source", F.md5("text").alias("digest"), F.size(toks).alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            (F.count(F.lit(1)) - F.countDistinct("digest")).cast("bigint").alias("dup_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "docs",
+        "dup_docs",
+        _ppm("dup_docs", "docs").alias("dup_ppm"),
+        "total_tokens",
+        _ppm("total_tokens", F.sum("total_tokens").over(W.partitionBy())).alias(
+            "token_share_ppm"
+        ),
+    ).orderBy("source")
+
+
+@register(
+    "text_boilerplate_blocks",
+    tags=("corpus", "text", "dedup"),
+    bench=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS t
+        FROM documents
+    ), blocks AS (
+        SELECT doc_id, source,
+               array_to_string(t[(CAST(u.i AS INT)*16+1):(CAST(u.i AS INT)*16+16)], ' ') AS block
+        FROM toks, unnest(range(0, CAST(floor(len(t)/16) AS BIGINT))) AS u(i)
+    ), census AS (
+        SELECT block, count(DISTINCT doc_id) AS ndocs
+        FROM blocks GROUP BY block
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS total_blocks,
+           CAST(sum(CASE WHEN c.ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS boilerplate_blocks,
+           CAST(floor(CAST(sum(CASE WHEN c.ndocs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                      * 1000000.0 / count(*)) AS BIGINT) AS boilerplate_ppm
+    FROM blocks b JOIN census c ON b.block = c.block
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+)
+def text_boilerplate_blocks(spark, sf_dir):
+    """Boilerplate detection: tumbling 16-token blocks that repeat across
+    ≥3 distinct documents (headers, footers, license banners) and each
+    source's boilerplate fraction — the remove-before-training census.
+
+    Scale: blocks explode ~n_tokens/16 rows per doc (linear, narrow);
+    the census groups on xxhash64 of the block so the shuffle key is 8
+    bytes, and the flag joins back on the same hash — the block STRING
+    never shuffles (64-bit collisions are negligible at gate scales; the
+    oracle groups on the string itself and must agree). Both aggs are
+    map-side combinable; no all-pairs anywhere.
+    """
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    nwin = F.floor(F.size("t") / 16).cast("int")
+    blocks = (
+        d.select("doc_id", "source", toks.alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    nwin >= 1,
+                    F.expr("transform(sequence(0, CAST(floor(size(t)/16) AS INT) - 1, 1), i -> concat_ws(' ', slice(t, i*16+1, 16)))"),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("block"),
+        )
+        .select("doc_id", "source", F.xxhash64("block").alias("bh"))
+    )
+    census = blocks.groupBy("bh").agg(F.countDistinct("doc_id").alias("ndocs"))
+    flagged = blocks.join(census, "bh").select(
+        "source", (F.col("ndocs") >= 3).cast("int").alias("is_boiler")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_blocks"),
+            F.sum("is_boiler").cast("bigint").alias("boilerplate_blocks"),
+        )
+        .select(
+            "source",
+            "total_blocks",
+            "boilerplate_blocks",
+            _ppm("boilerplate_blocks", "total_blocks").alias("boilerplate_ppm"),
+        )
+        .orderBy("source")
+    )

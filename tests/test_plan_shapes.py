@@ -229,3 +229,42 @@ def test_interval_overlap_is_equi_hash_join(spark):
     plan = _plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_census_shuffles_hash_not_strings(spark):
+    """text_boilerplate_blocks must key the census and the flag join on
+    xxhash64(block) — the 16-token block STRING never shuffles. A refactor
+    that groups/joins on the string itself multiplies shuffle bytes ~12x
+    at corpus scale."""
+    df = REGISTRY["text_boilerplate_blocks"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_basket_pairs_is_keyed_self_join(spark):
+    """ds_basket_pairs self-joins on l_orderkey with the part inequality
+    as a residual filter — a hash/merge join on the equality key, never a
+    nested-loop over all item pairs; the top-50 must collapse to
+    TakeOrderedAndProject (no global sort materialization)."""
+    df = REGISTRY["ds_basket_pairs"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_rank_windows_grouped_rows_only(spark):
+    """ds_rollup_level_rank's rank window must sit ABOVE the rollup
+    aggregate (Expand) — windowing grouped rows, never fact rows — and
+    dims must broadcast."""
+    df = REGISTRY["ds_rollup_level_rank"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "Expand" in plan  # rollup grouping sets
+    assert "BroadcastHashJoin" in plan
+    agg_pos = plan.index("Expand")
+    win_pos = plan.index("Window")
+    # simple-mode plans print top-down: the Window node appears before
+    # (above) the Expand/rollup in the tree text
+    assert win_pos < agg_pos, "rank window planned below the rollup aggregate"
