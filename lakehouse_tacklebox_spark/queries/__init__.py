@@ -119,16 +119,23 @@ _WINDOW_PRIORITY = [
     "ds_yoy_customer_growth",
     "ds_above_segment_avg",
     "ds_hour_ratio_daily",
+    # (b2) round-4 second wave — also never driver-checked
+    "ds_basket_pairs",
+    "ds_frequent_buyer_buckets",
+    "ds_rollup_level_rank",
+    "ds_returns_net",
+    "ds_quarterly_share_shift",
+    "ds_repeat_purchase_gap",
+    "ds_customer_channel_overlap",
+    "ds_ntile_spend_bands",
+    "corpus_domain_stats",
+    "text_boilerplate_blocks",
     # (c) perf-reworked this round — re-green on the new plan
     "dedup_ngram_jaccard",
-    # (d) green only in round 2 — rotate back in
-    "win_dedup_latest",
-    "win_topn_per_group",
-    "win_moving_avg",
-    "win_running_sum",
-    "win_baseline_offset",
-    "win_snapshot_asof",
-    "win_lag_gap",
+    # (d) green only in round 2 — rotate back in (the remaining ten r2-only
+    # greens — win_dedup_latest/topn/moving_avg/running_sum/baseline_offset/
+    # snapshot_asof/lag_gap, text_quality/token_stats/fingerprint_groups —
+    # rotate round 5; never-driver-checked entries outrank refreshes)
     "win_sessionize",
     "win_scd2_intervals",
     "validate_hashdiff_summary",
@@ -139,9 +146,6 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_lsh",
     "stream_hourly_rollup",
     "text_langid",
-    "text_quality",
-    "text_token_stats",
-    "text_fingerprint_groups",
     "metrics_user_activity",
 ]
 # Entries deliberately OUTSIDE the 50-slot window, newest green row in
