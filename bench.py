@@ -53,6 +53,9 @@ SF1_QUERIES = [
     "mm_block_dedup",
     "mm_audio_features",
     "mm_video_features",
+    "ds_basket_pairs",
+    "text_boilerplate_blocks",
+    "ds_quarterly_share_shift",
     "corpus_vocab",
     "text_decontaminate",
     "mm_frame_stats",

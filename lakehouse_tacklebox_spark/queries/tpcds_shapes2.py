@@ -83,30 +83,32 @@ def ds_basket_pairs(spark, sf_dir):
     """DS q23 shape (frequent item combos): parts co-purchased in the same
     order, top-50 pairs by basket count.
 
-    Scale: the self-join key is l_orderkey and TPC-H orders have ≤7 lines,
-    so fan-out is ≤ C(7,2)=21 pairs/order — linear in the fact table. The
-    distinct + both join sides hash-partition on orderkey, so AQE plans
-    one shuffle for the distinct and a co-partitioned self-join; the pair
-    aggregate is map-side combinable; TakeOrderedAndProject caps the
-    driver at 50 rows.
+    Scale: DS q23 writes this as a self-join; the Spark-first shape is
+    ONE lineitem scan → collect_set(partkey) per order (map-side
+    combinable, orders have ≤7 lines) → explode the sorted in-order pair
+    combinations with JVM array functions — C(7,2)=21 pairs/order max,
+    no join anywhere. One orderkey shuffle + one pair-agg shuffle total
+    (the self-join formulation costs two scans and lets AQE broadcast
+    ~|distinct items| rows, which stops being possible at 100 TB);
+    TakeOrderedAndProject caps the driver at 50 rows.
     """
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
-    return pairs.orderBy(F.desc("n_baskets"), "part_a", "part_b").limit(50)
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y ->"
+                " struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pair")
+    ).select("pair.part_a", "pair.part_b")
+    counted = pairs.groupBy("part_a", "part_b").agg(F.count(F.lit(1)).alias("n_baskets"))
+    return counted.orderBy(F.desc("n_baskets"), "part_a", "part_b").limit(50)
 
 
 @register(

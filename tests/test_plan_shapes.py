@@ -243,15 +243,20 @@ def test_boilerplate_census_shuffles_hash_not_strings(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_basket_pairs_is_keyed_self_join(spark):
-    """ds_basket_pairs self-joins on l_orderkey with the part inequality
-    as a residual filter — a hash/merge join on the equality key, never a
-    nested-loop over all item pairs; the top-50 must collapse to
-    TakeOrderedAndProject (no global sort materialization)."""
+def test_basket_pairs_single_scan_no_join(spark):
+    """ds_basket_pairs must generate pairs from ONE lineitem scan via
+    collect_set + array combination explode — no self-join (two scans +
+    a join that AQE can only broadcast at toy scale), no nested loop;
+    the top-50 must collapse to TakeOrderedAndProject."""
     df = REGISTRY["ds_basket_pairs"].fn(spark, SF_DIR)
-    plan = _plan(df, "simple")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan(df)
+    scans = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Scan parquet" in line
+    ]
+    assert len(scans) == 1, scans
+    assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
 
 
