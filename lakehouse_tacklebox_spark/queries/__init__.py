@@ -72,6 +72,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpch_extra3,
     tpcds_shapes,
     tpcds_shapes2,
+    tpcds_shapes3,
     validation,
     windows,
 )
@@ -130,23 +131,27 @@ _WINDOW_PRIORITY = [
     "ds_ntile_spend_bands",
     "corpus_domain_stats",
     "text_boilerplate_blocks",
+    # (b3) round-4 third wave — also never driver-checked
+    "ds_moving_avg_deviation",
+    "ds_first_purchase_cohort",
+    "ds_median_brand_price",
+    "ds_pareto_brands",
+    "ds_reactivated_customers",
+    "ds_top_percent_customers",
+    "ds_growth_streaks",
+    "ds_priority_segment_matrix",
     # (c) perf-reworked this round — re-green on the new plan
     "dedup_ngram_jaccard",
-    # (d) green only in round 2 — rotate back in (the remaining ten r2-only
-    # greens — win_dedup_latest/topn/moving_avg/running_sum/baseline_offset/
-    # snapshot_asof/lag_gap, text_quality/token_stats/fingerprint_groups —
-    # rotate round 5; never-driver-checked entries outrank refreshes)
-    "win_sessionize",
-    "win_scd2_intervals",
+    # (d) green only in round 2 — the three highest-signal rotate now; the
+    # remaining r2-only greens (win_dedup_latest/topn/moving_avg/
+    # running_sum/baseline_offset/snapshot_asof/lag_gap/sessionize/
+    # scd2_intervals, validate_diff_drilldown, reconcile_counts_by_grain,
+    # cdc_scd2_late_events, stream_hourly_rollup, text_langid/quality/
+    # token_stats/fingerprint_groups, metrics_user_activity) rotate round
+    # 5 — never-driver-checked entries outrank refreshes of green rows
     "validate_hashdiff_summary",
-    "validate_diff_drilldown",
-    "reconcile_counts_by_grain",
     "join_asof",
-    "cdc_scd2_late_events",
     "dedup_minhash_lsh",
-    "stream_hourly_rollup",
-    "text_langid",
-    "metrics_user_activity",
 ]
 # Entries deliberately OUTSIDE the 50-slot window, newest green row in
 # parentheses: the full TPC-H battery q1-q22 + q_top_supplier,

@@ -273,3 +273,27 @@ def test_rollup_rank_windows_grouped_rows_only(spark):
     # simple-mode plans print top-down: the Window node appears before
     # (above) the Expand/rollup in the tree text
     assert win_pos < agg_pos, "rank window planned below the rollup aggregate"
+
+
+def test_pareto_brands_broadcasts_part_windows_grouped(spark):
+    """ds_pareto_brands: part joins the fact via broadcast, and both the
+    cumulative and total windows run ABOVE the brand aggregate — window
+    input is |brands| grouped rows, never lineitem rows."""
+    df = REGISTRY["ds_pareto_brands"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    win_pos = plan.index("Window")
+    agg_pos = plan.rindex("HashAggregate")
+    assert win_pos < agg_pos, "window planned below the brand aggregate"
+
+
+def test_cohort_join_reuses_custkey_hash(spark):
+    """ds_first_purchase_cohort joins orders back to the per-customer
+    cohort frame on the SAME key the cohort agg shuffled on — no
+    cartesian, no nested loop, and the plan stays JVM-only."""
+    df = REGISTRY["ds_first_purchase_cohort"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
