@@ -75,6 +75,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes3,
     tpcds_shapes4,
     tpcds_shapes5,
+    tpcds_shapes6,
     validation,
     windows,
 )
@@ -158,11 +159,11 @@ _WINDOW_PRIORITY = [
 # Entries deliberately OUTSIDE the 50-slot window, newest green row in
 # parentheses: the full TPC-H battery q1-q22 + q_top_supplier,
 # metrics_cost_efficiency, metrics_top_durations (r2 — rotate round 5);
-# everything that went green in round 3 (r3); the fourth and fifth
-# TPC-DS waves (tpcds_shapes4.py + tpcds_shapes5.py, 16 entries, never
-# driver-checked — landed after the round-4 window was frozen; FIRST in
-# line for the round-5 window together with the r2-only
-# window/validator/text greens listed above).
+# everything that went green in round 3 (r3); the fourth-through-sixth
+# TPC-DS waves (tpcds_shapes4/5/6.py, 20 entries, never driver-checked —
+# landed after the round-4 window was frozen; FIRST in line for the
+# round-5 window together with the r2-only window/validator/text greens
+# listed above).
 
 def _reorder_registry() -> None:
     # Fail LOUDLY on a stale window name: a silent `if n in REGISTRY`

@@ -431,10 +431,12 @@ def ds_post_adoption_spend(spark, sf_dir):
     window test is datediff ∈ [1, 90] on DATE-cast values.
 
     Scale: the cohort anchor is a (custkey → min date) agg over the
-    category-filtered fact — small enough to broadcast onto the orders
-    scan (|customers| rows max); orders is scanned once and never
-    shuffled by a derived key. The distinct-customer count rides the
-    segment agg (Spark plans partial distinct under AQE).
+    category-filtered fact. It scales with |customers|, so it is NOT
+    hint-broadcast — AQE broadcasts it dynamically at bench SF and
+    falls back to a custkey-partitioned shuffle join at 100 TB (the
+    category filter makes it a fraction of the customer count either
+    way). The distinct-customer count rides the segment agg (Spark
+    plans partial distinct under AQE).
     """
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "part", "customer"])
     first_eco = (
@@ -448,7 +450,7 @@ def ds_post_adoption_spend(spark, sf_dir):
     gap = F.datediff(F.col("o_orderdate").cast("date"), F.col("first_dt").cast("date"))
     return (
         t["orders"]
-        .join(F.broadcast(first_eco), F.col("o_custkey") == F.col("custkey"))
+        .join(first_eco, F.col("o_custkey") == F.col("custkey"))
         .filter((gap >= 1) & (gap <= 90))
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
