@@ -55,6 +55,9 @@ SF1_QUERIES = [
     "mm_video_features",
     "ds_basket_pairs",
     "text_boilerplate_blocks",
+    "text_ngram_novelty",
+    "ds_exists_notexists_orders",
+    "ds_return_rank_union",
     "ds_quarterly_share_shift",
     "corpus_vocab",
     "text_decontaminate",

@@ -156,3 +156,70 @@ def text_boilerplate_blocks(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    tags=("corpus", "text", "novelty"),
+    bench=True,
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in range(1, len(t) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents)
+        WHERE len(t) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), census AS (
+        SELECT s, count(*) AS df FROM ex GROUP BY s
+    )
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(floor(CAST(sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                * 1000000.0 / count(*)) AS BIGINT) AS novelty_ppm
+    FROM ex e JOIN census c ON e.s = c.s
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    3-gram shingles that occur in NO other document (doc-frequency 1),
+    as floor-ppm — the data-curation signal that separates template/
+    boilerplate-heavy docs (low novelty) from original text (high), the
+    per-doc complement of the cross-doc census in text_boilerplate_blocks.
+
+    Scale: shingles are 64-bit hashes end-to-end (shingle_hashes — no
+    gram strings ever shuffle); one explode → doc-frequency census on
+    the hash (map-side combinable) → postings-shaped join back keyed by
+    the same hash → per-doc conditional count. Both shuffles are keyed
+    by the shingle hash — uniform by construction, no skew; cost is
+    O(total shingles), the same complexity class as one dedup pass.
+    The DuckDB oracle recomputes doc-frequency over the gram STRINGS —
+    equality rests on xxhash64 collision-freedom at gate corpus sizes,
+    the same contract dedup_ngram_jaccard's oracle uses.
+    """
+    from lakehouse_tacklebox_spark.operators import dedup as D
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=3)
+    ex = sh.select("doc_id", F.explode("shingles").alias("h"))
+    census = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(census, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            _ppm("n_unique", "n_shingles").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
