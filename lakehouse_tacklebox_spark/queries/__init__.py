@@ -76,6 +76,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes4,
     tpcds_shapes5,
     tpcds_shapes6,
+    tpcds_shapes7,
     validation,
     windows,
 )
