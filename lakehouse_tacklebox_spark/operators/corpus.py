@@ -232,3 +232,61 @@ def incremental_dedup(
     seen = fingerprint_sha2(existing.select(text_col), text_col).select("fingerprint")
     fresh = inc.join(seen, "fingerprint", "left_anti")
     return dedup_exact(fresh, cols=["fingerprint"], tiebreaker=id_col)
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    total: int = 200,
+    limit_bound: int | None = None,
+) -> DataFrame:
+    """Temperature-flattened mixing (α = 0.5): select ``total`` rows with
+    each stratum's quota ∝ √n instead of n — the standard LLM-data
+    recipe for rebalancing a multi-source corpus without dropping small
+    strata. Quotas are floor(w·total/Σw) over integer-milli weights
+    floor(√n·1000); row choice within a stratum is md5-rank of the id —
+    a pure function of the id (identical across reruns, partitionings,
+    and engines, the :func:`stratified_sample` contract).
+
+    Returns (stratum, id, sample_rank, take_n) for the selected rows.
+
+    Scale: stratum counts and quotas are a tiny agg + broadcast; the
+    per-stratum ranking filters ``sample_rank <= limit_bound`` FIRST
+    (a constant bound → Spark's WindowGroupLimit keeps only that many
+    rows per stratum map-side before the shuffle), then applies the
+    variable quota on the survivors — the corpus is never fully sorted.
+    ``limit_bound`` defaults to ``total`` (no stratum's quota can
+    exceed the grand total).
+    """
+    limit_bound = total if limit_bound is None else limit_bound
+    strata = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
+    w = strata.select(
+        stratum_col,
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000.0).cast("bigint").alias("wgt"),
+    )
+    tw = w.agg(F.sum("wgt").alias("total_w"))
+    quota = w.join(F.broadcast(tw)).select(
+        stratum_col,
+        F.floor(F.col("wgt").cast("double") * float(total) / F.col("total_w"))
+        .cast("bigint")
+        .alias("take_n"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy(stratum_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    )
+    ranked = (
+        df.select(stratum_col, id_col)
+        .withColumn("sample_rank", rk)
+        .filter(F.col("sample_rank") <= limit_bound)  # constant → WindowGroupLimit
+    )
+    return (
+        ranked.join(F.broadcast(quota), stratum_col)
+        .filter(F.col("sample_rank") <= F.col("take_n"))
+        .select(
+            stratum_col,
+            id_col,
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+            "take_n",
+        )
+    )

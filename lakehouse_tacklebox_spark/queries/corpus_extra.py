@@ -238,3 +238,67 @@ def text_ngram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_temperature_mix",
+    tags=("corpus", "sampling", "mixing"),
+    oracle="""
+    WITH langs AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), w AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS wgt
+        FROM langs
+    ), tw AS (SELECT sum(wgt) AS total_w FROM w),
+    quota AS (
+        SELECT lang, n, wgt,
+               CAST(floor(CAST(wgt AS DOUBLE) * 200.0 / total_w) AS BIGINT) AS take_n
+        FROM w, tw
+    ), ranked AS (
+        SELECT d.lang, d.doc_id,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                   AS sample_rank
+        FROM documents d
+    )
+    SELECT r.lang, CAST(r.doc_id AS BIGINT) AS doc_id,
+           CAST(r.sample_rank AS BIGINT) AS sample_rank,
+           q.take_n
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.sample_rank <= q.take_n
+    ORDER BY r.lang, r.sample_rank
+    """,
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing (α = 0.5): the standard
+    LLM-data recipe for rebalancing a multilingual/multi-source corpus —
+    each stratum's share of the 200-doc mix is ∝ n^α instead of n, so
+    dominant strata are downweighted without being dropped (the corpus'
+    ~39% English falls to ~31% of the mix). Quotas are
+    floor(w·200/Σw) over integer-milli weights floor(√n·1000); doc
+    choice within a stratum is md5-rank (a pure function of doc_id —
+    identical across reruns, partitionings, and engines, the
+    sample_stratified contract).
+
+    Scale: stratum counts and quotas are a tiny agg + 1-row broadcast;
+    the per-stratum ranking filters rank ≤ 200 FIRST (constant bound →
+    Spark's WindowGroupLimit keeps only 200 rows per stratum map-side
+    before the shuffle) and applies the variable quota on the ≤200-row
+    survivors — the full corpus is never sorted, and the one skewed
+    partition-by-lang window never sees more than 200 rows per lang
+    after the partial limit.
+    """
+    from lakehouse_tacklebox_spark.operators.corpus import temperature_mix
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        temperature_mix(d, "lang", "doc_id", total=200)
+        .select(
+            "lang",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "sample_rank",
+            "take_n",
+        )
+        .orderBy("lang", "sample_rank")
+    )

@@ -297,3 +297,26 @@ def test_cohort_join_reuses_custkey_hash(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_novelty_has_no_postings_join_back(spark):
+    """Pin the r4 novelty shape: n_unique comes from the census alone
+    (df=1 rows grouped by their min(doc_id) owner) — the naive plan
+    joins the exploded postings back to the census, which measured
+    ~3x the wall-clock at sf0.1 and a near-10x sf1 decade ratio. The
+    single remaining join is the |docs|-bounded totals ⟕ uniques."""
+    df = REGISTRY["text_ngram_novelty"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, f"expected only the totals-uniques join, got {n_joins}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_partial_limits_before_quota(spark):
+    """Pin corpus_temperature_mix: the constant rank bound must compile
+    to WindowGroupLimit (map-side partial top-k per stratum) so the
+    corpus is never fully sorted, and the quota side joins broadcast."""
+    df = REGISTRY["corpus_temperature_mix"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -197,3 +197,49 @@ def test_avi_roundtrip_property(w, h, n_frames, seed):
     assert (got_w, got_h, len(got)) == (w, h, n_frames)
     for a, b in zip(got, frames):
         np.testing.assert_array_equal(a, b)
+
+
+# --- temperature mix vs pure-Python reference --------------------------------
+
+@SPARK_SETTINGS
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=6),
+    total=st.integers(5, 60),
+)
+def test_temperature_mix_matches_reference(spark, counts, total):
+    """Quota law and md5-least selection, checked against a pure-Python
+    reference: take_n = floor(floor(√n·1000)·total/Σw), per-stratum
+    selected = the min(take_n, n) ids with smallest (md5(id), id), and
+    Σ take_n ≤ total (floor never over-allocates)."""
+    import hashlib
+    import math
+
+    from lakehouse_tacklebox_spark.operators.corpus import temperature_mix
+
+    rows, next_id = [], 0
+    for s, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((f"s{s}", next_id))
+            next_id += 1
+    df = spark.createDataFrame(rows, ["stratum", "id"])
+
+    wgt = {f"s{s}": math.floor(math.sqrt(c) * 1000.0) for s, c in enumerate(counts)}
+    total_w = sum(wgt.values())
+    take = {k: math.floor(w * float(total) / total_w) for k, w in wgt.items()}
+    assert sum(take.values()) <= total
+
+    by_stratum: dict[str, list[int]] = {}
+    for k, i in rows:
+        by_stratum.setdefault(k, []).append(i)
+    expect = {}
+    for k, ids in by_stratum.items():
+        ordered = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect[k] = set(ordered[: take[k]])
+
+    got = temperature_mix(df, "stratum", "id", total=total).collect()
+    got_by_stratum: dict[str, set[int]] = {}
+    for r in got:
+        got_by_stratum.setdefault(r["stratum"], set()).add(r["id"])
+        assert r["take_n"] == take[r["stratum"]]
+    for k in by_stratum:
+        assert got_by_stratum.get(k, set()) == expect[k], k
