@@ -63,10 +63,73 @@ def emb_neardup_pairs(spark, sf_dir):
     return S.neardup_pairs(e, threshold=0.95)
 
 
+def _lsh_oracle_sql(n_planes: int = 16, bands: int = 4, dim: int = 64,
+                    seed: int = 42, threshold: float = 0.95) -> str:
+    """DuckDB oracle for the random-hyperplane LSH pipeline, with THE SAME
+    plane literals the Spark side embeds (np.random.RandomState(seed) —
+    rp_lsh_bands builds its F.lit columns from the identical draw, so the
+    two engines evaluate the same left-associated double products and the
+    same sign bits). Sign-bit robustness is empirical, not hoped-for: the
+    smallest |vector·plane| across every gate corpus is 5.4e-5 (sf0.1),
+    eight orders of magnitude above cross-engine double-summation noise,
+    so no bit can flip. This makes the LSH CANDIDATE SET itself
+    deterministic and oracle-checkable — not just the verified pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    per_band = n_planes // bands
+
+    def dot(p) -> str:
+        # left-associated sum chain == Spark's aggregate fold order
+        return " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*({float(p[i])!r})" for i in range(dim)
+        )
+
+    bits = ",\n               ".join(
+        f"CASE WHEN ({dot(planes[j])}) >= 0 THEN '1' ELSE '0' END AS b{j}"
+        for j in range(n_planes)
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, "
+        + " || ".join(f"b{b * per_band + k}" for k in range(per_band))
+        + " AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id,
+               {bits}
+        FROM embeddings
+    ), bandkeys AS (
+        {unions}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bandkeys a
+        JOIN bandkeys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                        AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON c.id_a = ea.vec_id
+    JOIN embeddings eb ON c.id_b = eb.vec_id
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6) >= {threshold}
+    """
+
+
 @register(
     "emb_neardup_lsh",
     tags=("similarity", "dedup", "lsh"),
-    oracle=None,  # LSH recall is probabilistic → rows-only; pytest asserts recall vs exact
+    bench=True,
+    # Previously rows-only ("LSH is probabilistic") — but the hyperplanes
+    # are seeded literals, so the whole pipeline is deterministic: the
+    # oracle re-runs signature → band join → verify with the same plane
+    # constants baked into the SQL. Recall vs the exact pairs remains
+    # pinned in tests/test_lsh_neardup.py.
+    oracle=_lsh_oracle_sql(n_planes=16, bands=4, dim=64, seed=42, threshold=0.95),
 )
 def emb_neardup_lsh(spark, sf_dir):
     """LSH-bucketed near-dup pairs (random-hyperplane bands + exact

@@ -383,6 +383,13 @@ def stream_incremental_mv(spark, sf_dir):
     )
     q.awaitTermination(300)
 
+    # the returned DataFrame reads only the table's files — the chunked
+    # source and the stream checkpoint are dead weight once the run ends
+    import shutil
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
     return (
         TackleTable(spark, tbl_dir)
         .read()
