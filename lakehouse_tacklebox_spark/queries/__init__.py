@@ -77,6 +77,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes5,
     tpcds_shapes6,
     tpcds_shapes7,
+    tpcds_shapes8,
     validation,
     windows,
 )
