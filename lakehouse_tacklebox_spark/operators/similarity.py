@@ -134,6 +134,13 @@ def neardup_pairs_lsh(
     never an all-pairs cross join), then exact cosine verification, so
     precision is 1.0 and recall is the banded sign-bit bound. Compare
     count scales with bucket occupancy instead of n².
+
+    Cost note: the verify stage is the wall-clock driver — Spark's
+    higher-order-function folds are interpreted per element, so each
+    candidate costs one 64-element a·b fold (norms are precomputed per
+    VECTOR, not per pair). The 4-bit bands trade candidate volume for
+    the ~0.985 recall bound at cosine 0.95; at production scale raise
+    bits-per-band with n_planes to keep bucket occupancy flat.
     """
     sig = rp_lsh_bands(df, id_col, vec_col, n_planes, bands, seed)
     a = sig.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
@@ -144,12 +151,24 @@ def neardup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Precompute each vector's norm ONCE (higher-order-function folds are
+    # interpreted per element, so dots dominate the verify stage —
+    # norm-per-vector instead of norms-per-PAIR cuts the per-candidate
+    # fold work to a single a·b; cosine doubles are unchanged:
+    # dot/(sqrt(aa)*sqrt(bb)) evaluates the identical IEEE expression).
+    normed = with_norm(df, vec_col, "nrm")
+    va = normed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("norm_a")
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("norm_b")
+    )
+    av = F.transform(F.col("va"), lambda x: x.cast("double"))
+    bv = F.transform(F.col("vb"), lambda x: x.cast("double"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(_dot(av, bv) / (F.col("norm_a") * F.col("norm_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -3,4 +3,5 @@ from lakehouse_tacklebox_spark.validation.datavalidator import (  # noqa: F401
     diff_rows,
     hash_diff,
     row_hash,
+    schema_diff,
 )

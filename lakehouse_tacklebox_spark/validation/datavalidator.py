@@ -135,3 +135,46 @@ def count_reconcile(
         .withColumn("delta", F.col(left_name) - F.col(right_name))
         .withColumn("is_match", F.col("delta") == 0)
     )
+
+
+def schema_diff(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Schema drift report between two DataFrames — the pre-migration
+    check the reference's helper layer runs before a MERGE/CLONE (does
+    the target still accept the source?). One row per column name seen
+    on either side with status in {'match', 'type_changed',
+    'only_left', 'only_right'} plus nullability drift.
+
+    Driver-side metadata only (schemas, not data) — no job is launched;
+    the result is a small createDataFrame, safe at any table size.
+    """
+    spark = left.sparkSession
+    lf = {f.name: f for f in left.schema.fields}
+    rf = {f.name: f for f in right.schema.fields}
+    rows = []
+    for name in sorted(set(lf) | set(rf)):
+        l, r = lf.get(name), rf.get(name)
+        if l is None:
+            status = "only_right"
+        elif r is None:
+            status = "only_left"
+        elif l.dataType.simpleString() != r.dataType.simpleString():
+            status = "type_changed"
+        else:
+            status = "match"
+        rows.append(
+            (
+                name,
+                l.dataType.simpleString() if l else None,
+                r.dataType.simpleString() if r else None,
+                status,
+                bool(l.nullable) if l else None,
+                bool(r.nullable) if r else None,
+                l is not None and r is not None and l.nullable != r.nullable,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, left_type string, right_type string, "
+        "status string, left_nullable boolean, right_nullable boolean, "
+        "nullability_drift boolean",
+    )

@@ -100,3 +100,20 @@ def test_medallion_pipeline(spark, tmp_path):
     assert logger.last_successful_watermark("medallion") == wm
     # next incremental batch over the same source is empty
     assert logger.incremental_frame(silver.read(), "ts", "medallion").count() == 0
+
+
+def test_schema_diff_reports_drift(spark):
+    from lakehouse_tacklebox_spark.validation.datavalidator import schema_diff
+
+    left = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, score double")
+    right = spark.createDataFrame([(1, "a", 2)], "id long, name string, score int") \
+        .withColumn("extra", F.lit("x"))
+    rep = {r.col_name: r for r in schema_diff(left, right).collect()}
+    assert rep["id"].status == "match"
+    assert rep["name"].status == "match"
+    assert rep["score"].status == "type_changed"
+    assert rep["score"].left_type == "double" and rep["score"].right_type == "int"
+    assert rep["extra"].status == "only_right"
+    # symmetric: a column only on the left
+    rep2 = {r.col_name: r for r in schema_diff(right, left).collect()}
+    assert rep2["extra"].status == "only_left"
