@@ -161,11 +161,15 @@ _WINDOW_PRIORITY = [
 # Entries deliberately OUTSIDE the 50-slot window, newest green row in
 # parentheses: the full TPC-H battery q1-q22 + q_top_supplier,
 # metrics_cost_efficiency, metrics_top_durations (r2 — rotate round 5);
-# everything that went green in round 3 (r3); the fourth-through-sixth
-# TPC-DS waves (tpcds_shapes4/5/6.py, 20 entries, never driver-checked —
-# landed after the round-4 window was frozen; FIRST in line for the
-# round-5 window together with the r2-only window/validator/text greens
-# listed above).
+# everything that went green in round 3 (r3); and the round-4 late
+# arrivals, never driver-checked — landed after the round-4 window was
+# frozen: TPC-DS waves 4-8 (tpcds_shapes4/5/6/7/8.py, 27 entries),
+# stream_incremental_mv, text_ngram_novelty, corpus_temperature_mix,
+# events_funnel_stages, and emb_neardup_lsh (newly oracled — its only
+# prior driver evidence was rows-only). These ~32 are FIRST in line for
+# the round-5 window together with the r2-only window/validator/text
+# greens listed above; all are green in tools/drive_contract.py runs at
+# sf0.01 AND sf0.1 under vanilla sessions this round.
 
 def _reorder_registry() -> None:
     # Fail LOUDLY on a stale window name: a silent `if n in REGISTRY`

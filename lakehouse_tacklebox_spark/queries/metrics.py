@@ -464,3 +464,114 @@ def metrics_error_bursts(spark, sf_dir):
         F.round(trailing, 4).alias("trailing_avg"),
         (trailing.isNotNull() & (F.col("n_errors") > 2.0 * trailing)).alias("burst"),
     )
+
+
+@register(
+    "events_funnel_stages",
+    tags=("metrics", "funnel", "sequence"),
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                          AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                          AND e.ts <= s2.t2 + INTERVAL 24 HOURS
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ), counts AS (
+        SELECT (SELECT count(*) FROM s1) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT stage, n_users, conv_vs_stage1_ppm FROM (
+        SELECT '1_view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+               CAST(1000000 AS BIGINT) AS conv_vs_stage1_ppm, 1 AS ord FROM counts
+        UNION ALL
+        SELECT '2_click_after_view', CAST(n2 AS BIGINT),
+               CAST(floor(CAST(n2 AS DOUBLE) * 1000000.0 / n1) AS BIGINT), 2 FROM counts
+        UNION ALL
+        SELECT '3_purchase_after_click', CAST(n3 AS BIGINT),
+               CAST(floor(CAST(n3 AS DOUBLE) * 1000000.0 / n1) AS BIGINT), 3 FROM counts
+    ) ORDER BY ord
+    """,
+)
+def events_funnel_stages(spark, sf_dir):
+    """Staged funnel conversion (product-analytics core): users whose
+    first 'view' is followed by a first 'click' WITHIN 24 HOURS, then a
+    first 'purchase' within 24 hours of that click — each stage anchored
+    strictly after the previous stage's event with a conversion
+    deadline (the corpus converts ~40%/~17% at these bounds, so the
+    report discriminates), reported as stage counts with conversion ppm
+    vs stage 1.
+
+    Scale: each stage is a (user → min ts) aggregate of a type-filtered
+    event scan, joined to the PREVIOUS stage's per-user frame with the
+    strict ts bound — the per-user frames scale with |users| (no
+    broadcast hint; AQE broadcasts at bench SF, shuffle-joins at
+    100 TB), and the fact is scanned once per stage with the type
+    predicate pushed. Sequence detection as staged aggregation — no
+    per-user event sorting, no window over the raw fact.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    counts = n1.join(n2).join(n3)
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("stage"),
+                    F.col("n1").cast("bigint").alias("n_users"),
+                    F.lit(1000000).cast("bigint").alias("conv_vs_stage1_ppm"),
+                ),
+                F.struct(
+                    F.lit("2_click_after_view").alias("stage"),
+                    F.col("n2").cast("bigint").alias("n_users"),
+                    F.floor(F.col("n2").cast("double") * 1000000.0 / F.col("n1"))
+                    .cast("bigint")
+                    .alias("conv_vs_stage1_ppm"),
+                ),
+                F.struct(
+                    F.lit("3_purchase_after_click").alias("stage"),
+                    F.col("n3").cast("bigint").alias("n_users"),
+                    F.floor(F.col("n3").cast("double") * 1000000.0 / F.col("n1"))
+                    .cast("bigint")
+                    .alias("conv_vs_stage1_ppm"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select("s.stage", "s.n_users", "s.conv_vs_stage1_ppm").orderBy("stage")
