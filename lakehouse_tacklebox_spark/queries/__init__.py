@@ -78,6 +78,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes6,
     tpcds_shapes7,
     tpcds_shapes8,
+    tpcds_shapes9,
     validation,
     windows,
 )
@@ -163,10 +164,10 @@ _WINDOW_PRIORITY = [
 # metrics_cost_efficiency, metrics_top_durations (r2 — rotate round 5);
 # everything that went green in round 3 (r3); and the round-4 late
 # arrivals, never driver-checked — landed after the round-4 window was
-# frozen: TPC-DS waves 4-8 (tpcds_shapes4/5/6/7/8.py, 27 entries),
+# frozen: TPC-DS waves 4-9 (tpcds_shapes4/5/6/7/8/9.py, 29 entries),
 # stream_incremental_mv, text_ngram_novelty, corpus_temperature_mix,
 # events_funnel_stages, and emb_neardup_lsh (newly oracled — its only
-# prior driver evidence was rows-only). These ~32 are FIRST in line for
+# prior driver evidence was rows-only). These ~34 are FIRST in line for
 # the round-5 window together with the r2-only window/validator/text
 # greens listed above; all are green in tools/drive_contract.py runs at
 # sf0.01 AND sf0.1 under vanilla sessions this round.
