@@ -275,6 +275,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # SF) is missed with p = (1-0.8³)^16 ≈ 1e-5; xxhash64 is deterministic,
     # so the gate result is stable run-to-run. A rows-only recall pytest
     # still covers the approximate regime below the floor.
+    #
+    # PRECONDITION (measured, round 4): the oracle equivalence is a
+    # property of the CORPUS, not the operator — it requires the true
+    # pair-similarity distribution to sit above the banded recall knee
+    # (j ≳ 0.5 for 16×3). On a synthetic sf1 corpus with many weak-overlap
+    # pairs, every pair at j ∈ [0.20, 0.31] was missed (916 of 3780 —
+    # the textbook S-curve, P[candidate] = 1-(1-j³)^16 ≈ 0.15 at j=0.25)
+    # while all high-floor pairs were found. That regime is what the
+    # recall pytest bounds; on such corpora use dedup_ngram_jaccard
+    # (exact, capped postings) or raise the query threshold.
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
