@@ -396,3 +396,93 @@ def stream_incremental_mv(spark, sf_dir):
         .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty", "base_cents", "disc_cents")
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "stream_funnel_stages",
+    tags=("streaming", "stateful", "funnel"),
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                          AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                          AND e.ts <= s2.t2 + INTERVAL 24 HOURS
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ), counts AS (
+        SELECT (SELECT count(*) FROM s1) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT stage, n_users, conv_vs_stage1_ppm FROM (
+        SELECT '1_view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+               CAST(1000000 AS BIGINT) AS conv_vs_stage1_ppm, 1 AS ord FROM counts
+        UNION ALL
+        SELECT '2_click_after_view', CAST(n2 AS BIGINT),
+               CAST(floor(CAST(n2 AS DOUBLE) * 1000000.0 / n1) AS BIGINT), 2 FROM counts
+        UNION ALL
+        SELECT '3_purchase_after_click', CAST(n3 AS BIGINT),
+               CAST(floor(CAST(n3 AS DOUBLE) * 1000000.0 / n1) AS BIGINT), 3 FROM counts
+    ) ORDER BY ord
+    """,
+)
+def stream_funnel_stages(spark, sf_dir):
+    """The staged funnel computed BY THE STREAMING ENGINE: per-user
+    event-time buffers in the state store re-anchor view → click-within-
+    24h → purchase-within-24h on every micro-batch (robust to arbitrary
+    arrival order — a late earlier 'view' correctly re-anchors and can
+    LOWER a user's stage, which single-pass incremental funnels get
+    wrong), reconciled to each user's latest emission, censused, and
+    compared EXACTLY against DuckDB's batch staged-join answer — the
+    same oracle as the batch entry events_funnel_stages."""
+    from lakehouse_tacklebox_spark.streaming.stateful import stateful_funnel
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+    staged = stateful_funnel(
+        stream, "user_id", "ts", "event_type",
+        stages=("view", "click", "purchase"), deadline_hours=24.0,
+    )
+    sink = _run_memory_sink(spark, staged, "update", "funnel")
+    # latest emission per user = max monotone buffer counter
+    latest = sink.groupBy("user_id").agg(
+        F.max(F.struct("n_buffered", "stage")).alias("s")
+    ).select("user_id", F.col("s.stage").alias("stage"))
+    counts = latest.agg(
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).alias("n3"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("stage"),
+                    F.col("n1").cast("bigint").alias("n_users"),
+                    F.lit(1000000).cast("bigint").alias("conv_vs_stage1_ppm"),
+                ),
+                F.struct(
+                    F.lit("2_click_after_view").alias("stage"),
+                    F.col("n2").cast("bigint").alias("n_users"),
+                    F.floor(F.col("n2").cast("double") * 1000000.0 / F.col("n1"))
+                    .cast("bigint")
+                    .alias("conv_vs_stage1_ppm"),
+                ),
+                F.struct(
+                    F.lit("3_purchase_after_click").alias("stage"),
+                    F.col("n3").cast("bigint").alias("n_users"),
+                    F.floor(F.col("n3").cast("double") * 1000000.0 / F.col("n1"))
+                    .cast("bigint")
+                    .alias("conv_vs_stage1_ppm"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select("s.stage", "s.n_users", "s.conv_vs_stage1_ppm").orderBy("stage")

@@ -127,3 +127,92 @@ def stateful_running_agg(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_funnel(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    deadline_hours: float = 24.0,
+) -> DataFrame:
+    """Per-user staged funnel (stage1 → stage2-within-deadline → stage3-
+    within-deadline) as a STATEFUL streaming operator, robust to
+    arbitrary event arrival order: state buffers each user's
+    stage-relevant event times (bounded: only the three funnel event
+    types, de-duplicated), and every micro-batch the staged anchors are
+    recomputed from the buffer — a late-arriving early 'view' correctly
+    re-anchors the whole chain, which no single-pass incremental rule
+    can do. Emits (user, stage, anchor timestamps) each batch the user
+    appears together with a monotone buffer counter; an update sink
+    reconciles to the final answer by keeping each user's emission with
+    the largest buffer (NOT max stage — a late earlier anchor can
+    legitimately lower the stage).
+
+    Scale: state is event-times-per-user for three event types —
+    kilobytes per user, partitioned with the shuffle, checkpointed. The
+    recompute per batch is O(|buffer|) on arrays, Arrow-batched.
+    """
+    deadline_ns = int(deadline_hours * 3600 * 1e9)
+    key_field = stream.schema[user_col]
+    out_schema = (
+        StructType([key_field]).add("stage", "integer").add("n_buffered", "long")
+    )
+    s1, s2, s3 = stages
+
+    def _anchor(times: list, lo: int | None) -> int | None:
+        if lo is None:
+            return None
+        cands = [t for t in times if lo < t <= lo + deadline_ns]
+        return min(cands) if cands else None
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        views, clicks, purchases = (
+            state.get if state.exists else ([], [], [])
+        )
+        views, clicks, purchases = list(views), list(clicks), list(purchases)
+        seen = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            seen = True
+            ns = pdf[ts_col].astype("int64")
+            et = pdf[type_col]
+            views.extend(ns[et == s1].tolist())
+            clicks.extend(ns[et == s2].tolist())
+            purchases.extend(ns[et == s3].tolist())
+        if not seen:
+            return
+        views = sorted(set(views))
+        clicks = sorted(set(clicks))
+        purchases = sorted(set(purchases))
+        state.update((views, clicks, purchases))
+        t1 = views[0] if views else None
+        t2 = _anchor(clicks, t1)
+        t3 = _anchor(purchases, t2)
+        stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        # n_buffered is monotone per user, so an appended update sink can
+        # reconcile to the LATEST emission with max(struct(n_buffered,
+        # stage)) — required because stage itself is NOT monotone: a
+        # late-arriving EARLIER stage-1 event re-anchors the chain and can
+        # lower the stage.
+        if stage:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "stage": [stage],
+                    "n_buffered": [len(views) + len(clicks) + len(purchases)],
+                }
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        "views array<bigint>, clicks array<bigint>, purchases array<bigint>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -167,3 +167,80 @@ def test_user_stats_battery_invariant_to_microbatch_count(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_stateful_funnel_invariant_to_arrival_order(spark, tmp_path):
+    """The funnel buffer must re-anchor under out-of-order arrival: split
+    events into 4 micro-batches ordered so LATER batches carry EARLIER
+    event times (descending-ts split), and the final census must equal
+    the single-batch answer — the case single-pass incremental funnels
+    get wrong (a late early 'view' can lower a user's stage)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Window
+
+    from lakehouse_tacklebox_spark.sources import load_tables
+    from lakehouse_tacklebox_spark.streaming.stateful import stateful_funnel
+
+    ev = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .select("user_id", "ts", "event_type")
+    )
+    # adversarial split: batch i holds the i-th descending-ts quartile,
+    # so every later batch is entirely EARLIER in event time
+    ranked = ev.withColumn(
+        "q", F.ntile(4).over(Window.partitionBy().orderBy(F.desc("ts")))
+    )
+    src = str(tmp_path / "funnel_split")
+    for i in range(1, 5):
+        ranked.filter(F.col("q") == i).drop("q").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_funnel(stream, "user_id", "ts", "event_type")
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table(name)
+    assert sink.count() > sink.select("user_id").distinct().count(), (
+        "test must exercise the multi-batch case"
+    )
+    latest = (
+        sink.groupBy("user_id")
+        .agg(F.max(F.struct("n_buffered", "stage")).alias("s"))
+        .select("user_id", F.col("s.stage").alias("stage"))
+    )
+    got = {r.user_id: r.stage for r in latest.collect()}
+
+    # batch reference: staged joins, same semantics as the oracle SQL
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS")))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS")))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    u1 = {r.user_id for r in s1.collect()}
+    u2 = {r.user_id for r in s2.collect()}
+    u3 = {r.user_id for r in s3.collect()}
+    expect = {u: (3 if u in u3 else 2 if u in u2 else 1) for u in u1}
+    assert got == expect
