@@ -244,14 +244,25 @@ def temperature_mix(
     """Temperature-flattened mixing (α = 0.5): select ``total`` rows with
     each stratum's quota ∝ √n instead of n — the standard LLM-data
     recipe for rebalancing a multi-source corpus without dropping small
-    strata. Quotas are floor(w·total/Σw) over integer-milli weights
-    floor(√n·1000); row choice within a stratum is md5-rank of the id —
-    a pure function of the id (identical across reruns, partitionings,
-    and engines, the :func:`stratified_sample` contract).
+    strata. Quotas are largest-remainder apportionment over integer-milli
+    weights floor(√n·1000): base floor(w·total/Σw) per stratum, then the
+    floor deficit (total − Σbase) is handed out one row each to the
+    strata with the largest integer remainders (ties → stratum order),
+    and each quota is finally capped at the stratum's row count. Row
+    choice within a stratum is md5-rank of the id — a pure function of
+    the id (identical across reruns, partitionings, and engines, the
+    :func:`stratified_sample` contract). All quota arithmetic is bigint
+    (DIV / %), never floating division, so the apportionment is
+    engine-exact.
 
     Returns (stratum, id, sample_rank, take_n) for the selected rows.
+    Output size is exactly ``total`` whenever no stratum caps out
+    (take_n ≤ n for all); when a stratum has fewer rows than its quota
+    the shortfall is NOT re-redistributed, so the output is
+    Σ min(take_n, n) ≤ total.
 
-    Scale: stratum counts and quotas are a tiny agg + broadcast; the
+    Scale: stratum counts and quotas are a tiny agg + broadcast (the
+    remainder ranking is a window over one row per stratum); the
     per-stratum ranking filters ``sample_rank <= limit_bound`` FIRST
     (a constant bound → Spark's WindowGroupLimit keeps only that many
     rows per stratum map-side before the shuffle), then applies the
@@ -263,14 +274,38 @@ def temperature_mix(
     strata = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
     w = strata.select(
         stratum_col,
+        "n",
         F.floor(F.sqrt(F.col("n").cast("double")) * 1000.0).cast("bigint").alias("wgt"),
     )
     tw = w.agg(F.sum("wgt").alias("total_w"))
-    quota = w.join(F.broadcast(tw)).select(
+    q0 = w.join(F.broadcast(tw)).select(
         stratum_col,
-        F.floor(F.col("wgt").cast("double") * float(total) / F.col("total_w"))
-        .cast("bigint")
-        .alias("take_n"),
+        "n",
+        F.expr(f"(wgt * CAST({int(total)} AS BIGINT)) DIV total_w").alias("base"),
+        F.expr(f"(wgt * CAST({int(total)} AS BIGINT)) % total_w").alias("rem_num"),
+    )
+    rem_rank = W.orderBy(F.desc("rem_num"), F.col(stratum_col))
+    all_rows = W.partitionBy(F.lit(1))
+    quota = (
+        q0.select(
+            stratum_col,
+            "n",
+            "base",
+            F.row_number().over(rem_rank).alias("rrank"),
+            F.sum("base").over(all_rows).alias("base_sum"),
+        )
+        .select(
+            stratum_col,
+            F.least(
+                F.col("base")
+                + F.when(
+                    F.col("rrank") <= F.lit(int(total)) - F.col("base_sum"), F.lit(1)
+                ).otherwise(F.lit(0)),
+                F.col("n"),
+            )
+            .cast("bigint")
+            .alias("take_n"),
+        )
     )
     rk = F.row_number().over(
         W.partitionBy(stratum_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)

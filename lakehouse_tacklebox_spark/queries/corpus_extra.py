@@ -251,10 +251,19 @@ def text_ngram_novelty(spark, sf_dir):
                CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS wgt
         FROM langs
     ), tw AS (SELECT sum(wgt) AS total_w FROM w),
-    quota AS (
-        SELECT lang, n, wgt,
-               CAST(floor(CAST(wgt AS DOUBLE) * 200.0 / total_w) AS BIGINT) AS take_n
+    q0 AS (
+        SELECT lang, n,
+               (wgt * 200) // total_w AS base,
+               (wgt * 200) % total_w AS rem_num
         FROM w, tw
+    ), quota AS (
+        SELECT lang,
+               CAST(least(
+                   base + CASE WHEN row_number() OVER (ORDER BY rem_num DESC, lang)
+                                    <= 200 - (SELECT sum(base) FROM q0)
+                               THEN 1 ELSE 0 END,
+                   n) AS BIGINT) AS take_n
+        FROM q0
     ), ranked AS (
         SELECT d.lang, d.doc_id,
                row_number() OVER (PARTITION BY d.lang
