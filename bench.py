@@ -226,14 +226,18 @@ def main() -> None:
     )
     line_payload["full"] = "BENCH_FULL.json"
     by_cost = sorted(timings, key=timings.get, reverse=True)
-    kept = len(by_cost)
-    while kept > 0:
+    for kept in range(len(by_cost), -1, -1):
         line_payload["queries"] = {n: timings[n] for n in by_cost[:kept]}
         line_payload["queries_elided"] = len(timings) - kept
         line = json.dumps(line_payload, separators=(",", ":"))
         if len(line) <= 1800:
             break
-        kept -= 1
+    else:  # unreachable (kept=0 always produced a line), kept for safety
+        line = json.dumps(line_payload, separators=(",", ":"))
+    if len(line) > 1800:
+        # last resort: a failures list alone can outgrow the tail capture
+        line_payload["failures"] = line_payload["failures"][:5] + ["...truncated"]
+        line = json.dumps(line_payload, separators=(",", ":"))
     print(line)
     spark.stop()
 

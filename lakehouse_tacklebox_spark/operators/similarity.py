@@ -135,14 +135,21 @@ def neardup_pairs_lsh(
     precision is 1.0 and recall is the banded sign-bit bound. Compare
     count scales with bucket occupancy instead of n².
 
-    Cost note: the verify stage is the wall-clock driver — Spark's
-    higher-order-function folds are interpreted per element, so each
-    candidate costs one 64-element a·b fold (norms are precomputed per
-    VECTOR, not per pair). The 4-bit bands trade candidate volume for
-    the ~0.985 recall bound at cosine 0.95; at production scale raise
-    bits-per-band with n_planes to keep bucket occupancy flat.
+    Cost note: signature + verify are both interpreted higher-order
+    folds (unrolled literal chains overflow janino codegen limits —
+    measured slower), so (a) the signature frame is PERSISTED: it feeds
+    both sides of the band self-join and would otherwise be computed
+    twice (n_planes folds over the corpus each time) — the persisted
+    frame is 3 narrow columns, ~24 bytes × n × bands; (b) norms are
+    precomputed per VECTOR, not per pair. Bits-per-band sets bucket
+    occupancy: with B bits a band has 2^B buckets and candidates grow
+    ~n²/2^B per band, so raise n_planes (bits = n_planes/bands) as n
+    grows to keep occupancy flat — at 16/4 (4-bit keys) a 2000-vector
+    corpus already yields 23% of all pairs as candidates, while 64/8
+    (8-bit keys) cuts that 6.3× AND improves the recall bound
+    (1-(1-p^8)^8 = 0.988 at cosine 0.95 vs 0.986 for 16/4).
     """
-    sig = rp_lsh_bands(df, id_col, vec_col, n_planes, bands, seed)
+    sig = rp_lsh_bands(df, id_col, vec_col, n_planes, bands, seed).persist()
     a = sig.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = sig.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     cand = (

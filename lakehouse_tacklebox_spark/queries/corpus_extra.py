@@ -114,12 +114,17 @@ def text_boilerplate_blocks(spark, sf_dir):
     ≥3 distinct documents (headers, footers, license banners) and each
     source's boilerplate fraction — the remove-before-training census.
 
-    Scale: blocks explode ~n_tokens/16 rows per doc (linear, narrow);
-    the census groups on xxhash64 of the block so the shuffle key is 8
-    bytes, and the flag joins back on the same hash — the block STRING
-    never shuffles (64-bit collisions are negligible at gate scales; the
-    oracle groups on the string itself and must agree). Both aggs are
-    map-side combinable; no all-pairs anywhere.
+    Scale: blocks explode ~n_tokens/16 rows per doc (linear, narrow) and
+    the exploded frame is tokenized ONCE and shuffled ONCE — a
+    map-side-combined groupBy (bh, source) collapses repeated blocks
+    before the exchange (the shuffle key is the 8-byte xxhash64, never
+    the block string; 64-bit collisions are negligible at gate scales —
+    the oracle groups on the string itself and must agree). The cross-doc
+    census is then a window over the ALREADY-AGGREGATED (bh, source)
+    rows: because a doc_id determines its source, distinct docs per
+    block = Σ per-source distinct docs, so no join back to the exploded
+    frame is needed (the r5 shape joined census to blocks — a second
+    full shuffle of the exploded frame, and 10.6× at the 10× sf1 gate).
     """
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     toks = F.split(F.lower(F.trim("text")), r"\s+")
@@ -132,21 +137,28 @@ def text_boilerplate_blocks(spark, sf_dir):
             F.explode(
                 F.when(
                     nwin >= 1,
-                    F.expr("transform(sequence(0, CAST(floor(size(t)/16) AS INT) - 1, 1), i -> concat_ws(' ', slice(t, i*16+1, 16)))"),
+                    F.expr(
+                        "transform(sequence(0, CAST(floor(size(t)/16) AS INT) - 1, 1),"
+                        " i -> concat_ws(' ', slice(t, i*16+1, 16)))"
+                    ),
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("block"),
         )
         .select("doc_id", "source", F.xxhash64("block").alias("bh"))
     )
-    census = blocks.groupBy("bh").agg(F.countDistinct("doc_id").alias("ndocs"))
-    flagged = blocks.join(census, "bh").select(
-        "source", (F.col("ndocs") >= 3).cast("int").alias("is_boiler")
+    per = blocks.groupBy("bh", "source").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("nd"),
     )
+    ndocs = F.sum("nd").over(W.partitionBy("bh"))
     return (
-        flagged.groupBy("source")
+        per.withColumn("ndocs", ndocs)
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("total_blocks"),
-            F.sum("is_boiler").cast("bigint").alias("boilerplate_blocks"),
+            F.sum("n_occ").cast("bigint").alias("total_blocks"),
+            F.sum(F.when(F.col("ndocs") >= 3, F.col("n_occ")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("boilerplate_blocks"),
         )
         .select(
             "source",
@@ -285,8 +297,11 @@ def corpus_temperature_mix(spark, sf_dir):
     each stratum's share of the 200-doc mix is ∝ n^α instead of n, so
     dominant strata are downweighted without being dropped (the corpus'
     ~39% English falls to ~31% of the mix). Quotas are
-    floor(w·200/Σw) over integer-milli weights floor(√n·1000); doc
-    choice within a stratum is md5-rank (a pure function of doc_id —
+    largest-remainder apportionment over integer-milli weights
+    floor(√n·1000): base floor(w·200/Σw) per stratum, the floor deficit
+    handed out to the largest remainders, each quota capped at the
+    stratum's row count (see :func:`operators.corpus.temperature_mix`);
+    doc choice within a stratum is md5-rank (a pure function of doc_id —
     identical across reruns, partitionings, and engines, the
     sample_stratified contract).
 

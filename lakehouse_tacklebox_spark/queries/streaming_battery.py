@@ -311,9 +311,12 @@ def stream_incremental_mv(spark, sf_dir):
     fresh — per-batch work is proportional to the BATCH (partial aggs +
     a touched-file MERGE on ~6 group keys), never a recompute of the
     full history; the batch-combine reads the |groups|-row table, not
-    the fact. Exactly-once rests on the stream checkpoint's epoch
-    tracking plus the table log's atomic commit (streaming/ingest.py
-    stream_to_table documents the same contract).
+    the fact. Exactly-once: each batch MERGE is stamped with the epoch
+    id via MergeBuilder.withTransaction (Delta-protocol ``txn``
+    semantics — the stamp commits atomically WITH the rewritten files),
+    so a micro-batch retried after its merge committed but before the
+    stream checkpoint advanced is detected by txn_version() and
+    no-opped; running sums can never be double-applied.
     """
     import os
     import tempfile
@@ -347,14 +350,12 @@ def stream_incremental_mv(spark, sf_dir):
             SF.sum(disc_cents).cast("bigint").alias("disc_cents"),
         )
 
-    def _upsert(batch_df, _epoch):
+    def _upsert(batch_df, epoch):
         s = batch_df.sparkSession
+        table = TackleTable(s, tbl_dir)
+        if table.txn_version("inc_mv") >= epoch:
+            return  # retried epoch whose merge already committed
         parts = _partials(batch_df)
-        try:
-            table = TackleTable(s, tbl_dir)
-        except FileNotFoundError:
-            TackleTable.create(s, tbl_dir, parts)
-            return
         # running sums = current |groups|-row state ⊎ this batch's partials
         combined = (
             table.read()
@@ -367,7 +368,25 @@ def stream_incremental_mv(spark, sf_dir):
                 SF.sum("disc_cents").cast("bigint").alias("disc_cents"),
             )
         )
-        table.merge(combined, on=keys).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        (
+            table.merge(combined, on=keys)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .withTransaction("inc_mv", epoch)
+            .execute()
+        )
+
+    # create the (empty) view table BEFORE the stream starts: every batch
+    # then takes the same idempotent merge path — no create/merge split
+    # for a batch-0 retry to fall through
+    TackleTable.create(
+        spark,
+        tbl_dir,
+        schema=(
+            "l_returnflag string, l_linestatus string, n_rows bigint, "
+            "sum_qty bigint, base_cents bigint, disc_cents bigint"
+        ),
+    )
 
     raw_schema = spark.read.parquet(src_dir).schema
     stream = (

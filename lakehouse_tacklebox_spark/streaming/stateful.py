@@ -136,25 +136,34 @@ def stateful_funnel(
     type_col: str,
     stages: tuple[str, str, str] = ("view", "click", "purchase"),
     deadline_hours: float = 24.0,
+    ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Per-user staged funnel (stage1 → stage2-within-deadline → stage3-
     within-deadline) as a STATEFUL streaming operator, robust to
     arbitrary event arrival order: state buffers each user's
-    stage-relevant event times (bounded: only the three funnel event
-    types, de-duplicated), and every micro-batch the staged anchors are
-    recomputed from the buffer — a late-arriving early 'view' correctly
-    re-anchors the whole chain, which no single-pass incremental rule
-    can do. Emits (user, stage, anchor timestamps) each batch the user
-    appears together with a monotone buffer counter; an update sink
-    reconciles to the final answer by keeping each user's emission with
-    the largest buffer (NOT max stage — a late earlier anchor can
-    legitimately lower the stage).
+    stage-relevant event times, and every micro-batch the staged anchors
+    are recomputed from the buffer — a late-arriving early 'view'
+    correctly re-anchors the whole chain, which no single-pass
+    incremental rule can do. Emits (user, stage, anchor timestamps) each
+    batch the user appears together with a monotone buffer counter; an
+    update sink reconciles to the final answer by keeping each user's
+    emission with the largest buffer (NOT max stage — a late earlier
+    anchor can legitimately lower the stage).
 
-    Scale: state is event-times-per-user for three event types —
-    kilobytes per user, partitioned with the shuffle, checkpointed. The
-    recompute per batch is O(|buffer|) on arrays, Arrow-batched.
+    State growth: the view buffer collapses to its MINIMUM (the only
+    view that can ever anchor the chain — a sufficient statistic), and
+    clicks/purchases are pruned to the windows that can still produce an
+    anchor for ANY future (lower) t1: clicks ≤ t1+deadline, purchases ≤
+    t1+2·deadline. Clicks/purchases BELOW t1 must be kept — an even
+    earlier view may still arrive and make them anchors — so state is
+    O(distinct stage-2/3 event times in a ≤2·deadline window plus the
+    pre-t1 tail), not "kilobytes per user" unconditionally. On a
+    long-running stream, bound idle keys with ``ttl_minutes``: a key
+    untouched for that long is dropped (ProcessingTimeTimeout, same
+    contract as :func:`stateful_dedup`); without it state lives forever.
     """
     deadline_ns = int(deadline_hours * 3600 * 1e9)
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
     key_field = stream.schema[user_col]
     out_schema = (
         StructType([key_field]).add("stage", "integer").add("n_buffered", "long")
@@ -171,8 +180,8 @@ def stateful_funnel(
         if state.hasTimedOut:
             state.remove()
             return
-        views, clicks, purchases = (
-            state.get if state.exists else ([], [], [])
+        views, clicks, purchases, n_seen = (
+            state.get if state.exists else ([], [], [], 0)
         )
         views, clicks, purchases = list(views), list(clicks), list(purchases)
         seen = False
@@ -182,37 +191,48 @@ def stateful_funnel(
             seen = True
             ns = pdf[ts_col].astype("int64")
             et = pdf[type_col]
+            n_seen += int(len(pdf))
             views.extend(ns[et == s1].tolist())
             clicks.extend(ns[et == s2].tolist())
             purchases.extend(ns[et == s3].tolist())
         if not seen:
             return
-        views = sorted(set(views))
+        # sufficient-statistic compaction: min(view) is the only view
+        # that can anchor; clicks past t1+D / purchases past t1+2D can
+        # never anchor for any future (only-decreasing) t1
+        views = [min(views)] if views else []
+        t1_cur = views[0] if views else None
         clicks = sorted(set(clicks))
         purchases = sorted(set(purchases))
-        state.update((views, clicks, purchases))
+        if t1_cur is not None:
+            clicks = [c for c in clicks if c <= t1_cur + deadline_ns]
+            purchases = [p for p in purchases if p <= t1_cur + 2 * deadline_ns]
+        state.update((views, clicks, purchases, n_seen))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         t1 = views[0] if views else None
         t2 = _anchor(clicks, t1)
         t3 = _anchor(purchases, t2)
         stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
-        # n_buffered is monotone per user, so an appended update sink can
-        # reconcile to the LATEST emission with max(struct(n_buffered,
-        # stage)) — required because stage itself is NOT monotone: a
-        # late-arriving EARLIER stage-1 event re-anchors the chain and can
-        # lower the stage.
+        # n_buffered is the monotone count of events EVER absorbed (not
+        # the post-compaction buffer size, which can shrink), so an
+        # appended update sink can reconcile to the LATEST emission with
+        # max(struct(n_buffered, stage)) — required because stage itself
+        # is NOT monotone: a late-arriving EARLIER stage-1 event
+        # re-anchors the chain and can lower the stage.
         if stage:
             yield pd.DataFrame(
                 {
                     user_col: [key[0]],
                     "stage": [stage],
-                    "n_buffered": [len(views) + len(clicks) + len(purchases)],
+                    "n_buffered": [n_seen],
                 }
             )
 
     return stream.groupBy(user_col).applyInPandasWithState(
         fn,
         out_schema,
-        "views array<bigint>, clicks array<bigint>, purchases array<bigint>",
+        "views array<bigint>, clicks array<bigint>, purchases array<bigint>, n_seen bigint",
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None else GroupStateTimeout.NoTimeout,
     )

@@ -208,6 +208,21 @@ class TackleTable:
                 out.update(e.operation_parameters.get("properties", {}))
         return out
 
+    def txn_version(self, app_id: str) -> int:
+        """Latest transaction version committed under ``app_id``, or -1.
+
+        Delta-style idempotent-writer support (public Delta protocol's
+        ``txn`` action / ``txnAppId``+``txnVersion`` options): a writer
+        that stamps each commit with a monotonically increasing version
+        can detect, after a crash/retry, whether its write already
+        committed — the stamp travels IN the data commit, so there is no
+        window where data is applied but the marker is not."""
+        for e in reversed(self._entries()):
+            txn = e.operation_parameters.get("txn")
+            if txn and txn.get("appId") == app_id:
+                return int(txn["version"])
+        return -1
+
     def _sketch_columns(self) -> list[str]:
         raw = self.properties().get("pointlookup.columns", "")
         return [c.strip() for c in raw.split(",") if c.strip()]
@@ -459,19 +474,28 @@ class TackleTable:
         df: DataFrame,
         merge_schema: bool = False,
         identity_reserve: tuple[str, int] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Append rows (blind insert — retries through concurrent commits).
 
         ``identity_reserve=(col, watermark)`` declares that ``col`` ids in
         ``df`` were assigned from ``watermark``; the commit advances the
         persisted watermark past the written max, and conflicts (rather
-        than blind-retrying) if a concurrent commit moved it first."""
+        than blind-retrying) if a concurrent commit moved it first.
+
+        ``txn=(app_id, version)`` makes the append idempotent for a
+        single writer per app_id (e.g. a streaming foreachBatch retrying
+        an epoch): if the log already holds this app_id at >= version the
+        append is a no-op, and otherwise the stamp is recorded in the
+        same commit as the data (see :meth:`txn_version`)."""
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return self.version()
         df = _align_schema(df, self._active_files()[1], allow_new=merge_schema)
         files, n = _write_files(df, self.path)
         schema = _schema_ddl(df) if merge_schema else None
         return self._commit(
             "APPEND",
-            {},
+            {"txn": {"appId": txn[0], "version": txn[1]}} if txn else {},
             files,
             [],
             {"numOutputRows": n, "numAddedFiles": len(files)},
@@ -664,6 +688,7 @@ class MergeBuilder:
         self._delete_cond: str | None = None
         self._insert_all = False
         self._write_cdf = False
+        self._txn: tuple[str, int] | None = None
 
     def whenMatchedUpdateAll(self, condition: str | None = None) -> "MergeBuilder":
         self._update_all, self._update_cond = True, condition
@@ -681,9 +706,20 @@ class MergeBuilder:
         self._write_cdf = True
         return self
 
+    def withTransaction(self, app_id: str, version: int) -> "MergeBuilder":
+        """Idempotent MERGE for a single writer per ``app_id``: no-op if
+        the log already holds ``app_id`` at >= ``version``; otherwise the
+        stamp lands in the same atomic commit as the rewritten files, so
+        a retried streaming epoch can never double-apply (Delta protocol
+        ``txn`` action semantics — see :meth:`TackleTable.txn_version`)."""
+        self._txn = (app_id, version)
+        return self
+
     def execute(self) -> int:
         t = self.table
         spark = t.spark
+        if self._txn is not None and t.txn_version(self._txn[0]) >= self._txn[1]:
+            return t.version()
         start_v = t.version()
         files, schema = t._active_files()
         cols = [n for n, _ in _schema_fields(schema)]
@@ -755,9 +791,12 @@ class MergeBuilder:
             "numTargetFilesRewritten": len(rel_touched),
             "numOutputRows": n_rows,
         }
+        merge_params: dict[str, Any] = {"on": self.on}
+        if self._txn is not None:
+            merge_params["txn"] = {"appId": self._txn[0], "version": self._txn[1]}
         version = t._commit(
             "MERGE",
-            {"on": self.on},
+            merge_params,
             new_files,
             rel_touched,
             metrics,

@@ -20,6 +20,32 @@ def test_lsh_neardup_precision_and_recall(spark):
         assert recall >= 0.8, f"recall {recall} over {len(exact)} exact pairs"
 
 
+def test_lsh_recall_on_jittered_neardups(spark):
+    """The gate corpora are isotropic random (max off-diagonal cosine
+    ~0.6), so the 0.95-threshold near-dup queries are correctly EMPTY
+    there and the recall clause above is vacuous. Pin recall on a corpus
+    with KNOWN near-dups: every vector gets a jittered twin (cosine
+    ≥ ~0.99), and the 64-plane/8-band query parameterization must
+    recover ≥ 95% of the twin pairs (theoretical banded bound 0.988 at
+    0.95, higher at 0.99)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, dim = 300, 64
+    base = rng.normal(size=(n, dim))
+    jit = base + 0.05 * rng.normal(size=(n, dim))  # cosine ~0.999
+    rows = [(i, base[i].astype(float).tolist()) for i in range(n)] + [
+        (n + i, jit[i].astype(float).tolist()) for i in range(n)
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {(r.id_a, r.id_b) for r in S.neardup_pairs(e, threshold=0.95).collect()}
+    got = {(r.id_a, r.id_b) for r in S.neardup_pairs_lsh(e, threshold=0.95, n_planes=64, bands=8).collect()}
+    assert got <= exact  # precision 1.0
+    assert len(exact) >= n  # every twin pair is a true near-dup
+    recall = len(got) / len(exact)
+    assert recall >= 0.95, f"recall {recall} over {len(exact)} exact pairs"
+
+
 def test_lsh_bands_deterministic_and_jvm_side(spark):
     e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
     s1 = {(r.vec_id, r.band_idx): r.band_key for r in S.rp_lsh_bands(e).collect()}

@@ -208,9 +208,11 @@ def test_avi_roundtrip_property(w, h, n_frames, seed):
 )
 def test_temperature_mix_matches_reference(spark, counts, total):
     """Quota law and md5-least selection, checked against a pure-Python
-    reference: take_n = floor(floor(√n·1000)·total/Σw), per-stratum
-    selected = the min(take_n, n) ids with smallest (md5(id), id), and
-    Σ take_n ≤ total (floor never over-allocates)."""
+    reference of the largest-remainder apportionment: base =
+    (floor(√n·1000)·total) DIV Σw per stratum, the floor deficit handed
+    out one each to the largest integer remainders (ties → stratum
+    order), each quota capped at the stratum's row count; per-stratum
+    selected = the take_n ids with smallest (md5(id), id)."""
     import hashlib
     import math
 
@@ -223,9 +225,17 @@ def test_temperature_mix_matches_reference(spark, counts, total):
             next_id += 1
     df = spark.createDataFrame(rows, ["stratum", "id"])
 
-    wgt = {f"s{s}": math.floor(math.sqrt(c) * 1000.0) for s, c in enumerate(counts)}
+    n_by = {f"s{s}": c for s, c in enumerate(counts)}
+    wgt = {k: math.floor(math.sqrt(c) * 1000.0) for k, c in n_by.items()}
     total_w = sum(wgt.values())
-    take = {k: math.floor(w * float(total) / total_w) for k, w in wgt.items()}
+    base = {k: (w * total) // total_w for k, w in wgt.items()}
+    rem = {k: (w * total) % total_w for k, w in wgt.items()}
+    deficit = total - sum(base.values())
+    by_rem = sorted(n_by, key=lambda k: (-rem[k], k))
+    take = {
+        k: min(base[k] + (1 if by_rem.index(k) < deficit else 0), n_by[k])
+        for k in n_by
+    }
     assert sum(take.values()) <= total
 
     by_stratum: dict[str, list[int]] = {}

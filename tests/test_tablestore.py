@@ -197,3 +197,49 @@ def test_merge_null_key_matches_regardless_of_file_layout(spark, tmp_path):
     t.merge(src, on=["id"]).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
     got = {r["name"]: (r["id"], r["balance"]) for r in t.read().collect()}
     assert got == {"alice": (1, 100.0), "ghost2": (None, 9.0)}
+
+
+def test_txn_idempotent_merge_and_append(spark, users, tmp_path):
+    """Delta-protocol txn stamps: a retried epoch's MERGE/APPEND no-ops.
+
+    Models a streaming foreachBatch retry — the merge committed but the
+    checkpoint didn't advance, so the writer re-runs the same epoch. The
+    txn stamp lives in the same commit as the data, so the retry is
+    detected and running sums are not double-applied."""
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    assert t.txn_version("mv") == -1
+
+    delta = spark.createDataFrame(
+        [(1, "alice", 50.0), (4, "dave", 400.0)], "id bigint, name string, balance double"
+    )
+    v1 = (
+        t.merge(delta, on=["id"])
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .withTransaction("mv", 0)
+        .execute()
+    )
+    assert t.txn_version("mv") == 0
+    # retry of epoch 0: must be a no-op (same table version, same rows)
+    v2 = (
+        t.merge(delta, on=["id"])
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .withTransaction("mv", 0)
+        .execute()
+    )
+    assert v2 == v1
+    got = {r["id"]: r["balance"] for r in t.read().collect()}
+    assert got == {1: 50.0, 2: 200.0, 3: 300.0, 4: 400.0}
+
+    # a NEW epoch applies; its retry no-ops; a different appId is untracked
+    t.merge(delta, on=["id"]).whenMatchedUpdateAll().withTransaction("mv", 1).execute()
+    assert t.txn_version("mv") == 1
+    assert t.txn_version("other") == -1
+
+    # append path: epoch 2 lands once, its retry no-ops
+    extra = spark.createDataFrame([(5, "eve", 500.0)], "id bigint, name string, balance double")
+    t.append(extra, txn=("mv", 2))
+    n_before = t.read().count()
+    t.append(extra, txn=("mv", 2))
+    assert t.read().count() == n_before
