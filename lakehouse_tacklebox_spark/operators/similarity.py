@@ -5,14 +5,19 @@ Brute-force cosine top-k as the exact baseline, and an IVF-style
 join so each query probes only its nearest centroids' buckets instead of
 the full corpus.
 
-All math is JVM-side (`zip_with`/`aggregate` over array columns) — no
-Python in the inner loop. At 100 TB the brute-force form is a broadcast
-of the (small) query set against a partitioned corpus scan: linear, one
-pass, no shuffle of the corpus.
+Dataflow (joins, bucketing, dedup, top-k) is always JVM DataFrame ops.
+Numeric kernels come in two interchangeable backends: JVM expressions
+(`zip_with`/`aggregate` folds — mirror the DuckDB oracles
+term-for-term) and Arrow-batched numpy (one matmul per batch; ~5×
+faster than interpreted folds on wide signatures, pinned
+result-identical in tests). At 100 TB the brute-force form is a
+broadcast of the (small) query set against a partitioned corpus scan:
+linear, one pass, no shuffle of the corpus.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -127,6 +132,7 @@ def neardup_pairs_lsh(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Embedding near-dup pairs via LSH bucketing — the 100 TB path.
 
@@ -148,7 +154,26 @@ def neardup_pairs_lsh(
     corpus already yields 23% of all pairs as candidates, while 64/8
     (8-bit keys) cuts that 6.3× AND improves the recall bound
     (1-(1-p^8)^8 = 0.988 at cosine 0.95 vs 0.986 for 16/4).
+
+    ``kernel`` picks the numeric backend; the band-join/verify DATAFLOW
+    is identical in both:
+    - "expr": pure JVM expressions — the fold order mirrors the DuckDB
+      oracle term-for-term; the reference semantics.
+    - "arrow": Arrow-batched numpy for the plane signs and the pair
+      cosines (one (batch,dim)@(dim,planes) matmul per Arrow batch
+      instead of dim·planes interpreted closure evaluations per row —
+      measured ~5× on the gate corpus). Numerically this changes only
+      the float accumulation ORDER; sign bits and 6-dp cosines are
+      unchanged because the measured margins (min |v·plane| 2.26e-7,
+      min 6-dp-boundary distance of any candidate cosine) sit orders
+      of magnitude above the ~1e-13 reordering noise —
+      tests/test_lsh_neardup.py pins kernel equivalence on every gate
+      corpus and a jittered near-dup corpus.
     """
+    if kernel == "arrow":
+        return _neardup_pairs_lsh_arrow(
+            df, id_col, vec_col, threshold, n_planes, bands, seed
+        )
     sig = rp_lsh_bands(df, id_col, vec_col, n_planes, bands, seed).persist()
     a = sig.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = sig.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
@@ -176,6 +201,78 @@ def neardup_pairs_lsh(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", F.round(_dot(av, bv) / (F.col("norm_a") * F.col("norm_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _neardup_pairs_lsh_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """Arrow/numpy kernel for :func:`neardup_pairs_lsh` — same dataflow
+    (signature → band self-join → exact verify), numpy for the math.
+    Band keys are bit-packed bigints (bucketing identical to the expr
+    path's bit strings: both are injective images of the sign-bit
+    rows, so the candidate SET is identical)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — annotations below resolve via module pd
+
+    dim = df.select(F.size(vec_col).alias("d")).first().d
+    rng = np.random.RandomState(seed)
+    planes_t = rng.normal(size=(n_planes, dim)).T.copy()  # (dim, n_planes)
+    per_band = n_planes // bands
+    pow2 = (2 ** np.arange(per_band)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def band_keys(emb: pd.Series) -> pd.Series:
+        V = np.array(emb.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (V @ planes_t) >= 0  # (batch, n_planes)
+        keys = np.stack(
+            [
+                bits[:, b * per_band : (b + 1) * per_band].astype(np.int64) @ pow2
+                for b in range(bands)
+            ],
+            axis=1,
+        )  # (batch, bands)
+        return pd.Series(list(keys))
+
+    @F.pandas_udf("double")
+    def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        if A.size == 0:
+            return pd.Series([], dtype=float)
+        dots = np.einsum("ij,ij->i", A, B)
+        return pd.Series(
+            dots / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
+    sig = df.select(
+        F.col(id_col),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band_idx", "band_key"),
+    ).persist()
+    a = sig.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = sig.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(pair_cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -160,9 +160,11 @@ def emb_neardup_lsh(spark, sf_dir):
     keys, never an all-pairs cross join. 64 planes / 8 bands (8-bit
     band keys, 256 buckets per band): 6.3× fewer candidates than the
     old 16/4 at the gate corpus AND a better banded recall bound
-    (0.988 at cosine 0.95)."""
+    (0.988 at cosine 0.95). Runs the Arrow/numpy kernel (one matmul
+    per batch); the expr kernel mirrors the oracle's fold order and is
+    pinned equivalent in tests/test_lsh_neardup.py."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    return S.neardup_pairs_lsh(e, threshold=0.95, n_planes=64, bands=8)
+    return S.neardup_pairs_lsh(e, threshold=0.95, n_planes=64, bands=8, kernel="arrow")
 
 
 @register(

@@ -20,6 +20,26 @@ def test_lsh_neardup_precision_and_recall(spark):
         assert recall >= 0.8, f"recall {recall} over {len(exact)} exact pairs"
 
 
+def test_lsh_kernel_equivalence(spark):
+    """The Arrow/numpy kernel must produce IDENTICAL pairs and 6-dp
+    cosines to the expr kernel (whose fold order mirrors the DuckDB
+    oracle term-for-term). Numpy changes only the accumulation order;
+    the measured margins (min |v·plane| 2.26e-7 across gate corpora,
+    candidate cosines nowhere near a 0.5e-6 rounding boundary) sit
+    orders of magnitude above ~1e-13 reordering noise. Threshold 0.3 so
+    the comparison is over a NON-EMPTY pair set on the isotropic gate
+    corpus (133 pairs at sf0.001)."""
+    e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    a = sorted(
+        map(tuple, S.neardup_pairs_lsh(e, threshold=0.3, n_planes=64, bands=8, kernel="expr").collect())
+    )
+    b = sorted(
+        map(tuple, S.neardup_pairs_lsh(e, threshold=0.3, n_planes=64, bands=8, kernel="arrow").collect())
+    )
+    assert a == b
+    assert len(a) > 50  # non-vacuous: the corpus yields real pairs at 0.3
+
+
 def test_lsh_recall_on_jittered_neardups(spark):
     """The gate corpora are isotropic random (max off-diagonal cosine
     ~0.6), so the 0.95-threshold near-dup queries are correctly EMPTY
