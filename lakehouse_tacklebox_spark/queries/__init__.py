@@ -80,6 +80,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes8,
     tpcds_shapes9,
     tpcds_shapes10,
+    tpcds_shapes11,
     validation,
     windows,
 )
