@@ -629,3 +629,73 @@ def stream_incremental_join_mv(spark, sf_dir):
         .select("priority", "returnflag", "n_rows", "rev_cents")
         .orderBy("priority", "returnflag")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    tags=("streaming", "dedup", "watermark"),
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Streaming ingest dedup via dropDuplicatesWithinWatermark — the
+    bounded-state alternative to dropDuplicates for at-least-once
+    sources (each key's dedup state is dropped once the watermark
+    passes, so state is O(events within the lag), not O(stream)). The
+    source REPLAYS every event twice within each file (the at-least-once
+    delivery model); the deduped per-type census must equal the batch
+    DISTINCT answer.
+
+    The lag is sized to cover the corpus' full event-time span, so no
+    replay is ever outside the dedup horizon and no row is ever "late"
+    — the oracle comparison is exact by construction. In production the
+    lag is the redelivery-skew bound: duplicates separated further than
+    the lag are OUT OF CONTRACT by definition (that's what bounds the
+    state), the state-size/completeness trade an at-least-once pipeline
+    signs up for.
+
+    Scale: dedup state is per-key in the state store, partitioned with
+    the shuffle; the census is an ordinary streaming agg in complete
+    mode over |event_type| groups.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    tmp = tempfile.mkdtemp(prefix="dedup_wm_")
+    src_dir = os.path.join(tmp, "src")
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    doubled = ev.select(
+        "event_id", "ts", "event_type", SF.round(SF.col("value") * 100).cast("long").alias("cents")
+    ).withColumn("copy", SF.explode(SF.array(SF.lit(1), SF.lit(2)))).drop("copy")
+    # hash-partition on the dedup key so an event's two copies land in
+    # the SAME file (round-robin could split them across micro-batches,
+    # where dedup would correctly depend on the watermark lag vs the
+    # files' event-time spread — not the contract this entry states)
+    doubled.repartition(4, "event_id").write.parquet(src_dir)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    deduped = stream.withWatermark("ts", "87600 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    censused = deduped.groupBy("event_type").agg(
+        SF.count(SF.lit(1)).cast("bigint").alias("n_unique"),
+        SF.sum("cents").cast("bigint").alias("cents"),
+    )
+    sunk = _run_memory_sink(spark, censused, "complete", "dedup_wm")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return sunk.select("event_type", "n_unique", "cents").orderBy("event_type")

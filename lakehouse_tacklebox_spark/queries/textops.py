@@ -922,3 +922,90 @@ def corpus_tfidf_top(spark, sf_dir):
         .filter((F.col("rn") == 1) & (F.col("doc_id") < 100))
         .select("doc_id", "token", F.round("score", 4).alias("score"))
     )
+
+
+@register(
+    "text_nearest_neighbor",
+    tags=("dedup", "text", "similarity", "topk"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS sz FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), scored AS (
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ), sym AS (
+        SELECT id_a AS doc_id, id_b AS neighbor_id, j FROM scored
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS neighbor_id, j FROM scored
+    ), ranked AS (
+        SELECT doc_id, neighbor_id, j,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY j DESC, neighbor_id) AS rn
+        FROM sym
+    )
+    SELECT doc_id, neighbor_id, round(j, 4) AS jaccard
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def text_nearest_neighbor(spark, sf_dir):
+    """Each document's single most similar other document by exact
+    3-gram Jaccard — the top-1 similarity JOIN ("find the near-copy of
+    this doc") built from the same postings machinery as
+    dedup_ngram_jaccard: candidates are only pairs sharing ≥1 hashed
+    shingle (never a cross join), scored exactly, symmetrized (a pair
+    serves as candidate for BOTH endpoints), then row_number()=1 per
+    doc with a total (jaccard DESC, neighbor ASC) tie-break — Spark
+    executes the top-1 as WindowGroupLimit, partial map-side. Docs
+    sharing no shingle with any other doc have no neighbor and are
+    absent, matching the oracle.
+
+    The ordering key is the RAW jaccard double — identical in both
+    engines because it is the same division of the same three integers
+    — and rounding to 4dp happens only in the projection.
+
+    Scale: everything up to the top-1 is the capped postings-join
+    pipeline (see jaccard_pairs' max_doc_freq contract); the
+    symmetrize is a union of two projections of the same scored frame,
+    and the window never materializes more than each doc's candidate
+    list.
+    """
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=3)
+    pairs = D.jaccard_pairs(
+        sh, "doc_id", "shingles", threshold=0.0, max_doc_freq=500, hashed=True
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("neighbor_id"),
+        F.col("jaccard").alias("j"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("neighbor_id"),
+            F.col("jaccard").alias("j"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("j").desc(), "neighbor_id")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "neighbor_id", F.round("j", 4).alias("jaccard"))
+        .orderBy("doc_id")
+    )
