@@ -81,6 +81,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes9,
     tpcds_shapes10,
     tpcds_shapes11,
+    tpcds_shapes12,
     validation,
     windows,
 )

@@ -927,6 +927,7 @@ def corpus_tfidf_top(spark, sf_dir):
 @register(
     "text_nearest_neighbor",
     tags=("dedup", "text", "similarity", "topk"),
+    bench=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
