@@ -158,10 +158,15 @@ _WINDOW_PRIORITY = [
 # parentheses: TPC-H q1-q22 + q_top_supplier, text_langid/quality/
 # token_stats/fingerprint_groups, metrics_user_activity/_top_durations/
 # _cost_efficiency, stream_hourly_rollup, validate_diff_drilldown,
-# reconcile_counts_by_grain (r2 — first in line for round 7); everything
-# green in r3 (50 entries) and r5 (the r1-stale refreshes + TPC-DS waves
-# 1-3, 50 entries). All remain green in tools/drive_contract.py runs at
-# sf0.01 under vanilla sessions this round.
+# reconcile_counts_by_grain (r2); everything green in r3 (50 entries)
+# and r5 (the r1-stale refreshes + TPC-DS waves 1-3, 50 entries); and
+# the ~22 round-6 additions, never driver-checked — landed after this
+# round's window froze: TPC-DS waves 10-12 (18 entries),
+# stream_incremental_join_mv, stream_dedup_within_watermark,
+# text_nearest_neighbor. Round-7 window: lead with the round-6
+# additions, then the r2-stale TPC-H/text/metrics/validator names
+# above. All are green in tools/drive_contract.py runs at sf0.01 under
+# vanilla sessions this round (202/202).
 
 def _reorder_registry() -> None:
     # Fail LOUDLY on a stale window name: a silent `if n in REGISTRY`
