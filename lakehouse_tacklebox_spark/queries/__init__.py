@@ -82,6 +82,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes10,
     tpcds_shapes11,
     tpcds_shapes12,
+    tpcds_shapes13,
     validation,
     windows,
 )
