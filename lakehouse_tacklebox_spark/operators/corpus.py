@@ -325,3 +325,24 @@ def temperature_mix(
             "take_n",
         )
     )
+
+
+def weighted_sample(df: DataFrame, weight_ppm_col: str, id_col: str) -> DataFrame:
+    """Deterministic weighted (importance) sampling: keep a row with
+    probability ``weight_ppm / 1e6``, decided by whether the id's md5
+    bucket in [0, 1e6) falls below the row's weight — the standard
+    quality-weighted subsampling step of LLM-corpus curation (keep
+    high-quality docs with certainty, downsample low-quality ones
+    instead of hard-dropping them).
+
+    Like :func:`stratified_sample`, membership is a pure function of
+    the id value — identical across reruns, partitionings, cluster
+    sizes, and engines (DuckDB replays the same md5 arithmetic) — so
+    the sampled corpus is a reproducible, versionable artifact, and a
+    re-run over an APPENDED corpus keeps exactly the rows it kept
+    before (incremental-ingest safe). Selection is a map-side filter;
+    no shuffle, no RNG stream.
+    """
+    return df.filter(
+        hash_bucket(F.col(id_col), 1_000_000) < F.col(weight_ppm_col)
+    )

@@ -326,3 +326,68 @@ def corpus_temperature_mix(spark, sf_dir):
         )
         .orderBy("lang", "sample_rank")
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    tags=("corpus", "sampling", "quality"),
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               least(1000000, n_chars * 500) AS weight_ppm,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN bucket < weight_ppm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(weight_ppm) AS BIGINT) AS expected_ppm_mass,
+           CAST(floor(CAST(sum(CASE WHEN bucket < weight_ppm THEN 1 ELSE 0 END)
+                           AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)
+               AS kept_ppm
+    FROM w
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus subsampling census: each document is kept
+    with probability proportional to a quality proxy (here length:
+    weight_ppm = min(1e6, n_chars·500), i.e. docs ≥ 2000 chars are
+    always kept, a 200-char snippet survives 10% of the time), decided
+    deterministically by the doc_id's md5 bucket — no RNG stream, so
+    the same doc is kept on every rerun, partitioning, and engine, and
+    appends never flip prior decisions. Reported per source: kept
+    counts, the expected probability mass, and the realized keep rate.
+
+    Scale: selection is a map-side filter over the scan (no shuffle);
+    the census is one map-side-combinable aggregate. The
+    weight column can be any model score joined upstream — the
+    mechanism only needs a ppm integer.
+    """
+    from lakehouse_tacklebox_spark.operators.corpus import hash_bucket
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w = d.select(
+        "doc_id",
+        "source",
+        F.least(F.lit(1000000), F.col("n_chars") * 500).alias("weight_ppm"),
+        hash_bucket(F.col("doc_id"), 1_000_000).alias("bucket"),
+    )
+    kept = (F.col("bucket") < F.col("weight_ppm")).cast("int")
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum("weight_ppm").cast("bigint").alias("expected_ppm_mass"),
+            F.floor(
+                F.sum(kept).cast("double") * 1000000.0 / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -112,3 +112,40 @@ def test_incremental_dedup_matches_full_rebuild(spark):
     }
     # doc 3 duplicates doc 0, doc 5 duplicates doc 1 → only doc 4 survives
     assert survivors == {4}
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    """weighted_sample keeps a row iff md5-bucket(id) < weight_ppm — a
+    pure function of the row, so the kept set survives repartitioning
+    and reruns, and appending rows never flips prior decisions."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators.corpus import weighted_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        # weights sweep 0..1e6 so both keep and drop branches are hit
+        ((F.col("id") % 11) * 100_000).cast("long").alias("weight_ppm"),
+    )
+    kept1 = {r.doc_id for r in weighted_sample(df, "weight_ppm", "doc_id").collect()}
+    kept2 = {
+        r.doc_id
+        for r in weighted_sample(df.repartition(13), "weight_ppm", "doc_id").collect()
+    }
+    assert kept1 == kept2 and 0 < len(kept1) < 2000
+    # weight 0 never keeps; weight 1e6 always keeps
+    zeros = {r.doc_id for r in df.filter(F.col("weight_ppm") == 0).collect()}
+    full = {r.doc_id for r in df.filter(F.col("weight_ppm") == 1_000_000).collect()}
+    assert not (kept1 & zeros)
+    assert full <= kept1
+    # appending rows does not flip earlier decisions
+    bigger = df.unionByName(
+        spark.range(2000, 3000).select(
+            F.col("id").alias("doc_id"), F.lit(500_000).cast("long").alias("weight_ppm")
+        )
+    )
+    kept3 = {r.doc_id for r in weighted_sample(bigger, "weight_ppm", "doc_id").collect()}
+    assert {d for d in kept3 if d < 2000} == kept1
+    # realized rate tracks the probability mass (law of large numbers)
+    expected = sum(((i % 11) * 100_000) for i in range(2000)) / 1_000_000
+    assert abs(len(kept1) - expected) / expected < 0.1
