@@ -391,3 +391,73 @@ def corpus_weighted_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_chunk_windows",
+    tags=("corpus", "chunking", "rag"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, source,
+               CAST(u.i AS BIGINT) AS chunk_id,
+               array_to_string(t[(CAST(u.i AS INT)*48+1):(CAST(u.i AS INT)*48+64)], ' ')
+                   AS chunk_text,
+               least(64, len(t) - CAST(u.i AS INT)*48) AS n_tokens
+        FROM toks,
+             unnest(range(0, greatest(1, CAST(ceil((len(t) - 16) / 48.0) AS BIGINT))))
+                 AS u(i)
+        WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def corpus_chunk_windows(spark, sf_dir):
+    """RAG-style document chunking: overlapping token windows of 64
+    tokens with stride 48 (16-token overlap, so retrieval never loses a
+    sentence to a hard boundary), emitted as (doc_id, chunk_id,
+    n_tokens, chunk_hash). The chunk count per doc is
+    max(1, ceil((n_tokens − overlap) / stride)) — every token is
+    covered, the final short window is kept, and empty docs produce no
+    chunks. The hash is the engine-portable md5-60-bit of the chunk
+    text (the simhash idiom), so the oracle verifies the exact chunk
+    CONTENT, not just counts — downstream embedding/indexing jobs key
+    on it for incremental re-embedding (only changed chunks re-embed).
+
+    Scale: tokenize once, explode ~n_tokens/stride rows per doc —
+    linear, narrow, no shuffle until a downstream consumer groups; the
+    chunk text exists only inside the projection (the output carries
+    the 8-byte hash).
+    """
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    from lakehouse_tacklebox_spark.operators.dedup import md5_hash60
+
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size("t") - 16) / 48.0)
+    ).cast("int")
+    chunk_text = F.expr("concat_ws(' ', slice(t, CAST(i AS INT)*48+1, 64))")
+    return (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("chunk_id"),
+            F.least(F.lit(64), F.size("t") - F.col("i") * 48)
+            .cast("bigint")
+            .alias("n_tokens"),
+            md5_hash60(chunk_text).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
