@@ -83,6 +83,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes11,
     tpcds_shapes12,
     tpcds_shapes13,
+    tpcds_shapes14,
     validation,
     windows,
 )
