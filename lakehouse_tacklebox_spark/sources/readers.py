@@ -31,6 +31,23 @@ def read_json(spark: SparkSession, path: str, multiline: bool = False, schema: s
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """ORC scan — Spark-native columnar alternative to parquet (same
+    pushdown/pruning path; Hive-ecosystem interchange). Avro is the one
+    interchange format NOT available here: it ships as an external
+    module (spark-avro jar) absent from this environment — gate any
+    avro path behind a format probe rather than assuming it."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    """ORC export with the same semantics as the parquet writers."""
+    df.write.mode(mode).orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

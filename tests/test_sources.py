@@ -110,3 +110,21 @@ def test_jdbc_scan_against_embedded_derby(spark, tmp_path):
     )
     got = sorted((r.ID, r.NAME, r.SCORE) for r in df.collect())
     assert got == [(2, "b", 2.5), (3, "c", 3.5)]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write/read roundtrip; predicate pushdown reaches the ORC scan
+    like parquet (same data source V2 path)."""
+    from lakehouse_tacklebox_spark.sources import load_tables
+    from lakehouse_tacklebox_spark.sources.readers import read_orc, write_orc
+    from tests.conftest import SF_DIR
+
+    nation = load_tables(spark, SF_DIR, ["nation"])["nation"]
+    p = str(tmp_path / "nation_orc")
+    write_orc(nation, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    filtered = back.filter(F.col("n_nationkey") >= 10).select("n_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_nationkey" in plan
+    assert filtered.count() == nation.filter("n_nationkey >= 10").count()
