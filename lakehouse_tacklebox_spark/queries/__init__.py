@@ -140,10 +140,15 @@ _WINDOW_PRIORITY = [
     "mm_audio_features",
     "mm_video_features",
     "emb_neardup_lsh",
-    # (b) never driver-checked, no oracle by design — rows/schema evidence
+    # (b) never driver-checked approx family — now SELF-CERTIFYING
+    # oracles: the engine-specific estimate stays out of the compared
+    # columns; the query emits exact values plus Spark-computed
+    # within-bound flags the oracle asserts (error bound / recall floor
+    # / full-probe exactness become driver-checked claims). knn_ivf
+    # itself stays rows-only; its certification entry takes the slot.
     "agg_approx_distinct",
     "agg_hll_sketch_rollup",
-    "knn_ivf",
+    "knn_ivf_recall_cert",
     # (c) oldest stale greens (round 2): windows battery + CDC
     "win_dedup_latest",
     "win_topn_per_group",

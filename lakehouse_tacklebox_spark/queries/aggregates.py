@@ -317,16 +317,47 @@ def agg_pivot(spark, sf_dir):
 @register(
     "agg_approx_distinct",
     tags=("agg", "sketch"),
-    oracle=None,  # approx sketch values are engine-specific → rows-only check
+    # SELF-CERTIFYING oracle: the sketch ESTIMATE is engine-specific and
+    # stays out of the compared columns; instead the query emits the
+    # exact count plus a Spark-computed "estimate within 3% of exact"
+    # flag, and the oracle asserts the exact count and flag=1. If the
+    # HLL estimate ever drifts past 3× its configured rsd, the flag
+    # flips to 0 and the driver's hash compare fails — the error bound
+    # is now driver-checked every round, not only in pytest.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(1 AS BIGINT) AS approx_within_3pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
 )
 def agg_approx_distinct(spark, sf_dir):
-    """HyperLogLog approximate distinct per segment — the 100 TB-scale
-    substitute for exact COUNT(DISTINCT) (SURVEY §2.4 A11 scale note).
-    No oracle: sketch estimates are engine-specific."""
+    """HyperLogLog approximate distinct per priority — the 100 TB-scale
+    substitute for exact COUNT(DISTINCT) (SURVEY §2.4 A11 scale note) —
+    with its error bound emitted as a verifiable flag: |approx − exact|
+    ≤ 3% of exact (3× the configured rsd=0.01). The estimate itself is
+    engine-specific and excluded from the compared columns."""
     o = load_tables(spark, sf_dir, ["orders"])["orders"]
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("orders"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_customers")) * 100
+        <= F.col("exact_customers") * 3
+    )
+    return (
+        agg.select(
+            "o_orderpriority",
+            F.col("orders").cast("bigint").alias("orders"),
+            F.col("exact_customers").cast("bigint").alias("exact_customers"),
+            F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("approx_within_3pct"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
@@ -373,7 +404,16 @@ def agg_grouping_sets(spark, sf_dir):
 @register(
     "agg_hll_sketch_rollup",
     tags=("agg", "sketch", "approx"),
-    oracle=None,  # approximate by construction → rows-only; pytest bounds the error
+    # SELF-CERTIFYING oracle (same pattern as agg_approx_distinct): the
+    # merged-union estimate stays out of the compared columns; the query
+    # certifies |union estimate − exact global distinct| ≤ 3% and the
+    # oracle asserts the exact count and flag=1.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_orders,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS exact_customers_global,
+           CAST(1 AS BIGINT) AS union_estimate_within_3pct
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
 )
 def agg_hll_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch distinct counting (DataSketches HLL): per-nation
@@ -381,15 +421,33 @@ def agg_hll_sketch_rollup(spark, sf_dir):
     — the two-level rollup that exact count-distinct can't do (partials
     don't merge). At 100 TB this is THE pattern: per-partition sketches
     persist with table stats and any grouping rolls up by sketch union.
-    Error bound vs exact is pinned in tests/test_oracle_parity.py."""
+    The union estimate is engine-specific, so the emitted columns are
+    the exact global distinct plus the Spark-computed ≤3% accuracy flag
+    the oracle asserts (pytest additionally pins the raw error)."""
     o = load_tables(spark, sf_dir, ["orders", "customer"])["orders"]
     c = load_tables(spark, sf_dir, ["customer"])["customer"]
     per_nation = (
         o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_nationkey")
-        .agg(F.hll_sketch_agg("o_custkey").alias("sk"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("exact_cust"),
+        )
     )
-    return per_nation.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers_global"),
+    # exact global distinct = Σ per-nation exact distincts (a customer
+    # belongs to exactly one nation, so the partition is disjoint)
+    rolled = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
         F.sum("n_orders").alias("total_orders"),
+        F.sum("exact_cust").alias("exact_customers_global"),
+    )
+    within = (
+        F.abs(F.col("est") - F.col("exact_customers_global")) * 100
+        <= F.col("exact_customers_global") * 3
+    )
+    return rolled.select(
+        F.col("total_orders").cast("bigint").alias("total_orders"),
+        F.col("exact_customers_global").cast("bigint").alias("exact_customers_global"),
+        F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("union_estimate_within_3pct"),
     )

@@ -259,3 +259,60 @@ def emb_quantize_stats(spark, sf_dir):
             F.sum("err_micro").alias("err_micro_sum"),
         )
     )
+
+
+@register(
+    "knn_ivf_recall_cert",
+    tags=("similarity", "ann", "certification"),
+    # SELF-CERTIFYING oracle: IVF results are approximate by
+    # construction, so knn_ivf itself stays rows-only — but its QUALITY
+    # claims are verifiable: this entry certifies the two bounds the
+    # pytest suite pins (the gate corpus is ISOTROPIC random — the
+    # hardest case for IVF, where recall tracks the probed fraction
+    # nprobe/k ≈ 0.62 at 3/8): recall@5 ≥ 50% at nprobe=3, and
+    # full-probe (nprobe = num_centroids) EXACTLY reproduces brute
+    # force. The oracle asserts the query count and both flags = 1; an
+    # IVF quality regression flips a flag and fails the driver compare.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(1 AS BIGINT) AS recall_at5_ge_50pct,
+           CAST(1 AS BIGINT) AS full_probe_is_exact
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def knn_ivf_recall_cert(spark, sf_dir):
+    """Driver-checkable certification of the IVF scale path on the
+    isotropic gate corpus: recall@5 of knn_ivf (8 centroids, nprobe 3)
+    vs exact brute force ≥ 50%, and nprobe=8 (probe every list) equal
+    to brute force EXACTLY. All sides run in Spark on the same corpus
+    with hash-seeded k-means — deterministic, not flaky."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    cents = S.kmeans_centroids(e, k=8)
+    bf = S.knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    def pairs(nprobe):
+        return S.knn_ivf(
+            e, q, k=5, num_centroids=8, nprobe=nprobe, centroids=cents
+        ).select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2"))
+    cond = (F.col("query_id") == F.col("q2")) & (F.col("neighbor_id") == F.col("n2"))
+    hit3 = bf.join(pairs(3), cond).agg(F.count(F.lit(1)).alias("n_hit3"))
+    hit8 = bf.join(pairs(8), cond).agg(F.count(F.lit(1)).alias("n_hit8"))
+    stats = (
+        bf.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+        .crossJoin(F.broadcast(hit3))
+        .crossJoin(F.broadcast(hit8))
+    )
+    return stats.select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.when(F.col("n_hit3") * 100 >= F.col("n_truth") * 50, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("recall_at5_ge_50pct"),
+        F.when(F.col("n_hit8") == F.col("n_truth"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("full_probe_is_exact"),
+    )

