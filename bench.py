@@ -143,8 +143,17 @@ def run_sf1_section(spark, specs, sf01_timings: dict) -> dict:
         spec = specs[name]
         if name in SF1_PARAM_OVERRIDES:
             spec = SimpleNamespace(fn=SF1_PARAM_OVERRIDES[name][0])
-        timings[name] = round(run_query(spark, spec, SF1_DIR), 3)
+        # min-of-2, same rationale as the serial pass: a single rep is
+        # hostage to JVM codegen-cache eviction — observed 2-4× run-to-
+        # run swings on identical code that flipped the decade-ratio
+        # verdict. The budget check between reps keeps the section
+        # inside SF1_BUDGET_S even when doubled.
+        t1 = run_query(spark, spec, SF1_DIR)
         spark.catalog.clearCache()
+        if time.perf_counter() - t_section <= SF1_BUDGET_S:
+            t1 = min(t1, run_query(spark, spec, SF1_DIR))
+            spark.catalog.clearCache()
+        timings[name] = round(t1, 3)
     ratios = {
         n: round(t / sf01_timings[n], 2)
         for n, t in timings.items()
