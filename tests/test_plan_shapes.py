@@ -326,3 +326,51 @@ def test_temperature_mix_partial_limits_before_quota(spark):
     plan = _plan(df, "simple")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_range_window_runs_over_daily_aggregate(spark):
+    """ds_rolling_range_window: the RANGE frame must run over the
+    (segment, day) daily aggregate, never the raw fact — the plan shows
+    the Window ABOVE a HashAggregate pair and a rangeBetween spec; the
+    customer dim broadcasts."""
+    df = REGISTRY["ds_rolling_range_window"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "specifiedwindowframe(RangeFrame" in plan, "RANGE frame lost"
+    assert "BroadcastHashJoin" in plan
+    # window input is the aggregated frame: aggregate appears below the window
+    w_at = plan.index("Window")
+    assert "HashAggregate" in plan[w_at:], "window must sit over the daily agg"
+
+
+def test_nearest_neighbor_topk_is_window_group_limit(spark):
+    """text_nearest_neighbor's top-1 must compile to WindowGroupLimit
+    (partial map-side + final), so no doc's full candidate list is ever
+    materialized for the rank."""
+    df = REGISTRY["text_nearest_neighbor"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "CartesianProduct" not in plan
+
+
+def test_nested_share_windows_run_over_cell_aggregate(spark):
+    """ds_nested_share_of_total: both share windows (segment-partitioned
+    and global) run over the (segment, brand) cell aggregate; the one
+    SinglePartition exchange is over the dim-bounded cell frame, and the
+    fact join stays an equi-join."""
+    df = REGISTRY["ds_nested_share_of_total"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "Exchange SinglePartition" in plan  # the global share window
+    assert "CartesianProduct" not in plan
+    w_at = plan.index("Window")
+    assert "HashAggregate" in plan[w_at:], "windows must sit over the cell agg"
+
+
+def test_interval_month_census_explodes_spans_not_fact(spark):
+    """ds_interval_month_census: the month explode (Generate) must run
+    over the per-order span AGGREGATE, not the raw join — Generate sits
+    above a HashAggregate in the plan."""
+    df = REGISTRY["ds_interval_month_census"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    g_at = plan.index("Generate")
+    assert "HashAggregate" in plan[g_at:], "explode must follow the span agg"
+    assert "CartesianProduct" not in plan
