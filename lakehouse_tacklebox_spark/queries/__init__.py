@@ -84,6 +84,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes12,
     tpcds_shapes13,
     tpcds_shapes14,
+    tpcds_shapes15,
     validation,
     windows,
 )
@@ -167,13 +168,16 @@ _WINDOW_PRIORITY = [
 # _cost_efficiency, stream_hourly_rollup, validate_diff_drilldown,
 # reconcile_counts_by_grain (r2); everything green in r3 (50 entries)
 # and r5 (the r1-stale refreshes + TPC-DS waves 1-3, 50 entries); and
-# the ~22 round-6 additions, never driver-checked — landed after this
-# round's window froze: TPC-DS waves 10-12 (18 entries),
+# the ~30 round-6 additions, never driver-checked — landed after this
+# round's window froze: TPC-DS waves 10-15 (26 entries),
 # stream_incremental_join_mv, stream_dedup_within_watermark,
-# text_nearest_neighbor. Round-7 window: lead with the round-6
-# additions, then the r2-stale TPC-H/text/metrics/validator names
-# above. All are green in tools/drive_contract.py runs at sf0.01 under
-# vanilla sessions this round (202/202).
+# stream_stream_left_join, text_nearest_neighbor,
+# corpus_weighted_sample, corpus_chunk_windows. Round-7 window: lead
+# with the round-6 additions, then the r2-stale TPC-H/text/metrics/
+# validator names above. All are green in tools/drive_contract.py runs
+# at sf0.01 under vanilla sessions this round (latest full drive:
+# 214/214), and the round-6 additions were additionally spot-checked
+# at sf0.1.
 
 def _reorder_registry() -> None:
     # Fail LOUDLY on a stale window name: a silent `if n in REGISTRY`
