@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, dsum_dbl
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 @register(
@@ -427,7 +427,7 @@ def agg_hll_sketch_rollup(spark, sf_dir):
     o = load_tables(spark, sf_dir, ["orders", "customer"])["orders"]
     c = load_tables(spark, sf_dir, ["customer"])["customer"]
     per_nation = (
-        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o["o_custkey"] == c["c_custkey"])
+        o.join(maybe_broadcast(c.select("c_custkey", "c_nationkey"), "customer"), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_nationkey")
         .agg(
             F.hll_sketch_agg("o_custkey").alias("sk"),

@@ -17,7 +17,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables, normalize_event_ts
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast, normalize_event_ts
 from lakehouse_tacklebox_spark.streaming.windows import windowed_agg
 
 
@@ -578,7 +578,7 @@ def stream_incremental_join_mv(spark, sf_dir):
             return  # retried epoch whose merge already committed
         parts = (
             batch_df.join(
-                SF.broadcast(orders), SF.col("l_orderkey") == SF.col("o_orderkey")
+                maybe_broadcast(orders, "orders"), SF.col("l_orderkey") == SF.col("o_orderkey")
             )
             .groupBy(
                 SF.col("o_orderpriority").alias("priority"),

@@ -30,7 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 def _cents(col) -> F.Column:
@@ -195,7 +195,7 @@ def ds_top_parts_per_brand(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     pr = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(t["part"].select("p_partkey", "p_brand"), "part"), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "l_partkey")
         .agg(F.sum(_cents("l_extendedprice")).alias("cents"))
     )
@@ -236,7 +236,7 @@ def ds_brand_monthly_deviation(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     bm = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(t["part"].select("p_partkey", "p_brand"), "part"), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
         .agg(F.sum(_cents("l_extendedprice")).alias("cents"))
     )

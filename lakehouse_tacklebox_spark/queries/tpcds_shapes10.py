@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, drate
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 _CENTS_SQL = "CAST(round(CAST({c} AS DECIMAL(14,2)) * 100) AS BIGINT)"
 
@@ -192,7 +192,7 @@ def ds_rolling_range_window(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["orders", "customer"])
     daily = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderdate").cast("date").alias("day"),
@@ -268,7 +268,7 @@ def ds_brands_above_avg_semi(spark, sf_dir):
     parts = t["part"].join(F.broadcast(rich), "p_brand", "left_semi")
     return (
         t["lineitem"]
-        .join(F.broadcast(parts.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(parts.select("p_partkey", "p_brand"), "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
@@ -388,7 +388,7 @@ def ds_quarter_setop_chain(spark, sf_dir):
     loyal = q1.intersect(q2).exceptAll(failed)
     return (
         loyal.join(
-            F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+            maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey")
         )
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))

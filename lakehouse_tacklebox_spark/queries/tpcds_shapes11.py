@@ -30,7 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 _CENTS_SQL = "CAST(round(CAST({c} AS DECIMAL(14,2)) * 100) AS BIGINT)"
 
@@ -147,7 +147,7 @@ def ds_percentile_distribution(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["orders", "customer"])
     spend = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
         .agg(F.sum(_cents("o_totalprice")).alias("cents"))
     )
@@ -342,7 +342,7 @@ def ds_locf_gap_fill(spark, sf_dir):
     daily = (
         t["orders"]
         .filter(F.year("o_orderdate") == 1996)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderdate").cast("date").alias("day"),
@@ -410,7 +410,7 @@ def ds_month_seasonality_index(spark, sf_dir):
     monthly = (
         t["lineitem"]
         .filter(F.year("l_shipdate") == 1996)
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.year("l_shipdate").cast("bigint").alias("yr"),

@@ -35,7 +35,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 _CENTS_SQL = "CAST(round(CAST({c} AS DECIMAL(14,2)) * 100) AS BIGINT)"
 
@@ -89,7 +89,7 @@ def ds_churned_revenue_anti(spark, sf_dir):
     churned = y96.join(y97, "o_custkey", "left_anti")
     return (
         churned.join(
-            F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+            maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey")
         )
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
@@ -135,7 +135,7 @@ def ds_centered_moving_window(spark, sf_dir):
     daily = (
         t["orders"]
         .filter(F.year("o_orderdate") == 1996)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderdate").cast("date").alias("day"),
@@ -195,8 +195,8 @@ def ds_nested_share_of_total(spark, sf_dir):
     cell = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.col("c_mktsegment").alias("segment"), F.col("p_brand").alias("brand")
         )
@@ -321,7 +321,7 @@ def ds_brand_skew_classes(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     m = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -22,7 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 _CENTS_SQL = "CAST(round(CAST({c} AS DECIMAL(14,2)) * 100) AS BIGINT)"
 
@@ -85,7 +85,7 @@ def ds_topk_with_others(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     brand_rev = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.sum(_rev_cents()).alias("cents"),
@@ -209,7 +209,7 @@ def ds_leave_one_out_avg(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     brand_rev = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.sum(_rev_cents()).alias("cents"))
     )

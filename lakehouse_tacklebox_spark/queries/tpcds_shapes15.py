@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 _CENTS_SQL = "CAST(round(CAST({c} AS DECIMAL(14,2)) * 100) AS BIGINT)"
 
@@ -75,7 +75,7 @@ def ds_weighted_avg_price_mix(spark, sf_dir):
     qty = F.col("l_quantity").cast("bigint")
     m = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -153,7 +153,7 @@ def ds_median_order_gap(spark, sf_dir):
     )
     return (
         gaps.join(
-            F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+            maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey")
         )
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(

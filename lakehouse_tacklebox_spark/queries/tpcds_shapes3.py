@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, drate
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 def _ppm(a, b) -> F.Column:
@@ -247,7 +247,7 @@ def ds_pareto_brands(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     brand_rev = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.sum(_rev_cents()).alias("cents"))
     )

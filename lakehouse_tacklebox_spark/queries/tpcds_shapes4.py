@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, drate
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 def _ppm(a, b) -> F.Column:
@@ -92,7 +92,7 @@ def ds_quantity_dispersion(spark, sf_dir):
     q = F.col("l_quantity").cast("bigint")
     per_brand = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
@@ -151,7 +151,7 @@ def ds_low_velocity_parts(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     per_part = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_rev_cents()).cast("bigint").alias("cents"))
     )
@@ -442,7 +442,7 @@ def ds_before_after_split(spark, sf_dir):
             (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
         )
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(F.col("r_name").alias("region"), before.alias("is_before"), cents.alias("cents"))
@@ -508,7 +508,7 @@ def ds_category_share_window(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-03-02").cast("timestamp"))
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("category"), F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_rev_cents()).cast("bigint").alias("cents"))
     )
@@ -583,7 +583,7 @@ def ds_best_customer_frequent_parts(spark, sf_dir):
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(frequent_parts), "l_partkey", "left_semi")
+        .join(maybe_broadcast(frequent_parts, "part"), "l_partkey", "left_semi")
         .join(F.broadcast(best_customers), "o_custkey", "left_semi")
         .groupBy(month_idx.alias("month_idx"))
         .agg(

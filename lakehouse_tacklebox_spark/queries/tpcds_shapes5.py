@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, drate
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 def _ppm(a, b) -> F.Column:
@@ -95,7 +95,7 @@ def ds_high_return_customers(spark, sf_dir):
         t["lineitem"]
         .filter(F.col("l_returnflag") == "R")
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey").alias("custkey"))
         .agg(F.sum(_rev_cents()).cast("bigint").alias("ret_cents"))
@@ -246,7 +246,7 @@ def ds_demand_volatility_pairs(spark, sf_dir):
     pm = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"), month_idx.alias("month_idx"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -441,7 +441,7 @@ def ds_post_adoption_spend(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "part", "customer"])
     first_eco = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+        .join(maybe_broadcast(t["part"].filter(F.col("p_type") == "ECONOMY"), "part"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("o_custkey").alias("custkey"))
@@ -452,7 +452,7 @@ def ds_post_adoption_spend(spark, sf_dir):
         t["orders"]
         .join(first_eco, F.col("o_custkey") == F.col("custkey"))
         .filter((gap >= 1) & (gap <= 90))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, drate
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 _REV_CENTS_SQL = (
@@ -161,7 +161,7 @@ def ds_preferred_channel_dist(spark, sf_dir):
     )
     pref = cp.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
     return (
-        pref.join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        pref.join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("pr").alias("preferred_channel"),

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, drate
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 def _ppm(a, b) -> F.Column:
@@ -166,7 +166,7 @@ def ds_rebuy_after_return(spark, sf_dir):
         .filter(F.col("first_ret").isNotNull() & (F.col("last_buy") > F.col("first_ret")))
     )
     return (
-        cp.join(F.broadcast(t["customer"]), F.col("c") == F.col("c_custkey"))
+        cp.join(maybe_broadcast(t["customer"], "customer"), F.col("c") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rebuy_pairs"),
@@ -222,7 +222,7 @@ def ds_cummax_drawdown(spark, sf_dir):
     month_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
     m = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), month_idx.alias("month_idx"))
         .agg(F.sum(F.round(dmoney("o_totalprice") * 100).cast("bigint")).alias("cents"))

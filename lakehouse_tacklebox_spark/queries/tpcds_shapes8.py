@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, drate
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 _REV_CENTS_SQL = (
@@ -127,7 +127,7 @@ def ds_grouping_flag_rollup(spark, sf_dir):
     cents = F.round(dmoney("o_totalprice") * 100).cast("bigint")
     joined = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(F.col("n_name"), F.col("c_mktsegment"), cents.alias("cents"))
     )

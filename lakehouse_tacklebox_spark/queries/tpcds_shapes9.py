@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 @register(
@@ -53,7 +53,7 @@ def ds_cube_matrix(spark, sf_dir):
     cents = F.round(dmoney("o_totalprice") * 100).cast("bigint")
     joined = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_mktsegment", "o_orderpriority", cents.alias("cents"))
     )
     cubed = joined.cube("c_mktsegment", "o_orderpriority").agg(
@@ -115,7 +115,7 @@ def ds_above_global_avg(spark, sf_dir):
     )
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(t["customer"], "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(g))
         .filter(cents * F.col("n") * 10 > F.col("t") * 11)
         .groupBy(F.col("c_mktsegment").alias("segment"))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, drate, dsum_dbl
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 @register(
@@ -94,7 +94,7 @@ def q3_shipping_priority(spark, sf_dir):
     return (
         t["orders"]
         .filter(F.col("o_orderdate") < cutoff)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(
             t["lineitem"].filter(F.col("l_shipdate") > cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, drate, dsum_dbl
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 _DISC_PRICE_SQL = "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(7,4))"
 
@@ -135,7 +135,7 @@ def q8_market_share(spark, sf_dir):
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(part, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
             _disc_price().alias("volume"),
@@ -173,7 +173,7 @@ def q9_product_profit(spark, sf_dir):
     part = t["part"].filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(part, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -203,7 +203,7 @@ def q14_promo_effect(spark, sf_dir):
     )
     promo = F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0).cast("decimal(18,6)")))
     return (
-        li.join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(maybe_broadcast(t["part"], "part"), F.col("p_partkey") == F.col("l_partkey"))
         .agg(F.round(F.lit(100.0) * promo / F.nullif(F.sum(_disc_price()), F.lit(0)), 6).cast("double").alias("promo_revenue_pct"))
     )
 
@@ -274,7 +274,7 @@ def q19_discounted_revenue(spark, sf_dir):
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(t["part"], "part"), F.col("p_partkey") == F.col("l_partkey"))
         .filter(bands)
         .agg(dsum_dbl(_disc_price()).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )

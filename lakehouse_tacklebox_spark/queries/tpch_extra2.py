@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney, dsum_dbl
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 @register(
@@ -140,7 +140,7 @@ def q16_supplier_part_counts(spark, sf_dir):
     return (
         t["lineitem"]
         .join(F.broadcast(bad_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(part, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -174,7 +174,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
 
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     part = t["part"].filter((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL")).select("p_partkey")
-    li = t["lineitem"].join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    li = t["lineitem"].join(maybe_broadcast(part, "part"), F.col("p_partkey") == F.col("l_partkey"))
     return (
         li.withColumn(
             "qty_threshold",

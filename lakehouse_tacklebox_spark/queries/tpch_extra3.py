@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.functions import dmoney
 from lakehouse_tacklebox_spark.queries import register
-from lakehouse_tacklebox_spark.sources import load_tables
+from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
 
 
 @register(
@@ -62,7 +62,7 @@ def q2_min_balance_supplier(spark, sf_dir):
     ).select("p_partkey", "p_name")
     shipped = (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(part, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .select("p_partkey", "p_name", "l_suppkey")
         .distinct()
     )
@@ -184,7 +184,7 @@ def q20_excess_share_suppliers(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(promo, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
     )

@@ -31,6 +31,22 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+def maybe_broadcast(df: DataFrame, name: str) -> DataFrame:
+    """Scale-aware broadcast policy: hint only dimensions that stay
+    bounded at any scale factor (``BROADCAST_DIMS``).
+
+    For SF-growing tables (customer, part, orders, ...) return the frame
+    un-hinted and let ``spark.sql.autoBroadcastJoinThreshold`` + AQE pick
+    the strategy from the *measured* size at runtime. A forced
+    ``F.broadcast`` on a table that grows with the data bypasses that
+    threshold and OOMs the build side at the 100 TB design point, so query
+    code must never hard-hint those — route every dim hint through here.
+    At small SF AQE still broadcasts them (sizes are far below the
+    threshold), so plans and bench numbers are unchanged where it's safe.
+    """
+    return F.broadcast(df) if name in BROADCAST_DIMS else df
+
+
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize the events timestamp column to session-TZ TimestampType
     regardless of how the parquet file encodes it.

@@ -374,3 +374,43 @@ def test_interval_month_census_explodes_spans_not_fact(spark):
     g_at = plan.index("Generate")
     assert "HashAggregate" in plan[g_at:], "explode must follow the span agg"
     assert "CartesianProduct" not in plan
+
+
+def test_no_forced_broadcast_on_sf_growing_tables():
+    """Hint-policy lint (SCALING.md): query code must never hard-hint
+    broadcast on a table that grows with the scale factor — at 100 TB a
+    forced hint bypasses autoBroadcastJoinThreshold and OOMs the build
+    side. Bounded dims route through maybe_broadcast / BROADCAST_DIMS."""
+    import glob
+    import os
+    import re
+
+    qdir = os.path.join(
+        os.path.dirname(__file__), "..", "lakehouse_tacklebox_spark", "queries"
+    )
+    bad = []
+    for f in glob.glob(os.path.join(qdir, "*.py")):
+        for i, line in enumerate(open(f), 1):
+            if re.search(r'\bbroadcast\(t\["(customer|part|orders|lineitem|events|documents|embeddings)"\]', line):
+                bad.append(f"{os.path.basename(f)}:{i}: {line.strip()}")
+    assert not bad, "forced broadcast on SF-growing table:\n" + "\n".join(bad)
+
+
+def test_maybe_broadcast_policy_plans(spark):
+    """maybe_broadcast hints bounded dims (ResolvedHint in the analyzed
+    plan) and leaves SF-growing tables un-hinted — which size-based
+    planning still broadcasts at test scale, so small-SF plans are
+    unchanged while 100 TB plans degrade to shuffle joins safely."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.sources import load_tables, maybe_broadcast
+
+    t = load_tables(spark, SF_DIR, ["nation", "customer", "orders"])
+    hinted = maybe_broadcast(t["nation"], "nation")
+    unhinted = maybe_broadcast(t["customer"], "customer")
+    assert "UnresolvedHint" in hinted._jdf.queryExecution().logical().toString()
+    assert "Hint" not in unhinted._jdf.queryExecution().logical().toString()
+    # the un-hinted customer dim still broadcasts at test SF via
+    # autoBroadcastJoinThreshold (file-size statistics, no hint needed)
+    joined = t["orders"].join(unhinted, F.col("o_custkey") == F.col("c_custkey"))
+    assert "BroadcastHashJoin" in _plan(joined, "simple")

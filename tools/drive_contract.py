@@ -28,8 +28,14 @@ qs = E.queries()
 oracles = E.oracle_sql()
 print(f"queries: {len(qs)} registered, {len(oracles)} with oracles")
 
+import re as _re
 import sys as _sys
 SF = _sys.argv[1] if len(_sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional argv[2]: regex — run only matching query names (iteration aid;
+# the pre-commit full run still uses no filter)
+if len(_sys.argv) > 2:
+    pat = _re.compile(_sys.argv[2])
+    qs = {n: f for n, f in qs.items() if pat.search(n)}
 fails = []
 for name, fn in sorted(qs.items()):
     t0 = time.time()
