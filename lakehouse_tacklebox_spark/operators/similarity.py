@@ -177,12 +177,18 @@ def neardup_pairs_lsh(
     sig = rp_lsh_bands(df, id_col, vec_col, n_planes, bands, seed).persist()
     a = sig.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = sig.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    # Eagerly materialize the (bounded) candidate set so the signature
+    # cache can be released NOW instead of leaking executor storage until
+    # the caller clears the cache — checkpoint blocks are reclaimed by the
+    # ContextCleaner when the frame is GC'd, persist() is not.
     cand = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint()
     )
+    sig.unpersist()
     # Precompute each vector's norm ONCE (higher-order-function folds are
     # interpreted per element, so dots dominate the verify stage —
     # norm-per-vector instead of norms-per-PAIR cuts the per-candidate
@@ -223,7 +229,13 @@ def _neardup_pairs_lsh_arrow(
     import numpy as np
     import pandas as pd  # noqa: F401 — annotations below resolve via module pd
 
-    dim = df.select(F.size(vec_col).alias("d")).first().d
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:  # empty corpus: no pairs, and no dim to size planes by
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+    dim = first.d
     rng = np.random.RandomState(seed)
     planes_t = rng.normal(size=(n_planes, dim)).T.copy()  # (dim, n_planes)
     per_band = n_planes // bands
@@ -261,12 +273,16 @@ def _neardup_pairs_lsh_arrow(
     ).persist()
     a = sig.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = sig.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    # eager candidates + unpersist, same storage-leak rationale as the
+    # expr path above
     cand = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint()
     )
+    sig.unpersist()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -64,6 +64,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     scalars,
     setops,
     similarity,
+    storage_battery,
     streaming_battery,
     textops,
     tpch,
@@ -85,6 +86,9 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     tpcds_shapes13,
     tpcds_shapes14,
     tpcds_shapes15,
+    tpcds_shapes16,
+    tpcds_shapes17,
+    tpcds_shapes18,
     validation,
     windows,
 )
@@ -181,16 +185,29 @@ _WINDOW_PRIORITY = [
     "q14_promo_effect",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
+    # (c) round-7 additions that must land a driver row THIS round
+    # (VERDICT r6 item 6): bucketed co-located join + idempotent replay
+    "join_bucketed_colocated",
+    "stream_idempotent_mv_replay",
 ]
-# Round-8 window plan (mechanical, from the ledger above): the r2 tail —
+# Round-8 window plan (mechanical, from the ledger above): (a) the 18
+# round-7 TPC-DS additions that landed after this window froze — waves
+# 16-18 (ds_quantity_band_stats, ds_excess_discount_lines,
+# ds_active_priced_parts, ds_nation_return_refunds,
+# ds_attribute_combo_census, ds_weekday_priority_matrix,
+# ds_channel_union_yoy, ds_profit_rollup_channels, ds_hourly_type_share,
+# ds_bigticket_customer_split, ds_promo_revenue_ratio,
+# ds_multi_supplier_return_orders, ds_cumulative_priority_crossover,
+# ds_rollup_level_share_rank, ds_brand_month_deviation,
+# ds_type_share_in_category, ds_monthly_error_trend,
+# ds_lapsed_customer_census — all drive-green at sf0.01 this round);
+# (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/
 # token_stats/fingerprint_groups, metrics_user_activity/_top_durations/
 # _cost_efficiency, stream_hourly_rollup, validate_diff_drilldown,
-# reconcile_counts_by_grain (13 entries) — plus any round-7 additions
-# that land after this window froze, then the oldest r3 greens.
+# reconcile_counts_by_grain (15 entries incl. the two displaced TPC-H);
+# that fills 33 of 50 — top up with the oldest r3 greens.
 
 
 def _reorder_registry() -> None:

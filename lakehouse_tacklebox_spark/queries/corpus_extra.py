@@ -373,7 +373,12 @@ def corpus_weighted_sample(spark, sf_dir):
     w = d.select(
         "doc_id",
         "source",
-        F.least(F.lit(1000000), F.col("n_chars") * 500).alias("weight_ppm"),
+        # cast BEFORE multiplying: n_chars*500 in 32-bit int silently wraps
+        # (ANSI off) for docs > ~4.29M chars while DuckDB computes wide —
+        # the bigint product keeps keep-decisions identical cross-engine
+        F.least(F.lit(1000000).cast("bigint"), F.col("n_chars").cast("bigint") * 500).alias(
+            "weight_ppm"
+        ),
         hash_bucket(F.col("doc_id"), 1_000_000).alias("bucket"),
     )
     kept = (F.col("bucket") < F.col("weight_ppm")).cast("int")

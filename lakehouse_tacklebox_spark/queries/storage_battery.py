@@ -1,0 +1,215 @@
+"""Storage-layout battery: bucketed co-located joins and idempotent
+epoch-replay MV maintenance, driver-checked against DuckDB oracles.
+
+Both capabilities were pytest-only infrastructure through round 6
+(tests/test_bucketed_join.py, tests/test_tablestore.py); these entries
+put them behind the correctness gate. Reference bar: the Delta
+`txn`/`foreachBatch` exactly-once discussion in the reference's Step 5
+migration guide and its bucketed-layout performance notes
+(30-performance) — semantics re-expressed Spark-first, no code shared.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.functions import dmoney, drate
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+
+@register(
+    "join_bucketed_colocated",
+    tags=("join", "bucketing", "storage"),
+    bench=False,
+    oracle="""
+    SELECT o_orderpriority, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(5,4))) * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    ORDER BY o_orderpriority, l_returnflag
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Fact-fact join with ZERO join-input exchanges via bucketing: both
+    facts are written bucketed by the join key (8 buckets, sorted), so
+    the sort-merge join reads co-located buckets directly instead of
+    shuffling either side — the storage layout that makes a repeated
+    100 TB fact-fact join affordable (the shuffle is paid ONCE at write
+    time, then amortized across every subsequent join on that key).
+
+    The query asserts the plan property inline — `Exchange
+    hashpartitioning` may appear at most once (the post-join |groups|-row
+    aggregate), never under the join — and the driver's row/hash compare
+    proves bucketing is invisible to results. The join carries a
+    `merge` strategy hint so the co-located sort-merge path is what
+    executes even where the dim would fit a broadcast at gate SF (a
+    broadcast plan would test nothing about bucketing); a strategy hint
+    is scale-safe, unlike a forced broadcast.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    # session-unique table names per sf_dir so sf0.01/sf0.1 drives in one
+    # session don't collide; external path keeps the warehouse in /tmp
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.mkdtemp(prefix=f"bucketed_{tag}_")
+    names = {}
+    for name, df, key in (
+        ("li", t["lineitem"].select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"), "l_orderkey"),
+        ("ord", t["orders"].select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+    ):
+        tbl = f"bkt_{name}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(tmp, tbl))
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        names[name] = tbl
+
+    li = spark.table(names["li"])
+    o = spark.table(names["ord"])
+    rev_cents = F.round(
+        dmoney("l_extendedprice") * drate(F.lit(1) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    out = (
+        li.hint("merge")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(rev_cents).cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )
+    # inline plan pin: bucketed scans feed the join directly; only the
+    # post-join aggregate may introduce an exchange
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 1, f"bucketed join inputs still shuffle: {n_ex} exchanges"
+    return out
+
+
+@register(
+    "stream_idempotent_mv_replay",
+    tags=("streaming", "transactions", "incremental"),
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(5,4))) * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY returnflag
+    """,
+)
+def stream_idempotent_mv_replay(spark, sf_dir):
+    """Exactly-once incremental MV under DELIBERATE epoch replay: the
+    fact streams in micro-batches into a merge-maintained aggregate view
+    stamped with Delta-style ``txn`` versions — then the LAST epoch is
+    replayed twice more (the foreachBatch failover model: the merge
+    committed but the checkpoint didn't advance, so a restarted writer
+    re-runs the epoch). The stamp travels in the same commit as the
+    data, so both replays must no-op and the final view must equal
+    DuckDB's one-shot batch aggregate — any double-apply fails the
+    hash compare, making writer idempotence a driver-checked claim
+    rather than a pytest-only one.
+
+    Scale: per-batch cost is a |batch| partial aggregate plus a
+    |groups|-row merge; the replay guard is one log-tail read
+    (txn_version) re-validated inside the commit's retry loop, so even
+    a zombie writer racing the retry cannot double-apply
+    (tablestore/table.py _commit).
+    """
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tmp = tempfile.mkdtemp(prefix="idem_mv_")
+    src_dir = os.path.join(tmp, "src")
+    tbl_dir = os.path.join(tmp, "tbl")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    t["lineitem"].select("l_returnflag", "l_extendedprice", "l_discount").repartition(
+        4
+    ).write.parquet(src_dir)
+
+    rev_cents = F.round(
+        dmoney("l_extendedprice") * drate(F.lit(1) - F.col("l_discount")) * 100
+    ).cast("bigint")
+
+    TackleTable.create(
+        spark, tbl_dir, schema="returnflag string, n_rows bigint, rev_cents bigint"
+    )
+
+    last = {"epoch": None, "batch": None}
+
+    def _upsert(batch_df, epoch):
+        s = batch_df.sparkSession
+        table = TackleTable(s, tbl_dir)
+        if table.txn_version("idem_mv") >= epoch:
+            return  # retried epoch already committed
+        parts = (
+            batch_df.groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(rev_cents).cast("bigint").alias("rev_cents"),
+            )
+        )
+        combined = (
+            table.read()
+            .unionByName(parts)
+            .groupBy("returnflag")
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+            )
+        )
+        (
+            table.merge(combined, on=["returnflag"])
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .withTransaction("idem_mv", epoch)
+            .execute()
+        )
+
+    def _upsert_tracking(batch_df, epoch):
+        # keep a handle to the newest batch only; the source files stay on
+        # disk until after the replay below, so no persist is needed
+        last["epoch"], last["batch"] = epoch, batch_df
+        _upsert(batch_df, epoch)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_upsert_tracking)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # failover replay: the last epoch runs twice more — both must no-op
+    if last["epoch"] is not None:
+        _upsert(last["batch"], last["epoch"])
+        _upsert(last["batch"], last["epoch"])
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    return (
+        TackleTable(spark, tbl_dir)
+        .read()
+        .select("returnflag", "n_rows", "rev_cents")
+        .orderBy("returnflag")
+    )

@@ -136,7 +136,8 @@ def stateful_funnel(
     type_col: str,
     stages: tuple[str, str, str] = ("view", "click", "purchase"),
     deadline_hours: float = 24.0,
-    ttl_minutes: float | None = None,
+    ttl_minutes: float | None = 7 * 24 * 60,
+    max_buffer: int = 10_000,
 ) -> DataFrame:
     """Per-user staged funnel (stage1 → stage2-within-deadline → stage3-
     within-deadline) as a STATEFUL streaming operator, robust to
@@ -157,10 +158,19 @@ def stateful_funnel(
     t1+2·deadline. Clicks/purchases BELOW t1 must be kept — an even
     earlier view may still arrive and make them anchors — so state is
     O(distinct stage-2/3 event times in a ≤2·deadline window plus the
-    pre-t1 tail), not "kilobytes per user" unconditionally. On a
-    long-running stream, bound idle keys with ``ttl_minutes``: a key
-    untouched for that long is dropped (ProcessingTimeTimeout, same
-    contract as :func:`stateful_dedup`); without it state lives forever.
+    pre-t1 tail), not "kilobytes per user" unconditionally.
+
+    State is BOUNDED BY DEFAULT on a long-running stream, two ways:
+    - ``ttl_minutes`` (default 7 days): a key untouched for that long is
+      dropped (ProcessingTimeTimeout, same contract as
+      :func:`stateful_dedup`). Pass ``None`` to opt into unbounded
+      lifetime explicitly — only sane for finite replays.
+    - ``max_buffer``: keys that have never seen a stage-1 view keep at
+      most this many distinct click/purchase times (the EARLIEST ones —
+      a later-arriving view anchors via the minimum in its window, so
+      dropping the latest tail only loses anchors for views arriving
+      inside that dropped tail). Keys WITH a view are already pruned
+      exactly by the deadline rule and never hit the cap in practice.
     """
     deadline_ns = int(deadline_hours * 3600 * 1e9)
     ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
@@ -207,6 +217,11 @@ def stateful_funnel(
         if t1_cur is not None:
             clicks = [c for c in clicks if c <= t1_cur + deadline_ns]
             purchases = [p for p in purchases if p <= t1_cur + 2 * deadline_ns]
+        else:
+            # view-less key: no deadline prune applies, so cap the buffers
+            # (earliest kept — see docstring) to bound state growth
+            clicks = clicks[:max_buffer]
+            purchases = purchases[:max_buffer]
         state.update((views, clicks, purchases, n_seen))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)

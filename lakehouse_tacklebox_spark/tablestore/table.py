@@ -408,6 +408,7 @@ class TackleTable:
         expected_version: int | None = None,
         retries: int = 5,
         identity_reserve: tuple[str, int] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         sketch_cols = self._sketch_columns() if add else []
         file_sketches = (
@@ -418,6 +419,15 @@ class TackleTable:
             else {}
         )
         for attempt in range(retries):
+            # Delta SetTransaction conflict rule: re-validate the idempotence
+            # stamp on EVERY attempt, not only in the caller's pre-check — a
+            # concurrent/zombie writer sharing the app_id (streaming failover)
+            # may have committed this version between the pre-check and the
+            # winning log write, and blind-retrying past its FileExistsError
+            # would double-apply the data. A hit means the work is already
+            # durably committed: succeed as a no-op.
+            if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+                return self.version()
             current = self.version()
             if expected_version is not None and current != expected_version:
                 raise CommitConflictError(
@@ -501,6 +511,7 @@ class TackleTable:
             {"numOutputRows": n, "numAddedFiles": len(files)},
             schema=schema,
             identity_reserve=identity_reserve,
+            txn=txn,
         )
 
     def overwrite(
@@ -794,14 +805,25 @@ class MergeBuilder:
         merge_params: dict[str, Any] = {"on": self.on}
         if self._txn is not None:
             merge_params["txn"] = {"appId": self._txn[0], "version": self._txn[1]}
-        version = t._commit(
-            "MERGE",
-            merge_params,
-            new_files,
-            rel_touched,
-            metrics,
-            expected_version=start_v,
-        )
+        try:
+            version = t._commit(
+                "MERGE",
+                merge_params,
+                new_files,
+                rel_touched,
+                metrics,
+                expected_version=start_v,
+                txn=self._txn,
+            )
+        except CommitConflictError:
+            # Snapshot conflict. If the winning commit carried our own
+            # (app_id, >= version) stamp — a zombie retry of the same
+            # epoch — the merge is already durably applied: idempotent
+            # no-op (the files written above stay orphaned/uncommitted).
+            # Any other winner is a genuine conflict the caller re-runs.
+            if self._txn is not None and t.txn_version(self._txn[0]) >= self._txn[1]:
+                return t.version()
+            raise
         if self._write_cdf:
             cdf = tagged.filter(F.col("__action").isin("update", "insert", "delete")).select(
                 "__row.*",

@@ -243,3 +243,80 @@ def test_txn_idempotent_merge_and_append(spark, users, tmp_path):
     n_before = t.read().count()
     t.append(extra, txn=("mv", 2))
     assert t.read().count() == n_before
+
+
+def test_txn_recheck_inside_commit_window(spark, users, tmp_path):
+    """The idempotence stamp is re-validated INSIDE _commit's attempt
+    loop, not only in append()'s pre-check: a zombie writer sharing the
+    app_id (streaming failover) that wins the version between the
+    pre-check and the log write must turn the straggler's commit into a
+    no-op, never a double-apply (Delta's SetTransaction conflict rule)."""
+    from lakehouse_tacklebox_spark.tablestore.table import _write_files
+
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    extra = spark.createDataFrame(
+        [(9, "zoe", 900.0)], "id bigint, name string, balance double"
+    )
+    # the straggler passed its pre-check (txn_version('mv') == -1), wrote
+    # its files, and is about to commit ...
+    files, n = _write_files(extra, t.path)
+    # ... when the zombie sharing the app_id commits the same epoch first
+    t.append(extra, txn=("mv", 3))
+    v_after_zombie = t.version()
+    n_rows = t.read().count()
+    # the straggler's commit attempt must detect the stamp and no-op
+    v = t._commit(
+        "APPEND",
+        {"txn": {"appId": "mv", "version": 3}},
+        files,
+        [],
+        {"numOutputRows": n, "numAddedFiles": len(files)},
+        txn=("mv", 3),
+    )
+    assert v == v_after_zombie
+    assert t.version() == v_after_zombie
+    assert t.read().count() == n_rows  # epoch applied exactly once
+
+
+def test_merge_txn_conflict_resolves_to_noop(spark, users, tmp_path):
+    """A MERGE whose snapshot conflict was caused by a zombie retry of
+    the SAME (app_id, version) resolves to idempotent success instead of
+    raising — any other winner still surfaces CommitConflictError."""
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    delta = spark.createDataFrame(
+        [(1, "alice", 50.0), (4, "dave", 400.0)],
+        "id bigint, name string, balance double",
+    )
+
+    raced = {"done": False}
+    orig_active_files = TackleTable._active_files
+
+    def racing_active_files(self, *args, **kwargs):
+        # fire the zombie's winning commit after the straggler captured
+        # start_v but before its own commit lands
+        out = orig_active_files(self, *args, **kwargs)
+        if not raced["done"]:
+            raced["done"] = True
+            zombie = TackleTable(spark, t.path)
+            (
+                zombie.merge(delta, on=["id"])
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .withTransaction("mv", 5)
+                .execute()
+            )
+        return out
+
+    import unittest.mock as mock
+
+    with mock.patch.object(TackleTable, "_active_files", racing_active_files):
+        v = (
+            t.merge(delta, on=["id"])
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .withTransaction("mv", 5)
+            .execute()
+        )
+    assert v == t.version()
+    got = {r["id"]: r["balance"] for r in t.read().collect()}
+    assert got == {1: 50.0, 2: 200.0, 3: 300.0, 4: 400.0}  # applied once
