@@ -200,7 +200,9 @@ _WINDOW_PRIORITY = [
 # ds_multi_supplier_return_orders, ds_cumulative_priority_crossover,
 # ds_rollup_level_share_rank, ds_brand_month_deviation,
 # ds_type_share_in_category, ds_monthly_error_trend,
-# ds_lapsed_customer_census — all drive-green at sf0.01 this round);
+# ds_lapsed_customer_census — all drive-green at sf0.01 this round)
+# plus table_skipping_pointlookup (storage_battery.py, z-order +
+# stats-pruned point lookup, drive-green);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/

@@ -466,3 +466,111 @@ def corpus_chunk_windows(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@register(
+    "corpus_pack_sequences",
+    tags=("corpus", "packing", "training"),
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+        FROM documents
+    ), offs AS (
+        SELECT doc_id, n,
+               CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+        FROM per_doc
+    ), spans AS (
+        SELECT doc_id, n, off,
+               CAST(u.s AS BIGINT) AS seq_id,
+               least(off + n, (CAST(u.s AS BIGINT) + 1) * 256)
+                   - greatest(off, CAST(u.s AS BIGINT) * 256) AS toks_here,
+               CASE WHEN CAST(u.s AS BIGINT) = off // 256 THEN 1 ELSE 0 END
+                   AS starts_here
+        FROM offs,
+             unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS u(s)
+    )
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(starts_here) AS BIGINT) AS n_starts,
+           CAST(sum(toks_here) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM spans
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+)
+def corpus_pack_sequences(spark, sf_dir):
+    """Training-sequence packing, concat-and-chunk style (the GPT-2/
+    T5 default): documents are laid end-to-end in deterministic doc_id
+    order and cut every 256 tokens into fixed-length training
+    sequences; each sequence reports how many documents overlap it, how
+    many START in it (attention-mask reset points for packed-sequence
+    training), its token fill, and its first doc. The whole layout is a
+    pure function of the corpus — rerunning, repartitioning, or
+    splitting the input never moves a boundary, which is what makes
+    packed shards reproducible across preprocessing runs.
+
+    The interesting distributed piece is the exclusive prefix-sum of
+    token counts WITHOUT a global single-partition window: doc_ids are
+    bucketed (256 docs/bucket), the cumsum runs per-bucket (parallel
+    windows), bucket totals get their own tiny cumsum (one partition
+    over n_docs/256 rows — O(400k) rows even at 100 TB), and the two
+    compose by a broadcast join. Then each doc explodes into the
+    ~n/256+1 sequences it overlaps and one groupBy(seq_id) assembles
+    the report — linear work, two narrow shuffles.
+    """
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+
+    L = 256
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n"),
+        F.floor(F.col("doc_id") / 256).alias("bucket"),
+    )
+    intra = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    with_intra = per_doc.withColumn(
+        "intra_off", F.coalesce(F.sum("n").over(intra), F.lit(0))
+    )
+    bucket_w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    bucket_offs = (
+        per_doc.groupBy("bucket")
+        .agg(F.sum("n").alias("btot"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("btot").over(bucket_w), F.lit(0)).alias("bucket_off"),
+        )
+    )
+    offs = with_intra.join(F.broadcast(bucket_offs), "bucket").select(
+        "doc_id",
+        "n",
+        (F.col("intra_off") + F.col("bucket_off")).alias("off"),
+    )
+    first_seq = F.floor(F.col("off") / L)
+    last_seq = F.floor((F.col("off") + F.col("n") - 1) / L)
+    spans = offs.select(
+        "doc_id",
+        "n",
+        "off",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    ).select(
+        "doc_id",
+        "seq_id",
+        (
+            F.least(F.col("off") + F.col("n"), (F.col("seq_id") + 1) * L)
+            - F.greatest(F.col("off"), F.col("seq_id") * L)
+        ).alias("toks_here"),
+        F.when(F.col("seq_id") == F.floor(F.col("off") / L), 1).otherwise(0).alias("starts_here"),
+    )
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("starts_here").cast("bigint").alias("n_starts"),
+            F.sum("toks_here").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("seq_id")
+    )

@@ -197,7 +197,9 @@ def stream_idempotent_mv_replay(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # never leave a zombie stream running past the deadline
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
 
     # failover replay: the last epoch runs twice more — both must no-op
     if last["epoch"] is not None:
@@ -212,4 +214,56 @@ def stream_idempotent_mv_replay(spark, sf_dir):
         .read()
         .select("returnflag", "n_rows", "rev_cents")
         .orderBy("returnflag")
+    )
+
+
+@register(
+    "table_skipping_pointlookup",
+    tags=("tablestore", "data-skipping", "storage"),
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_custkey = 42
+    ORDER BY o_orderkey
+    """,
+)
+def table_skipping_pointlookup(spark, sf_dir):
+    """Min/max-stats file skipping under a point lookup: orders is
+    rewritten into a TackleTable z-ordered by o_custkey (OPTIMIZE with
+    per-file stats committed in the log), then one customer's rows are
+    read through the stats-pruned scan. The query asserts inline that
+    files WERE skipped (a clustered point lookup that scans everything
+    is a broken layout), and the driver's hash compare against the raw
+    parquet proves pruning never loses or invents rows — the
+    completeness half of the data-skipping contract, now
+    driver-checked rather than pytest-only (tests/test_data_skipping.py
+    pins the same invariants at unit level).
+
+    Scale: this is THE 100 TB point-lookup path — log-held min/max per
+    file means the lookup touches O(files containing the key) after
+    z-order, not the table; the rewrite cost is the one-time OPTIMIZE
+    every real deployment already pays.
+    """
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.mkdtemp(prefix=f"skip_{tag}_")
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    t = TackleTable.create(spark, os.path.join(tmp, "ord"), orders.repartition(8))
+    t.optimize(target_file_rows=2000, zorder_by=["o_custkey"])
+    cond = "o_custkey = 42"
+    kept, skipped = t.prune_files(cond)
+    assert skipped, "z-ordered point lookup must skip files"
+    return (
+        t.scan(cond)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("o_orderkey")
     )

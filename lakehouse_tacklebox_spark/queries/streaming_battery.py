@@ -42,7 +42,12 @@ def _run_memory_sink(spark, df, mode, prefix, shuffle_partitions=16):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a query that outlives the deadline must NOT keep running:
+            # a zombie stream poisons every later timing in the session
+            # and the sink would silently read partial results
+            q.stop()
+            raise TimeoutError(f"stream {sink} exceeded the 300s deadline")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
@@ -400,7 +405,9 @@ def stream_incremental_mv(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # never leave a zombie stream running past the deadline
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
 
     # the returned DataFrame reads only the table's files — the chunked
     # source and the stream checkpoint are dead weight once the run ends
@@ -618,7 +625,9 @@ def stream_incremental_join_mv(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # never leave a zombie stream running past the deadline
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
 
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -789,3 +798,106 @@ def stream_stream_left_join(spark, sf_dir):
         .alias("lag_seconds"),
     )
     return _run_memory_sink(spark, joined, "append", "ss_left")
+
+
+@register(
+    "stream_stream_full_outer_join",
+    tags=("streaming", "join", "outer"),
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT)
+                   AS lag_seconds
+        FROM c JOIN p ON p.user_id = c.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ), wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+                - INTERVAL 1 MINUTE,
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+                - INTERVAL 31 MINUTE) AS w
+    )
+    SELECT click_id, purchase_id, user_id, lag_seconds FROM matched
+    UNION ALL
+    SELECT c.click_id, CAST(-1 AS BIGINT) AS purchase_id, c.user_id,
+           CAST(-1 AS BIGINT) AS lag_seconds
+    FROM c, wm
+    WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+      AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS click_id, p.purchase_id, p.user_id,
+           CAST(-1 AS BIGINT) AS lag_seconds
+    FROM p, wm
+    WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+      AND p.purchase_ts < wm.w
+    """,
+)
+def stream_stream_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — completes the join
+    family (inner r3, left r6): clicks that never converted AND
+    purchases with no preceding click both surface. Each side has its
+    OWN eviction rule, derived from the interval condition:
+
+    - a click emits its null row once the global watermark W passes
+      ``click_ts + 30 min`` (no future purchase can land in its window);
+    - a purchase emits once W passes ``purchase_ts`` (the condition
+      bounds matching clicks by ``click_ts <= purchase_ts``, so a
+      purchase older than W can never see a new click).
+
+    W = min over inputs of (max event time − that input's delay), same
+    replay as the left variant. Rows still inside either horizon when
+    the stream ends stay withheld — the oracle reproduces BOTH rules, so
+    this pins the per-side state-watermark derivation, not just row
+    counts (gate-corpus probe: 23 matched, 1981 of 1983 unmatched clicks
+    evicted, 1956 of 1958 unmatched purchases evicted — 2 withheld on
+    EACH side, so neither rule passes vacuously). Nulls coalesce to -1
+    for the hash compare (event_ids are nonnegative).
+
+    Scale: state per side is O(its horizon) — clicks live 30 min + delay
+    past the watermark, purchases just their delay — identical story to
+    the inner/left variants; nothing accumulates with stream length.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "31 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("click_id"), F.lit(-1)).cast("bigint").alias("click_id"),
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).cast("bigint").alias("purchase_id"),
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        F.coalesce(
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )
+    return _run_memory_sink(spark, joined, "append", "ss_full")

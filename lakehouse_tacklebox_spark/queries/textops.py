@@ -1010,3 +1010,99 @@ def text_nearest_neighbor(spark, sf_dir):
         .select("doc_id", "neighbor_id", F.round("j", 4).alias("jaccard"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_duplicate_spans",
+    tags=("text", "dedup", "corpus"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                   t[(CAST(u.i AS INT)+1):(CAST(u.i AS INT)+8)], ' ')), 1, 15)
+               )::BIGINT AS h
+        FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8
+    ), census AS (
+        SELECT h, count(DISTINCT doc_id) AS n_docs
+        FROM wins GROUP BY h
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_windows,
+           CAST(floor(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*)) AS BIGINT) AS dup_ppm
+    FROM wins w JOIN census c USING (h)
+    GROUP BY w.doc_id
+    HAVING sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_duplicate_spans(spark, sf_dir):
+    """Duplicated-span census (the Lee et al. "Deduplicating Training
+    Data" ExactSubstr idea, at 8-token granularity instead of suffix
+    arrays): every 8-token window is hashed, a corpus-wide census counts
+    how many DISTINCT docs each window appears in, and each doc reports
+    what fraction of its window positions is cross-document duplicated
+    (``dup_ppm``). Positional, so a doc that copies one viral paragraph
+    ten times scores all ten spans; within-doc self-repetition does NOT
+    count (that's text_repetition_filter's axis — here n_docs >= 2).
+    Downstream: docs above a dup_ppm threshold get span-stripped or
+    dropped before training; the per-position flags are exactly the
+    strip mask.
+
+    Scale: tokenize once, explode n_tokens-7 windows per doc (linear,
+    same constant as text_ngram_novelty's census), one shuffle on the
+    window hash for the census, one shuffle back on doc_id for the
+    rollup. No joins back to text; the window content exists only
+    inside the md5 projection. At 100 TB the census frame is the
+    deduplicated shingle space — the same cardinality MinHash banding
+    already materializes — and the ≥2-docs filter makes the join side
+    sparse.
+    """
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    wins = (
+        _spread(d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 8))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 8)).alias("i"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            D.md5_hash60(F.expr("concat_ws(' ', slice(t, CAST(i AS INT)+1, 8))")).alias("h"),
+        )
+    )
+    census = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dup_flag = F.when(F.col("n_docs_matched").isNotNull(), 1).otherwise(0)
+    flagged = wins.join(
+        census.withColumn("n_docs_matched", F.lit(1)), "h", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(dup_flag).cast("bigint").alias("dup_windows"),
+        )
+        .filter(F.col("dup_windows") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "dup_windows",
+            F.floor(F.col("dup_windows").cast("double") * 1000000.0 / F.col("n_windows"))
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )

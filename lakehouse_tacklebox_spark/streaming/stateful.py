@@ -136,7 +136,7 @@ def stateful_funnel(
     type_col: str,
     stages: tuple[str, str, str] = ("view", "click", "purchase"),
     deadline_hours: float = 24.0,
-    ttl_minutes: float | None = 7 * 24 * 60,
+    ttl_minutes: float | None = None,
     max_buffer: int = 10_000,
 ) -> DataFrame:
     """Per-user staged funnel (stage1 → stage2-within-deadline → stage3-
@@ -160,17 +160,25 @@ def stateful_funnel(
     O(distinct stage-2/3 event times in a ≤2·deadline window plus the
     pre-t1 tail), not "kilobytes per user" unconditionally.
 
-    State is BOUNDED BY DEFAULT on a long-running stream, two ways:
-    - ``ttl_minutes`` (default 7 days): a key untouched for that long is
-      dropped (ProcessingTimeTimeout, same contract as
-      :func:`stateful_dedup`). Pass ``None`` to opt into unbounded
-      lifetime explicitly — only sane for finite replays.
-    - ``max_buffer``: keys that have never seen a stage-1 view keep at
-      most this many distinct click/purchase times (the EARLIEST ones —
-      a later-arriving view anchors via the minimum in its window, so
-      dropping the latest tail only loses anchors for views arriving
-      inside that dropped tail). Keys WITH a view are already pruned
-      exactly by the deadline rule and never hit the cap in practice.
+    Per-key state is BOUNDED BY DEFAULT via ``max_buffer``: keys that
+    have never seen a stage-1 view keep at most that many distinct
+    click/purchase times (the EARLIEST ones — a later-arriving view
+    anchors via the minimum in its window, so dropping the latest tail
+    only loses anchors for views arriving inside that dropped tail).
+    Keys WITH a view are pruned exactly by the deadline rule and never
+    hit the cap in practice.
+
+    KEY-count lifetime is the ``ttl_minutes`` dial: set it on a
+    long-running stream so idle keys are dropped
+    (ProcessingTimeTimeout, same contract as :func:`stateful_dedup`).
+    It is deliberately OFF by default because enabling a group-state
+    timeout makes the engine schedule timeout-check micro-batches even
+    when no data is pending — measured: an ``availableNow`` replay of
+    the gate corpus runs ONE batch in ~6 s with NoTimeout but keeps
+    triggering batches until the runner's await deadline (~300 s) with
+    a 7-day TTL enabled. Finite replays and backfills should leave it
+    None; 24/7 pipelines should set it and accept the idle-batch
+    overhead as the price of bounded key counts.
     """
     deadline_ns = int(deadline_hours * 3600 * 1e9)
     ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
