@@ -82,6 +82,11 @@ SF1_QUERIES = [
     # decade ratio measures state-operator scaling (state is O(users in
     # horizon); the payload records the key count next to the ratio)
     "stream_funnel_stages",
+    # round-7: the duplicated-span census (8-token window hash census +
+    # join-back) — same explode constant as text_ngram_novelty but with
+    # the census join back onto positions, so its ratio guards the one
+    # hash-shuffle pattern novelty deliberately avoids
+    "text_duplicate_spans",
 ]
 # documented-quadratic exact baselines — excluded BY DESIGN, not silently:
 # brute-force knn is O(n²) on purpose (the IVF/LSH variants are the scale
@@ -154,6 +159,17 @@ def _scale_readouts(spark) -> dict:
             sh.select(F.explode("shingles").alias("h")).select("h").distinct().count()
         )
         out["text_ngram_novelty_docs"] = d.count()
+        toks = F.split(F.lower(F.trim("text")), r"\s+")
+        out["text_duplicate_spans_census_rows"] = (
+            d.select("doc_id", toks.alias("t"))
+            .filter(F.size("t") >= 8)
+            .select(
+                F.explode(F.sequence(F.lit(0), F.size("t") - 8)).alias("i"), "t"
+            )
+            .select(F.expr("concat_ws(' ', slice(t, CAST(i AS INT)+1, 8))").alias("w"))
+            .distinct()
+            .count()
+        )
         ev = load_tables(spark, SF1_DIR, ["events"])["events"]
         out["stream_funnel_state_keys"] = ev.select("user_id").distinct().count()
         out["stream_funnel_events"] = ev.count()

@@ -201,8 +201,15 @@ _WINDOW_PRIORITY = [
 # ds_rollup_level_share_rank, ds_brand_month_deviation,
 # ds_type_share_in_category, ds_monthly_error_trend,
 # ds_lapsed_customer_census — all drive-green at sf0.01 this round)
-# plus table_skipping_pointlookup (storage_battery.py, z-order +
-# stats-pruned point lookup, drive-green);
+# plus the round-7 non-DS additions that landed after this window froze:
+# table_skipping_pointlookup (z-order + stats-pruned point lookup),
+# stream_stream_full_outer_join (both per-side eviction rules pinned),
+# corpus_pack_sequences (two-phase prefix-sum packing),
+# text_duplicate_spans (positional span census),
+# agg_approx_quantiles_cert (rank-bound self-certification),
+# stream_join_then_window (chained join→window, delayed-watermark
+# propagation rule pinned with a discriminating tail window) — all
+# drive-green at sf0.01;
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/

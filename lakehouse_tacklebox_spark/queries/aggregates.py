@@ -451,3 +451,73 @@ def agg_hll_sketch_rollup(spark, sf_dir):
         F.col("exact_customers_global").cast("bigint").alias("exact_customers_global"),
         F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("union_estimate_within_3pct"),
     )
+
+
+@register(
+    "agg_approx_quantiles_cert",
+    tags=("agg", "sketch", "quantile"),
+    # SELF-CERTIFYING oracle, same contract as agg_approx_distinct: the
+    # KLL/GK-style percentile_approx ESTIMATE is engine-specific and
+    # stays out of the compared columns; the query re-scans the group to
+    # measure the returned value's actual RANK and emits "rank within
+    # the documented n/accuracy tolerance of the target" flags the
+    # oracle asserts. If Spark's sketch ever violated its contract the
+    # flag flips and the driver's hash compare fails.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS p50_within_bound,
+           CAST(1 AS BIGINT) AS p95_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_approx_quantiles_cert(spark, sf_dir):
+    """Approximate per-group quantiles (``percentile_approx``, accuracy
+    1000) with the rank-error contract verified IN the query — the
+    100 TB substitute for exact percentiles (exact needs a full sort or
+    a per-group materialization; the sketch is one pass, mergeable
+    across partitions, fixed memory). percentile_approx guarantees the
+    returned value's rank is within n/accuracy of the target rank; with
+    ties the value occupies the rank interval [count(<v), count(<=v)],
+    so the check asserts that interval intersects
+    [p*n - n/1000 - 1, p*n + n/1000 + 1] (±1 absorbs the floor on
+    target rank). The estimate itself never enters the compare.
+
+    Scale: sketch pass is a partial-aggregable single scan; the
+    certification join-back touches only 3 group rows (broadcast), and
+    the rank count is a second single scan — certification doubles the
+    I/O but only in this gate entry, not in the operator.
+    """
+    l = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    x = dmoney("l_extendedprice")
+    rows = l.select("l_returnflag", x.alias("cents"))
+    sk = rows.groupBy("l_returnflag").agg(
+        F.percentile_approx("cents", [0.5, 0.95], 1000).alias("aps"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag",
+        F.col("aps")[0].alias("ap50"),
+        F.col("aps")[1].alias("ap95"),
+        "n",
+    )
+    j = rows.join(F.broadcast(sk), "l_returnflag")
+
+    def _within(ap, p):
+        lo = F.sum(F.when(F.col("cents") < F.col(ap), 1).otherwise(0))
+        hi = F.sum(F.when(F.col("cents") <= F.col(ap), 1).otherwise(0))
+        n = F.first("n")
+        tol = n / 1000 + 1
+        target = n * p
+        return ((hi >= target - tol) & (lo <= target + tol)).cast("bigint")
+
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.first("n").cast("bigint").alias("n_rows"),
+            _within("ap50", 0.5).alias("p50_within_bound"),
+            _within("ap95", 0.95).alias("p95_within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )

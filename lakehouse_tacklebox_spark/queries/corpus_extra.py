@@ -470,6 +470,7 @@ def corpus_chunk_windows(spark, sf_dir):
 
 @register(
     "corpus_pack_sequences",
+    bench=True,
     tags=("corpus", "packing", "training"),
     oracle=f"""
     WITH per_doc AS (
@@ -530,6 +531,11 @@ def corpus_pack_sequences(spark, sf_dir):
         F.size(toks).cast("bigint").alias("n"),
         F.floor(F.col("doc_id") / 256).alias("bucket"),
     )
+    # both cumsum phases consume this frame; checkpoint the 24-byte/doc
+    # projection so the corpus is scanned and tokenized ONCE (eager, so
+    # no cached-plan reference leaks past the query — same pattern as
+    # the LSH candidate frame)
+    per_doc = per_doc.localCheckpoint(eager=True)
     intra = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
     with_intra = per_doc.withColumn(
         "intra_off", F.coalesce(F.sum("n").over(intra), F.lit(0))

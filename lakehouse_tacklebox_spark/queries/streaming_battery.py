@@ -901,3 +901,95 @@ def stream_stream_full_outer_join(spark, sf_dir):
         .alias("lag_seconds"),
     )
     return _run_memory_sink(spark, joined, "append", "ss_full")
+
+
+@register(
+    "stream_join_then_window",
+    tags=("streaming", "join", "window", "chained"),
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+        SELECT p.purchase_ts
+        FROM c JOIN p ON p.user_id = c.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR
+    ), wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+                - INTERVAL 1 MINUTE,
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+                - INTERVAL 31 MINUTE)
+            - INTERVAL 6 HOUR AS w
+    )
+    SELECT time_bucket(INTERVAL 15 MINUTE, purchase_ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS conversions
+    FROM matched, wm
+    WHERE time_bucket(INTERVAL 15 MINUTE, purchase_ts) + INTERVAL 15 MINUTE
+              <= wm.w
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_join_then_window(spark, sf_dir):
+    """CHAINED stateful operators in one streaming query — stream-stream
+    interval join feeding a tumbling-window aggregation (the
+    multi-stateful-operator support of Spark 3.5+; before that this
+    required two queries with an intermediate sink). Semantics pinned by
+    the oracle: the aggregation's append-mode emission uses the DELAYED
+    watermark the join propagates downstream (SPARK-40925) — the 6 h
+    interval means the join can still emit a purchase row until W passes
+    click_ts + 6 h, so the window operator's effective watermark is
+    W − 6 h and only 15-minute windows whose end ≤ that emit. The
+    parameters are chosen so the rule DISCRIMINATES on the gate corpus:
+    at sf0.01 exactly one tail window (200th) falls between the delayed
+    and undelayed watermarks — an implementation that forgot the delay
+    would emit it and fail the compare. W = min(max_click − 1 min,
+    max_purchase − 31 min) − 6 h, replayed exactly by the oracle.
+
+    Scale: join state is O(horizon) as in the inner variant; window
+    state is O(open windows), both bounded by watermarks — the whole
+    two-operator chain runs in ONE query with no intermediate table,
+    which at 100 TB removes a full materialization + re-read.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "31 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    )
+    windowed = (
+        joined.groupBy(F.window("purchase_ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("conversions"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "conversions",
+        )
+    )
+    sunk = _run_memory_sink(spark, windowed, "append", "join_win")
+    return sunk.orderBy("window_start")

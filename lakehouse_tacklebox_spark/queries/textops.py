@@ -1014,6 +1014,7 @@ def text_nearest_neighbor(spark, sf_dir):
 
 @register(
     "text_duplicate_spans",
+    bench=True,
     tags=("text", "dedup", "corpus"),
     oracle="""
     WITH toks AS (

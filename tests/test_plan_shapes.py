@@ -414,3 +414,45 @@ def test_maybe_broadcast_policy_plans(spark):
     # autoBroadcastJoinThreshold (file-size statistics, no hint needed)
     joined = t["orders"].join(unhinted, F.col("o_custkey") == F.col("c_custkey"))
     assert "BroadcastHashJoin" in _plan(joined, "simple")
+
+
+def test_pack_sequences_no_global_single_partition_window(spark):
+    """corpus_pack_sequences' prefix sum must stay two-phase: the only
+    unpartitioned Window may run over the per-BUCKET totals (n_docs/256
+    rows), never over the per-doc frame. An accidental
+    Window.orderBy("doc_id") cumsum over documents would serialize the
+    whole corpus through one task at 100 TB."""
+    df = REGISTRY["corpus_pack_sequences"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, "expected window cumsum nodes in the plan"
+    # exactly one unpartitioned spec (the bucket-totals cumsum); the
+    # per-doc spec must carry the bucket partition key
+    unpartitioned = [l for l in win_lines if "windowspecdefinition(bucket" not in l.replace(" ", "")]
+    per_bucket = [l for l in win_lines if "windowspecdefinition(bucket" in l.replace(" ", "")]
+    assert per_bucket, "per-doc cumsum lost its bucket partitioning:\n" + "\n".join(win_lines)
+    assert len(unpartitioned) <= 1, (
+        "more than one global window — the doc frame is being sorted through one task:\n"
+        + "\n".join(win_lines)
+    )
+    # the doc explode must not become a cartesian/BNL join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket offsets compose via broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_spans_shuffles_hashes_not_text(spark):
+    """text_duplicate_spans' census must shuffle 8-byte window hashes —
+    the window TEXT may exist only inside the md5 projection, and the
+    candidate join-back must stay an equi hash join (no cartesian)."""
+    df = REGISTRY["text_duplicate_spans"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    ex_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex_lines, "census needs its hash shuffle"
+    # no exchange moves the raw text or the concat_ws window string
+    assert not any("concat_ws" in l or "text#" in l for l in ex_lines), ex_lines
+    # the whole pipeline stays JVM-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
