@@ -87,6 +87,12 @@ SF1_QUERIES = [
     # the census join back onto positions, so its ratio guards the one
     # hash-shuffle pattern novelty deliberately avoids
     "text_duplicate_spans",
+    # round-7: Misra-Gries heavy hitters (mapInPandas sketch + exact
+    # re-count). The sketch pass is embarrassingly parallel (O(capacity)
+    # state per partition, zero shuffle); the ratio should track the
+    # token-explode scan, so drift here would mean the candidate
+    # re-count shuffle stopped being candidate-bounded
+    "agg_heavy_hitters_mg",
 ]
 # documented-quadratic exact baselines — excluded BY DESIGN, not silently:
 # brute-force knn is O(n²) on purpose (the IVF/LSH variants are the scale

@@ -208,8 +208,10 @@ _WINDOW_PRIORITY = [
 # text_duplicate_spans (positional span census),
 # agg_approx_quantiles_cert (rank-bound self-certification),
 # stream_join_then_window (chained join→window, delayed-watermark
-# propagation rule pinned with a discriminating tail window) — all
-# drive-green at sf0.01;
+# propagation rule pinned with a discriminating tail window),
+# agg_heavy_hitters_mg (Misra-Gries candidates + exact re-count,
+# oracled against the exact HAVING answer) — all drive-green at
+# sf0.01;
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/

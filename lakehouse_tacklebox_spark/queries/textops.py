@@ -1107,3 +1107,44 @@ def text_duplicate_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "agg_heavy_hitters_mg",
+    tags=("agg", "sketch", "text", "heavy-hitters"),
+    bench=True,
+    # The oracle is the EXACT answer: every token whose count exceeds
+    # N/(capacity+1), with exact counts. The Spark side reaches the
+    # same set through the Misra-Gries candidate pipeline, so the
+    # compare certifies the sketch's no-false-negative guarantee (a
+    # dropped qualifying key would vanish from the Spark result) AND
+    # the exact re-count, not an estimate.
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT w, CAST(count(*) AS BIGINT) AS n
+    FROM toks, tot
+    GROUP BY w, tot.n
+    HAVING count(*) * 31 > tot.n
+    ORDER BY n DESC, w
+    """,
+)
+def agg_heavy_hitters_mg(spark, sf_dir):
+    """Dominant-token census via distributed Misra-Gries (capacity 30)
+    + exact candidate re-count — the bounded-memory path to "which
+    values dominate this column" that never runs a full GROUP BY over
+    the key space (see operators/sketch.py for the guarantee and the
+    100 TB shuffle story). The gate corpus is chosen so the threshold
+    N/31 genuinely splits the vocabulary (25 of 31 tokens qualify at
+    sf0.001, ~6 miss), so a sketch that lost a qualifying key or an
+    off-by-one in the integer threshold flips the compare.
+    """
+    from lakehouse_tacklebox_spark.operators.sketch import heavy_hitters_exact
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = _spread(d.select("doc_id", "text")).select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    return heavy_hitters_exact(toks, "w", capacity=30)

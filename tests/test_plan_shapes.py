@@ -456,3 +456,40 @@ def test_duplicate_spans_shuffles_hashes_not_text(spark):
     assert not any("concat_ws" in l or "text#" in l for l in ex_lines), ex_lines
     # the whole pipeline stays JVM-side
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitters_sketch_no_shuffle_and_broadcast_recount(spark):
+    """heavy_hitters_exact's scale contract (operators/sketch.py): the
+    Misra-Gries pass is shuffle-free (per-partition mapInPandas over the
+    raw scan), and the exact re-count joins the tiny candidate set by
+    BROADCAST — the only shuffle in the whole operator is the
+    candidate-bounded count aggregation."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators.sketch import (
+        _mg_partition_summary,
+        heavy_hitters_exact,
+    )
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    d = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    toks = d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+
+    # pass 1 pin: the sketch consumes the scan in place — no Exchange
+    # upstream of the Arrow-batched summarizer
+    sketch = toks.mapInPandas(
+        _mg_partition_summary("w", 30), schema="w string, mg_count long, is_total int"
+    )
+    p1 = _plan(sketch)
+    assert "MapInPandas" in p1
+    assert "Exchange" not in p1, p1
+
+    # pass 2 pin: candidates are broadcast back onto the token stream —
+    # never a shuffle join keyed on the full token space
+    out = heavy_hitters_exact(toks, "w", capacity=30)
+    p2 = _plan(out)
+    assert "BroadcastHashJoin" in p2
+    assert "SortMergeJoin" not in p2 and "ShuffledHashJoin" not in p2
+    # map-side combine: partial + final HashAggregate around the one
+    # exchange that remains
+    assert p2.count("HashAggregate") >= 2
