@@ -51,7 +51,10 @@ def _mg_partition_summary(key: str, capacity: int):
                 counters = {k: c - delta for k, c in counters.items() if c - delta > 0}
         out = pd.DataFrame(
             {
-                key: list(counters.keys()) + [None],
+                # object dtype: int/float keys + the None sentinel must
+                # NOT collapse to float64 (Arrow would refuse / lose
+                # exactness against the declared native key type)
+                key: pd.Series(list(counters.keys()) + [None], dtype="object"),
                 "mg_count": list(counters.values()) + [n_part],
                 "is_total": [0] * len(counters) + [1],
             }
@@ -83,9 +86,10 @@ def heavy_hitters_exact(df: DataFrame, key: str, capacity: int) -> DataFrame:
     the control-plane N scalar.
     """
     src = df.select(key)
+    key_type = src.schema[key].dataType.simpleString()
     summaries = src.mapInPandas(
         _mg_partition_summary(key, capacity),
-        schema=f"{key} string, mg_count long, is_total int",
+        schema=f"{key} {key_type}, mg_count long, is_total int",
     )
     # one pass materializes both outputs; the summary frame is tiny
     summaries = summaries.localCheckpoint(eager=True)
@@ -101,3 +105,29 @@ def heavy_hitters_exact(df: DataFrame, key: str, capacity: int) -> DataFrame:
     return exact.filter(F.col("n") * (capacity + 1) > F.lit(n_total)).orderBy(
         F.desc("n"), key
     )
+
+
+def mg_merge(counter_maps: Iterator[dict] | list[dict], capacity: int) -> dict:
+    """Merge Misra-Gries counter maps and re-compress to ``capacity``.
+
+    MG summaries are mergeable (Agarwal/Cormode/Huang/Phillips/Wei/Yi,
+    "Mergeable Summaries", PODS'12): summing counters key-wise and then
+    applying the same bulk decrement keeps the total undercount of any
+    key ≤ N/(capacity+1) for ARBITRARY merge trees — per-partition
+    summaries, per-micro-batch summaries, and a running stream fold all
+    compose without losing the no-false-negative guarantee.
+
+    Driver-side by design: inputs are O(capacity) maps (control-plane
+    scale — a 1000-executor stream still folds ≤ capacity·partitions
+    rows per epoch), and the fold must be deterministic for idempotent
+    replay, which a plain dict reduction is.
+    """
+    merged: dict = {}
+    for m in counter_maps:
+        for k, c in m.items():
+            merged[k] = merged.get(k, 0) + int(c)
+    if len(merged) > capacity:
+        vals = sorted(merged.values())
+        delta = vals[len(merged) - capacity - 1]
+        merged = {k: c - delta for k, c in merged.items() if c - delta > 0}
+    return merged

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_tacklebox_spark.operators.sketch import heavy_hitters_exact
+
 
 def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = False) -> DataFrame:
     """Per-column profile: (column, n_rows, n_nulls, null_pct, n_distinct,
@@ -86,4 +88,71 @@ def cardinality_stats(
             "n_distinct",
             F.round(F.col("n_distinct") / F.greatest(F.col("__n"), F.lit(1)), 6).alias("distinct_ratio"),
         )
+    )
+
+
+def skew_advisor(
+    df: DataFrame,
+    columns: list[str],
+    capacity: int = 15,
+    target_share_ppm: int = 31250,
+) -> DataFrame:
+    """Join/partition-key skew census + salting recommendation: for each
+    candidate key column, find every value holding more than
+    ``1/(capacity+1)`` of the column's non-null rows (via the
+    Misra-Gries sketch + exact re-count,
+    :func:`~lakehouse_tacklebox_spark.operators.sketch.heavy_hitters_exact`)
+    and recommend the salt fan-out that would level it back to
+    ``target_share_ppm`` per salted sub-key (default 31250 ppm = 1/32,
+    one healthy shuffle partition's worth on a 32-slot stage).
+
+    Output: (column, skew_key, n, share_ppm, salt_factor), heaviest
+    first. A uniform key column contributes no rows — absence IS the
+    "no salting needed" verdict. This is the measurement half of
+    SCALING.md's skew playbook (AQE skew-join handles the read side;
+    salting the write/agg side needs to know WHICH keys and HOW WIDE,
+    which at 100 TB must come from a bounded-memory census, not a full
+    GROUP BY over a high-cardinality key space).
+
+    Extends the reference's table-layout advisor (deltaoptimizer.py's
+    join-column mining :1207-1242 scores WHICH columns are hot; this
+    profiles WHICH VALUES inside a hot column break the shuffle).
+
+    All arithmetic is exact integer (ppm floor-division), so the
+    recommendation is engine-reproducible and battery-oracled.
+    """
+    # one narrow scan for the per-column non-null totals (control-plane
+    # scalars; at scale this is a columnar count, not a shuffle)
+    totals = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in columns]
+    ).collect()[0]
+    parts = []
+    for c in columns:
+        n_tot = int(totals[c] or 0)
+        if n_tot == 0:
+            continue
+        hh = heavy_hitters_exact(df.select(c), c, capacity)
+        share = F.expr(f"CAST((n * CAST(1000000 AS BIGINT)) div {n_tot} AS BIGINT)")
+        parts.append(
+            hh.select(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("skew_key"),
+                F.col("n"),
+                share.alias("share_ppm"),
+            )
+        )
+    if not parts:
+        return df.sparkSession.createDataFrame(
+            [], "column string, skew_key string, n bigint, share_ppm bigint, salt_factor int"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    t = int(target_share_ppm)
+    return (
+        out.withColumn(
+            "salt_factor",
+            F.expr(f"CAST((share_ppm + {t} - 1) div {t} AS INT)"),
+        )
+        .orderBy(F.desc("share_ppm"), "column", "skew_key")
     )

@@ -210,8 +210,12 @@ _WINDOW_PRIORITY = [
 # stream_join_then_window (chained join→window, delayed-watermark
 # propagation rule pinned with a discriminating tail window),
 # agg_heavy_hitters_mg (Misra-Gries candidates + exact re-count,
-# oracled against the exact HAVING answer) — all drive-green at
-# sf0.01;
+# oracled against the exact HAVING answer),
+# profile_skew_advisor (MG census over shuffle keys + exact ppm salt
+# fan-out; uniform column correctly empty),
+# stream_heavy_hitters_mv (mergeable-MG sketch state folded per epoch
+# under overwrite(txn=...) idempotence, final exact re-count) — all
+# drive-green at sf0.01 (and the first two spot-driven at sf0.1);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/

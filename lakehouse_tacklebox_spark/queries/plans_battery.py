@@ -142,3 +142,52 @@ def optimizer_column_scores(spark, sf_dir):
         .select("TableName", "ColumnName", "QueryReferenceCount", "FilterCount", "JoinCount", "GroupCount", "score")
         .orderBy("TableName", "ColumnName")
     )
+
+
+@register(
+    "profile_skew_advisor",
+    tags=("profiler", "sketch", "skew"),
+    # The oracle is the EXACT skew census: every key above the
+    # 1/(capacity+1) share with floor-ppm shares and the ceil salt
+    # fan-out, in exact integer arithmetic. events.event_type (5 keys,
+    # ~20% each) must be flagged with salt factors; events.user_id
+    # (150 uniform keys) must contribute NO rows — the compare checks
+    # the discrimination, not just the arithmetic.
+    oracle="""
+    WITH et AS (
+        SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    ett AS (SELECT CAST(count(event_type) AS BIGINT) AS t FROM events),
+    uid AS (
+        SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    uidt AS (SELECT CAST(count(user_id) AS BIGINT) AS t FROM events),
+    hh AS (
+        SELECT 'event_type' AS "column", CAST(et.k AS VARCHAR) AS skew_key,
+               et.n AS n, (et.n * CAST(1000000 AS BIGINT)) // ett.t AS share_ppm
+        FROM et, ett WHERE et.n * 16 > ett.t
+        UNION ALL
+        SELECT 'user_id', CAST(uid.k AS VARCHAR),
+               uid.n, (uid.n * CAST(1000000 AS BIGINT)) // uidt.t
+        FROM uid, uidt WHERE uid.n * 16 > uidt.t
+    )
+    SELECT "column", skew_key, n, share_ppm,
+           CAST((share_ppm + 31250 - 1) // 31250 AS INT) AS salt_factor
+    FROM hh
+    ORDER BY share_ppm DESC, "column", skew_key
+    """,
+)
+def profile_skew_advisor(spark, sf_dir):
+    """Shuffle-key skew census + salting plan over the events stream's
+    two join-key candidates: the Misra-Gries sketch (bounded memory, no
+    full-key-space GROUP BY) finds each key holding > 1/16 of its
+    column, the exact re-count prices it in ppm, and the advisor emits
+    the salt fan-out that levels it to 1/32-per-sub-key.
+    event_type's 5 dominant values come back salted; user_id's 150
+    uniform values correctly produce nothing."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return PR.skew_advisor(
+        ev, ["event_type", "user_id"], capacity=15, target_share_ppm=31250
+    )

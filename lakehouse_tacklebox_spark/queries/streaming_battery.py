@@ -993,3 +993,130 @@ def stream_join_then_window(spark, sf_dir):
     )
     sunk = _run_memory_sink(spark, windowed, "append", "join_win")
     return sunk.orderBy("window_start")
+
+
+@register(
+    "stream_heavy_hitters_mv",
+    tags=("streaming", "sketch", "mv", "heavy-hitters"),
+    # Same exact oracle as the batch agg_heavy_hitters_mg: the stream
+    # fold must land on the EXACT dominant-token answer — a lost
+    # qualifying key anywhere in the merge tree (partition summary,
+    # epoch fold, replayed epoch) vanishes from the result and fails
+    # the compare.
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT w, CAST(count(*) AS BIGINT) AS n
+    FROM toks, tot
+    GROUP BY w, tot.n
+    HAVING count(*) * 31 > tot.n
+    ORDER BY n DESC, w
+    """,
+)
+def stream_heavy_hitters_mv(spark, sf_dir):
+    """Streaming heavy hitters as an incrementally maintained sketch MV:
+    documents arrive in ≥4 micro-batches; each epoch folds the batch's
+    per-partition Misra-Gries summaries into a ≤(capacity+1)-row state
+    table (`mg_merge` — MG summaries are mergeable with the N/(m+1)
+    bound preserved across ARBITRARY merge trees, PODS'12), committed
+    with the Delta-style ``txn`` epoch stamp so a replayed epoch
+    no-ops instead of double-counting. After the drain, the state's
+    candidate set is re-counted exactly against the full corpus — the
+    final answer must EQUAL the one-shot batch HAVING answer.
+
+    The 100 TB shape: per-epoch state is O(capacity) rows regardless of
+    stream length or key cardinality (the fold is control-plane: ≤
+    capacity·partitions summary rows reach the driver per epoch), the
+    exact re-count at read time is candidate-bounded, and exactly-once
+    holds through failover because the sketch state and the epoch stamp
+    commit atomically.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_tacklebox_spark.operators.sketch import (
+        _mg_partition_summary,
+        mg_merge,
+    )
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    capacity = 30
+    tmp = tempfile.mkdtemp(prefix="mg_mv_")
+    src_dir = os.path.join(tmp, "src")
+    state_dir = os.path.join(tmp, "state")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs.select("doc_id", "text").repartition(4).write.parquet(src_dir)
+
+    TackleTable.create(
+        spark, state_dir, schema="w string, mg_count bigint, is_total int"
+    )
+
+    def _fold(batch_df, epoch):
+        s = batch_df.sparkSession
+        table = TackleTable(s, state_dir)
+        if table.txn_version("mg_mv") >= epoch:
+            return  # replayed epoch: sketch state already includes this batch
+        toks = batch_df.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        summ = toks.mapInPandas(
+            _mg_partition_summary("w", capacity),
+            schema="w string, mg_count long, is_total int",
+        ).collect()
+        prev = table.read().collect()
+        n_total = sum(
+            r["mg_count"] for r in prev + summ if r["is_total"] == 1
+        )
+        counters = mg_merge(
+            [
+                {r["w"]: r["mg_count"]}
+                for r in prev + summ
+                if r["is_total"] == 0
+            ],
+            capacity,
+        )
+        new_state = s.createDataFrame(
+            [(k, int(c), 0) for k, c in sorted(counters.items())]
+            + [("", int(n_total), 1)],
+            "w string, mg_count bigint, is_total int",
+        )
+        table.overwrite(new_state, txn=("mg_mv", epoch))
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
+
+    state = TackleTable(spark, state_dir).read()
+    n_total = state.filter(F.col("is_total") == 1).agg(
+        F.sum("mg_count").alias("n")
+    ).collect()[0]["n"]
+    candidates = state.filter(F.col("is_total") == 0).select("w").distinct()
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    return (
+        toks.join(F.broadcast(candidates), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") * (capacity + 1) > F.lit(n_total))
+        .orderBy(F.desc("n"), "w")
+    )

@@ -515,20 +515,33 @@ class TackleTable:
         )
 
     def overwrite(
-        self, df: DataFrame, identity_reserve: tuple[str, int] | None = None
+        self,
+        df: DataFrame,
+        identity_reserve: tuple[str, int] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
-        """Replace the full contents (CREATE OR REPLACE semantics)."""
+        """Replace the full contents (CREATE OR REPLACE semantics).
+
+        ``txn=(app_id, version)`` gives the replace the same idempotence
+        contract as :meth:`append` (Delta ``txn`` action): a retried
+        epoch whose overwrite already committed is detected — both here
+        and inside the ``_commit`` retry loop — and no-opped, so a
+        replayed streaming fold can never re-apply on top of its own
+        output."""
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return self.version()
         old, _ = self._active_files()
         files, n = _write_files(df, self.path)
         return self._commit(
             "OVERWRITE",
-            {},
+            {"txn": {"appId": txn[0], "version": txn[1]}} if txn else {},
             files,
             old,
             {"numOutputRows": n, "numAddedFiles": len(files), "numRemovedFiles": len(old)},
             schema=_schema_ddl(df),
             expected_version=self.version(),
             identity_reserve=identity_reserve,
+            txn=txn,
         )
 
     def delete(self, condition: str) -> int:

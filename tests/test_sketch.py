@@ -44,3 +44,59 @@ def test_mg_empty_and_all_light_inputs(spark):
     rows = [(f"u{k}",) for k in range(40) for _ in range(5)]
     df = spark.createDataFrame(rows, ["w"]).repartition(8)
     assert heavy_hitters_exact(df, "w", capacity=4).collect() == []
+
+
+def test_skew_advisor_discriminates_and_prices_salt(spark):
+    from lakehouse_tacklebox_spark.plans.profiler import skew_advisor
+
+    # hot: one key with 50% of rows over a uniform tail; cold: uniform
+    rows = [(("HOT" if i % 2 == 0 else f"t{i % 20}"), i % 64) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "u"]).repartition(8)
+    got = skew_advisor(df, ["k", "u"], capacity=10, target_share_ppm=31250)
+    out = got.collect()
+    # u is uniform (64 keys x ~1.6% each < 1/11) — contributes nothing
+    assert all(r["column"] == "k" for r in out)
+    hot = [r for r in out if r["skew_key"] == "HOT"]
+    assert len(hot) == 1
+    # exact integer arithmetic: 2000/4000 -> 500000 ppm -> ceil(/31250)=16
+    assert hot[0]["n"] == 2000
+    assert hot[0]["share_ppm"] == 500_000
+    assert hot[0]["salt_factor"] == 16
+    # heaviest first
+    assert out[0]["skew_key"] == "HOT"
+
+
+def test_mg_native_key_types_survive_the_sketch(spark):
+    # bigint keys exercise the non-string schema path (the sentinel None
+    # must not collapse the Arrow column to float64)
+    rows = [(7,)] * 50 + [(k,) for k in range(20) for _ in range(2)]
+    df = spark.createDataFrame(rows, "w long").repartition(4)
+    got = heavy_hitters_exact(df, "w", capacity=5).collect()
+    assert [(r["w"], r["n"]) for r in got] == [(7, 50 + 2)]
+
+
+def test_mg_merge_preserves_heavy_keys_across_arbitrary_merge_trees():
+    from lakehouse_tacklebox_spark.operators.sketch import mg_merge
+
+    # 40% heavy key spread thinly across 20 chunk summaries, uniform
+    # noise keys differing per chunk — merge pairwise then fold, with
+    # capacity 6 forcing compression at every step
+    import collections
+    chunks = []
+    truth = collections.Counter()
+    for i in range(20):
+        c = {"HEAVY": 40, f"a{i}": 12, f"b{i}": 12, f"c{i}": 12,
+             f"d{i}": 12, f"e{i}": 12}
+        truth.update(c)
+        chunks.append(c)
+    n = sum(truth.values())
+    # fold left with re-compression each step (a worst-case merge tree)
+    acc = {}
+    for c in chunks:
+        acc = mg_merge([acc, c], capacity=6)
+    # the mergeable-MG bound: undercount <= n/(m+1); HEAVY holds 40/100
+    # of the stream so it MUST survive with positive count
+    assert truth["HEAVY"] * 7 > n
+    assert "HEAVY" in acc and acc["HEAVY"] > 0
+    assert truth["HEAVY"] - acc["HEAVY"] <= n // 7
+    assert len(acc) <= 6

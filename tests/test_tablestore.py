@@ -320,3 +320,23 @@ def test_merge_txn_conflict_resolves_to_noop(spark, users, tmp_path):
     assert v == t.version()
     got = {r["id"]: r["balance"] for r in t.read().collect()}
     assert got == {1: 50.0, 2: 200.0, 3: 300.0, 4: 400.0}  # applied once
+
+
+def test_txn_idempotent_overwrite(spark, users, tmp_path):
+    """overwrite(txn=...) carries the same Delta-txn contract as append:
+    a replayed epoch's full replace no-ops instead of re-applying on top
+    of its own output (the streaming sketch-MV fold shape, where a
+    double-applied overwrite would double-count the folded batch)."""
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    s1 = spark.createDataFrame([(1, "a", 1.0)], "id bigint, name string, balance double")
+    v1 = t.overwrite(s1, txn=("fold", 0))
+    assert t.txn_version("fold") == 0
+    # replay of epoch 0: no-op — version unchanged, contents unchanged
+    assert t.overwrite(s1, txn=("fold", 0)) == v1
+    assert t.version() == v1
+    assert [r["id"] for r in t.read().collect()] == [1]
+    # next epoch replaces; its replay no-ops
+    s2 = spark.createDataFrame([(2, "b", 2.0)], "id bigint, name string, balance double")
+    v2 = t.overwrite(s2, txn=("fold", 1))
+    assert v2 > v1 and t.overwrite(s2, txn=("fold", 1)) == v2
+    assert [r["id"] for r in t.read().collect()] == [2]
