@@ -346,3 +346,47 @@ def weighted_sample(df: DataFrame, weight_ppm_col: str, id_col: str) -> DataFram
     return df.filter(
         hash_bucket(F.col(id_col), 1_000_000) < F.col(weight_ppm_col)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col,
+    splits: list[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+) -> DataFrame:
+    """Group-aware train/val/test assignment: every row whose
+    ``group_col`` value matches lands in the SAME split, because the
+    split is a pure function of the group key's md5 bucket — the
+    contamination guard of LLM-corpus curation (a near-duplicate of a
+    training document must never reach the eval split, or the eval
+    measures memorization; Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22 §5 documents the train/test
+    leakage this prevents).
+
+    A doc-level split (bucket on doc_id) does NOT have this property —
+    duplicate groups straddle splits. Callers pick the grouping
+    resolution: an exact-dup digest, a near-dup cluster id from
+    ``dedup_cluster_assign``, or a prefix fingerprint.
+
+    Map-side only (no shuffle, no RNG stream): the assignment is
+    engine-portable md5 arithmetic, stable under repartitioning,
+    appends, and reruns — the property that makes the split a
+    versionable artifact at 100 TB rather than a sampled accident.
+
+    ``splits``: (name, percent) pairs, percents summing to 100;
+    boundaries are cumulative (default: [0,80) train, [80,90) val,
+    [90,100) test).
+    """
+    splits = list(splits)
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percents must sum to 100, got {total}")
+    b = hash_bucket(group_col, 100)
+    expr = None
+    cum = 0
+    for name, pct in splits[:-1]:
+        cum += pct
+        cond = b < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = expr.otherwise(last) if expr is not None else F.lit(last)
+    return df.withColumn("split", expr)

@@ -105,7 +105,13 @@ def rp_lsh_bands(
     """
     import numpy as np
 
-    dim = df.select(F.size(vec_col).alias("d")).first().d
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:  # empty corpus: no rows to band, no dim to size planes by
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, band_idx int, band_key string"
+        )
+    dim = first.d
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))

@@ -214,8 +214,13 @@ _WINDOW_PRIORITY = [
 # profile_skew_advisor (MG census over shuffle keys + exact ppm salt
 # fan-out; uniform column correctly empty),
 # stream_heavy_hitters_mv (mergeable-MG sketch state folded per epoch
-# under overwrite(txn=...) idempotence, final exact re-count) — all
-# drive-green at sf0.01 (and the first two spot-driven at sf0.1);
+# under overwrite(txn=...) idempotence, final exact re-count),
+# profile_join_size (histogram-product join-cardinality forecast),
+# corpus_split_leakage_safe (group-keyed md5 split, leaky_groups=0
+# earned not vacuous), text_bigram_commonness (integer-exact CCNet-ish
+# LM commonness), corpus_filter_cascade (Gopher-style rule ablation:
+# standalone vs cascade-marginal kill counts) — all drive-green at
+# sf0.01 (and several spot-driven at sf0.1);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/

@@ -580,3 +580,166 @@ def corpus_pack_sequences(spark, sf_dir):
         )
         .orderBy("seq_id")
     )
+
+
+@register(
+    "corpus_split_leakage_safe",
+    tags=("corpus", "split", "dedup"),
+    # Non-vacuous at the gate corpus: 476 prefix groups over 500 docs
+    # (docs > groups in each split), and a doc_id-bucketed split would
+    # leak 10 groups across splits — leaky_groups = 0 is earned by the
+    # group-keyed bucketing, not by the corpus lacking duplicates.
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+')[1:8], ' ')) AS gk
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id, gk,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, gk, ('0x' || substr(md5(gk), 1, 15))::BIGINT % 100 AS b FROM g) s
+    ),
+    leak AS (
+        SELECT CAST(count(*) AS BIGINT) AS leaky_groups
+        FROM (SELECT gk FROM a GROUP BY gk HAVING count(DISTINCT split) > 1) x
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS docs,
+           CAST(count(DISTINCT gk) AS BIGINT) AS groups, leak.leaky_groups
+    FROM a, leak GROUP BY split, leak.leaky_groups ORDER BY split
+    """,
+)
+def corpus_split_leakage_safe(spark, sf_dir):
+    """Contamination-safe train/val/test split: documents are grouped by
+    an 8-token prefix fingerprint (the near-dup resolution — exact-dup
+    digests and LSH cluster ids drop in the same way) and the split is
+    a pure md5 function of the GROUP key, so group members can never
+    straddle splits. The result certifies itself: leaky_groups counts
+    groups seen in >1 split and must be 0 (a doc_id-keyed split leaks
+    10 groups on this corpus — the property is discriminating, not
+    vacuous). Map-side assignment, one census shuffle for the report;
+    at 100 TB the split itself adds zero shuffles to ingest."""
+    from lakehouse_tacklebox_spark.operators.corpus import leakage_safe_split
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    g = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("gk"),
+    )
+    a = leakage_safe_split(g, F.col("gk"))
+    leak = (
+        a.groupBy("gk")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaky_groups"))
+    )
+    return (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.countDistinct("gk").cast("bigint").alias("groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )
+
+
+@register(
+    "corpus_filter_cascade",
+    tags=("corpus", "quality", "ablation"),
+    # Ablation census: every rule's standalone kill count vs its
+    # marginal kill count at its cascade position. Non-vacuous on the
+    # gate corpus: all four rules fire standalone (90/282/330/47) and
+    # the cascade attributions differ from standalone for every rule
+    # after the first — the ordering actually matters.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    pf AS (
+        SELECT md5(array_to_string(w[1:8], ' ')) AS pfx, count(*) AS np
+        FROM t GROUP BY 1
+    ),
+    f AS (
+        SELECT (t.n_chars < 150) AS f1,
+               (t.lang <> 'en') AS f2,
+               (len(list_distinct(t.w)) * 1000000 // len(t.w) < 550000) AS f3,
+               (pf.np > 1) AS f4
+        FROM t JOIN pf ON pf.pfx = md5(array_to_string(t.w[1:8], ' '))
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+               CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+               CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        FROM f
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage, 'too_short' AS rule, s1 AS standalone_fail,
+               c1 AS cascade_drop, n - c1 AS survivors FROM c
+        UNION ALL
+        SELECT 2, 'non_english', s2, c2, n - c1 - c2 FROM c
+        UNION ALL
+        SELECT 3, 'low_lexical_diversity', s3, c3, n - c1 - c2 - c3 FROM c
+        UNION ALL
+        SELECT 4, 'shared_prefix_boilerplate', s4, c4, n - c1 - c2 - c3 - c4 FROM c
+    ) x ORDER BY stage
+    """,
+)
+def corpus_filter_cascade(spark, sf_dir):
+    """Quality-filter ablation table: the four standard corpus rules
+    (length floor, language gate, lexical-diversity floor, shared-prefix
+    boilerplate) applied AS A CASCADE, reporting for each rule both its
+    standalone kill count and its marginal kill count at its cascade
+    position plus the survivor count after it — the table a pipeline
+    owner reads before reordering or dropping a rule (Gopher/RefinedWeb
+    publish exactly this ablation; Rae et al. '21 table A1). All
+    counts bigint-exact; the only shuffle is the 8-token-prefix census
+    (hash keys, not text), everything else is one codegen'd scan."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    t = d.select("doc_id", "lang", "n_chars", toks.alias("w")).withColumn(
+        "pfx", F.md5(F.concat_ws(" ", F.slice("w", 1, 8)))
+    )
+    pf = t.groupBy("pfx").agg(F.count(F.lit(1)).alias("np"))
+    f = (
+        t.join(pf, "pfx")
+        .withColumn("f1", F.col("n_chars") < 150)
+        .withColumn("f2", F.col("lang") != "en")
+        .withColumn(
+            "f3",
+            F.expr(
+                "(size(array_distinct(w)) * CAST(1000000 AS BIGINT)) div size(w)"
+            )
+            < 550000,
+        )
+        .withColumn("f4", F.col("np") > 1)
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    c = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        one(F.col("f1")).alias("s1"),
+        one(F.col("f2")).alias("s2"),
+        one(F.col("f3")).alias("s3"),
+        one(F.col("f4")).alias("s4"),
+        one(F.col("f1")).alias("c1"),
+        one(~F.col("f1") & F.col("f2")).alias("c2"),
+        one(~F.col("f1") & ~F.col("f2") & F.col("f3")).alias("c3"),
+        one(~F.col("f1") & ~F.col("f2") & ~F.col("f3") & F.col("f4")).alias("c4"),
+    )
+    return c.selectExpr(
+        """stack(4,
+             1, 'too_short',                 s1, c1, n - c1,
+             2, 'non_english',               s2, c2, n - c1 - c2,
+             3, 'low_lexical_diversity',     s3, c3, n - c1 - c2 - c3,
+             4, 'shared_prefix_boilerplate', s4, c4, n - c1 - c2 - c3 - c4
+           ) AS (stage, rule, standalone_fail, cascade_drop, survivors)"""
+    ).orderBy("stage")

@@ -191,3 +191,41 @@ def profile_skew_advisor(spark, sf_dir):
     return PR.skew_advisor(
         ev, ["event_type", "user_id"], capacity=15, target_share_ppm=31250
     )
+
+
+@register(
+    "profile_join_size",
+    tags=("profiler", "join", "planning"),
+    # The oracle is the exact histogram-product forecast: DuckDB builds
+    # the same per-key census and must land on the same top-10 blowup
+    # keys AND the same exact total join cardinality.
+    oracle="""
+    WITH lk AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS join_key, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+        SELECT a.join_key, a.n AS left_rows, b.n AS right_rows, a.n * b.n AS est_rows
+        FROM lk a JOIN lk b USING (join_key)
+    )
+    SELECT * FROM (
+      SELECT join_key, left_rows, right_rows, est_rows FROM j
+      ORDER BY est_rows DESC, join_key LIMIT 10
+    ) t
+    UNION ALL
+    SELECT '*TOTAL*', CAST(sum(left_rows) AS BIGINT), CAST(sum(right_rows) AS BIGINT),
+           CAST(sum(est_rows) AS BIGINT)
+    FROM j
+    ORDER BY est_rows DESC, join_key
+    """,
+)
+def profile_join_size(spark, sf_dir):
+    """Forecast the output size of the lineitem ⋈ lineitem equi-join on
+    l_partkey (the parts-bought-together shape) WITHOUT running it:
+    per-key histograms joined and multiplied give the exact join
+    cardinality plus the top-10 keys that would dominate the output.
+    Two partial-agg shuffles over the key and a histogram-sized join —
+    the 100 TB way to decide whether a fact-fact join is runnable
+    before paying for it."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return PR.join_size_estimate(li, li, "l_partkey", top_n=10)

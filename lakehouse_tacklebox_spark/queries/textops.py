@@ -1148,3 +1148,72 @@ def agg_heavy_hitters_mg(spark, sf_dir):
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
     )
     return heavy_hitters_exact(toks, "w", capacity=30)
+
+
+@register(
+    "text_bigram_commonness",
+    tags=("text", "quality", "lm"),
+    bench=True,
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(2, len(w) + 1), i -> w[i-1] || ' ' || w[i])) AS bg
+        FROM t WHERE len(w) >= 2
+    ),
+    g AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bg)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(cnt) AS BIGINT) AS sum_freq,
+           (CAST(sum(cnt) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS commonness_ppm
+    FROM b JOIN g USING (bg)
+    GROUP BY source ORDER BY source
+    """,
+)
+def text_bigram_commonness(spark, sf_dir):
+    """Corpus-LM commonness score per source: train a word-bigram census
+    over the whole corpus, then score each source by the average global
+    frequency of its bigram instances — the integer-exact core of
+    CCNet-style LM filtering (Wenzek et al., LREC'20: rank docs by how
+    typical their n-grams are; atypical = noise or boilerplate-free
+    gold, either way triage-worthy). commonness_ppm = ⌊Σ freq(bg) ·
+    1e6 / n_instances⌋, all-bigint, so the two engines agree exactly —
+    no log-prob doubles whose summation order would break parity.
+
+    Plan at 100 TB: explode → one partial-agg census shuffle on the
+    bigram key, then the instances-to-census join — no forced hint, so
+    AQE broadcasts the census while it fits (it does at gate scale) and
+    falls back to a shuffle join when the vocabulary outgrows the
+    threshold — and a tiny per-source final agg. The explode
+    is recomputed for the instance side rather than persisted: a
+    codegen'd re-scan is cheaper than caching a corpus-sized exploded
+    frame in executor storage."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    docs = _spread(d.select("doc_id", "source", toks.alias("w")).filter(F.size("w") >= 2))
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(2, size(w)), i -> concat_ws(' ', w[i-2], w[i-1]))")
+        ).alias("bg"),
+    )
+    g = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bg.join(g, "bg")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("cnt").cast("bigint").alias("sum_freq"),
+        )
+        .withColumn(
+            "commonness_ppm",
+            F.expr("CAST((sum_freq * CAST(1000000 AS BIGINT)) div n_bigrams AS BIGINT)"),
+        )
+        .orderBy("source")
+    )

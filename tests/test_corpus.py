@@ -149,3 +149,57 @@ def test_weighted_sample_deterministic_and_partition_invariant(spark):
     # realized rate tracks the probability mass (law of large numbers)
     expected = sum(((i % 11) * 100_000) for i in range(2000)) / 1_000_000
     assert abs(len(kept1) - expected) / expected < 0.1
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators.corpus import leakage_safe_split
+
+    # 60 groups x 5 members; assignment must be constant within a group
+    rows = [(g * 100 + m, f"grp{g}") for g in range(60) for m in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "gk"])
+    out = leakage_safe_split(df, F.col("gk"))
+    per_group = out.groupBy("gk").agg(F.countDistinct("split").alias("ns")).collect()
+    assert all(r["ns"] == 1 for r in per_group)
+    # all three splits populated at this group count, and the
+    # assignment is partition-invariant (pure function of the key)
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    re_assigned = leakage_safe_split(df.repartition(7), F.col("gk"))
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in re_assigned.collect()}
+    assert a == b
+
+
+def test_leakage_safe_split_rejects_bad_percents(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators.corpus import leakage_safe_split
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "gk"])
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, F.col("gk"), splits=[("train", 80), ("val", 30)])
+
+
+def test_join_size_estimate_matches_actual_join(spark):
+    from lakehouse_tacklebox_spark.plans.profiler import join_size_estimate
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 1 + [(None,)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 5 + [("d",)] * 2 + [(None,)], "k string"
+    )
+    got = join_size_estimate(left, right, "k", top_n=5).collect()
+    by_key = {r["join_key"]: r for r in got}
+    # per-key products: a=3*4=12, b=2*5=10; c/d unmatched; nulls excluded
+    assert set(by_key) == {"a", "b", "*TOTAL*"}
+    assert (by_key["a"]["left_rows"], by_key["a"]["right_rows"], by_key["a"]["est_rows"]) == (3, 4, 12)
+    assert by_key["b"]["est_rows"] == 10
+    # the forecast IS the actual inner-join cardinality
+    actual = left.join(right, "k").count()
+    assert by_key["*TOTAL*"]["est_rows"] == 22 == actual
+    # heaviest first, TOTAL sorts ahead (largest est_rows)
+    assert [r["join_key"] for r in got] == ["*TOTAL*", "a", "b"]

@@ -190,3 +190,12 @@ def test_minhash_lsh_finds_position_shifted_neardup(spark):
     got = {(r.id_a, r.id_b) for r in ver.collect()}
     assert (1, 2) in got
     assert all(p == (1, 2) for p in got)
+
+
+def test_rp_lsh_bands_empty_corpus(spark):
+    from lakehouse_tacklebox_spark.operators import similarity as S
+
+    e = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = S.rp_lsh_bands(e)
+    assert out.collect() == []
+    assert out.columns == ["vec_id", "band_idx", "band_key"]

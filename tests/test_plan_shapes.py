@@ -493,3 +493,61 @@ def test_heavy_hitters_sketch_no_shuffle_and_broadcast_recount(spark):
     # map-side combine: partial + final HashAggregate around the one
     # exchange that remains
     assert p2.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime row-filter injection (SPARK-32268) is the engine's
+    own scale path for selective dim→fact joins that are too big to
+    broadcast: the selective side builds a bloom_filter_agg and the fact
+    side probes might_contain BEFORE the shuffle, cutting exchange bytes
+    by the dim filter's selectivity. Pin that the injection actually
+    fires on our layout (parquet sources, no table stats) under the
+    documented confs, and that results are identical with it off —
+    SCALING.md's prescription for the 100 TB fact ⋈ filtered-dim case."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+
+    def q():
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # gate-scale scans are far below the 10g default; the 100 TB case
+        # crosses it on its own
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        # force the non-broadcast join shape the feature exists for
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime filter not injected on creation side"
+        assert "might_contain" in plan, "fact side not probing the bloom filter"
+        with_bloom = {(r["o_orderpriority"], r["n"]) for r in df.collect()}
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = q()
+        assert "might_contain" not in plain._jdf.queryExecution().executedPlan().toString()
+        assert with_bloom == {(r["o_orderpriority"], r["n"]) for r in plain.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
