@@ -219,7 +219,9 @@ _WINDOW_PRIORITY = [
 # corpus_split_leakage_safe (group-keyed md5 split, leaky_groups=0
 # earned not vacuous), text_bigram_commonness (integer-exact CCNet-ish
 # LM commonness), corpus_filter_cascade (Gopher-style rule ablation:
-# standalone vs cascade-marginal kill counts) — all drive-green at
+# standalone vs cascade-marginal kill counts), stream_mv_retraction
+# (CDF deletes as negative IVM deltas after a forget-list MERGE,
+# double-applied retraction proven a no-op) — all drive-green at
 # sf0.01 (and several spot-driven at sf0.1);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,

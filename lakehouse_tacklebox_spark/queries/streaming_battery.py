@@ -1120,3 +1120,157 @@ def stream_heavy_hitters_mv(spark, sf_dir):
         .filter(F.col("n") * (capacity + 1) > F.lit(n_total))
         .orderBy(F.desc("n"), "w")
     )
+
+
+@register(
+    "stream_mv_retraction",
+    tags=("streaming", "mv", "cdf", "merge"),
+    # One-shot batch answer over the SURVIVING rows: the incremental MV
+    # (built from inserts, then corrected by CDF delete retractions)
+    # must land exactly here — a double-subtracted replay, a missed
+    # delete, or a sign error each move a cents sum and fail the hash.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_custkey % 97 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def stream_mv_retraction(spark, sf_dir):
+    """Incremental-view maintenance with RETRACTIONS — the GDPR/right-to-
+    be-forgotten shape: a gold aggregate (orders by priority) is
+    maintained incrementally as orders stream in; then a forget-list
+    MERGE deletes every row of the affected customers from the fact
+    table WITH change-data-feed on, and the MV consumes the CDF delete
+    rows as NEGATIVE deltas (classic IVM delta algebra: insert ⊕,
+    delete ⊖ — Delta's CDF + foreachBatch recipe, reference Step 5
+    CDC discussion). The retraction merge is applied TWICE with the
+    same txn stamp to prove a replayed epoch cannot double-subtract.
+
+    The 100 TB shape: the forget pass rewrites only files holding
+    forgotten customers (touched-file MERGE), the MV correction reads
+    the CDF rows — proportional to what was DELETED, never a recompute
+    of the surviving 100 TB — and both the fact delete and the MV fix
+    are txn-stamped, so the pipeline is replay-safe end to end.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_tacklebox_spark.functions import dmoney
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tmp = tempfile.mkdtemp(prefix="mv_retract_")
+    src_dir = os.path.join(tmp, "src")
+    fact_dir = os.path.join(tmp, "fact")
+    mv_dir = os.path.join(tmp, "mv")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    orders.select(*cols).repartition(4).write.parquet(src_dir)
+
+    cents = F.round(dmoney("o_totalprice") * 100).cast("bigint")
+
+    def _partials(df, sign=1):
+        return df.groupBy("o_orderpriority").agg(
+            (F.count(F.lit(1)) * sign).cast("bigint").alias("n_orders"),
+            (F.sum(cents) * sign).cast("bigint").alias("revenue_cents"),
+        )
+
+    TackleTable.create(spark, mv_dir, schema="o_orderpriority string, n_orders bigint, revenue_cents bigint")
+    TackleTable.create(spark, fact_dir, orders.select(*cols).limit(0))
+
+    def _fold(batch_df, epoch):
+        s = batch_df.sparkSession
+        fact = TackleTable(s, fact_dir)
+        mv = TackleTable(s, mv_dir)
+        # two tables, one epoch: each step carries its own txn stamp, so
+        # a crash between them replays as (append no-op, merge applies)
+        if fact.txn_version("ingest") < epoch:
+            fact.append(batch_df, txn=("ingest", epoch))
+        if mv.txn_version("mv") >= epoch:
+            return
+        combined = (
+            mv.read()
+            .unionByName(_partials(batch_df))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+                F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+            )
+        )
+        (
+            mv.merge(combined, on=["o_orderpriority"])
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .withTransaction("mv", epoch)
+            .execute()
+        )
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
+
+    fact = TackleTable(spark, fact_dir)
+    # the merge source is the DISTINCT forget-list (broadcast-sized at
+    # any fact scale), null-padded to the target schema — a delete
+    # clause never reads source values
+    forget = (
+        fact.read().filter(F.col("o_custkey") % 97 == 0).select("o_custkey").distinct()
+    )
+    for f in fact.read().schema.fields:
+        if f.name != "o_custkey":
+            forget = forget.withColumn(f.name, F.lit(None).cast(f.dataType))
+    v_del = (
+        fact.merge(forget, on=["o_custkey"])
+        .whenMatchedDelete()
+        .withChangeDataFeed()
+        .withTransaction("forget", 1)
+        .execute()
+    )
+    deltas = fact.read_changes(v_del, v_del).filter(F.col("_change_type") == "delete")
+    mv = TackleTable(spark, mv_dir)
+
+    def _retract():
+        combined = (
+            mv.read()
+            .unionByName(_partials(deltas, sign=-1))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+                F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+            )
+        )
+        (
+            mv.merge(combined, on=["o_orderpriority"])
+            .whenMatchedDelete(condition="s.n_orders = 0")  # a fully-forgotten group leaves the MV
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .withTransaction("mv_retract", 1)
+            .execute()
+        )
+
+    _retract()
+    _retract()  # replayed retraction epoch: txn stamp no-ops it — no double-subtract
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return mv.read().select("o_orderpriority", "n_orders", "revenue_cents").orderBy(
+        "o_orderpriority"
+    )
