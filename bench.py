@@ -93,6 +93,12 @@ SF1_QUERIES = [
     # token-explode scan, so drift here would mean the candidate
     # re-count shuffle stopped being candidate-bounded
     "agg_heavy_hitters_mg",
+    # round-7: bigram LM commonness — a census shuffle whose key space
+    # (distinct bigrams) grows sub-linearly in corpus size plus an
+    # instances-to-census join; the ratio guards that the join stays
+    # census-bounded (AQE flips broadcast→shuffle as the census grows,
+    # which is the designed behavior, not drift)
+    "text_bigram_commonness",
 ]
 # documented-quadratic exact baselines — excluded BY DESIGN, not silently:
 # brute-force knn is O(n²) on purpose (the IVF/LSH variants are the scale

@@ -221,8 +221,11 @@ _WINDOW_PRIORITY = [
 # LM commonness), corpus_filter_cascade (Gopher-style rule ablation:
 # standalone vs cascade-marginal kill counts), stream_mv_retraction
 # (CDF deletes as negative IVM deltas after a forget-list MERGE,
-# double-applied retraction proven a no-op) — all drive-green at
-# sf0.01 (and several spot-driven at sf0.1);
+# double-applied retraction proven a no-op), stream_stream_semi_join +
+# stream_stream_anti_join (emission-rule spectrum completed: semi emits
+# on first match with no watermark wait; anti emits only on eviction,
+# 2 tail rows withheld) — all drive-green at sf0.01 (and several
+# spot-driven at sf0.1);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/

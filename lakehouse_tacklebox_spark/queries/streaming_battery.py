@@ -1274,3 +1274,142 @@ def stream_mv_retraction(spark, sf_dir):
     return mv.read().select("o_orderpriority", "n_orders", "revenue_cents").orderBy(
         "o_orderpriority"
     )
+
+
+@register(
+    "stream_stream_semi_join",
+    tags=("streaming", "join", "semi"),
+    # Semi = existence: each converting click appears EXACTLY ONCE no
+    # matter how many purchases land in its window (DISTINCT in the
+    # oracle), and emission needs no watermark wait — matches emit the
+    # moment both sides are in state, so no tail rows are withheld.
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT DISTINCT c.click_id, c.user_id
+    FROM c JOIN p ON p.user_id = c.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ORDER BY click_id
+    """,
+)
+def stream_stream_semi_join(spark, sf_dir):
+    """Stream-stream LEFT SEMI interval join — 'which clicks converted',
+    one row per converting click regardless of purchase count. With
+    inner/LEFT OUTER/FULL OUTER already pinned, semi completes the
+    emission-rule spectrum from the other side: a semi row emits as
+    soon as ANY match exists (no watermark wait, unlike the outer
+    variants' null rows), and duplicate suppression is the operator's
+    job, not a downstream DISTINCT. State story unchanged: the interval
+    bound lets Spark expire click state at watermark + 30 min, O(horizon)
+    not O(stream)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "31 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    ).select("click_id", "user_id")
+    return _run_memory_sink(spark, joined, "append", "ss_semi").orderBy("click_id")
+
+
+@register(
+    "stream_stream_anti_join",
+    tags=("streaming", "join", "anti"),
+    # Anti is ALL eviction rule: a row may only emit once the watermark
+    # proves no match can still arrive, so the correct result is
+    # unmatched-AND-evicted — the gate corpus holds 1981 such clicks
+    # with 2 unmatched tail clicks withheld in state. An implementation
+    # that emits all 1983 unmatched clicks fails the compare: the
+    # 2-row gap is the semantics under test.
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+        SELECT DISTINCT c.click_id
+        FROM c JOIN p ON p.user_id = c.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ), wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+                - INTERVAL 1 MINUTE,
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+                - INTERVAL 31 MINUTE) AS w
+    )
+    SELECT c.click_id, c.user_id
+    FROM c, wm
+    WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+      AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+    ORDER BY click_id
+    """,
+)
+def stream_stream_anti_join(spark, sf_dir):
+    """Stream-stream LEFT ANTI interval join — 'which clicks NEVER
+    converted', the abandonment feed. Spark has no native stream-stream
+    anti (LeftAnti with a streaming right side is rejected), so the
+    operator is composed: LEFT OUTER join → filter the null-padded
+    rows. The emission semantics are identical to a true anti — an
+    outer null row materializes only when the watermark proves no match
+    can still arrive — so the entire result is governed by the eviction
+    rule: the two tail clicks whose windows are still open when the
+    stream drains are correctly withheld, and the oracle replays
+    exactly that rule rather than 'all unmatched'. State is O(horizon),
+    same as the other four stream-stream variants."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "31 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).filter(F.col("purchase_id").isNull()).select("click_id", "user_id")
+    return _run_memory_sink(spark, joined, "append", "ss_anti").orderBy("click_id")
