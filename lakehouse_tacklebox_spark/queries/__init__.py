@@ -224,7 +224,9 @@ _WINDOW_PRIORITY = [
 # double-applied retraction proven a no-op), stream_stream_semi_join +
 # stream_stream_anti_join (emission-rule spectrum completed: semi emits
 # on first match with no watermark wait; anti emits only on eviction,
-# 2 tail rows withheld) — all drive-green at sf0.01 (and several
+# 2 tail rows withheld), metrics_anomaly_days (pure-bigint |z|>2 daily
+# volume tripwire), table_version_diff (time-travel head-vs-v0 census
+# with exact cents deltas) — all drive-green at sf0.01 (and several
 # spot-driven at sf0.1);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,

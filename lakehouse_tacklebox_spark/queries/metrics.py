@@ -575,3 +575,67 @@ def events_funnel_stages(spark, sf_dir):
         ).alias("s")
     )
     return stages.select("s.stage", "s.n_users", "s.conv_vs_stage1_ppm").orderBy("stage")
+
+
+@register(
+    "metrics_anomaly_days",
+    tags=("metrics", "anomaly", "quality"),
+    # |z| > 2 as PURE INTEGER algebra: (n·c − S)²·(n−1) > 4·(n·Q − S²)·n
+    # is (c − mean)² > 4·sample-variance with both sides multiplied by
+    # n²(n−1) — no float mean/stddev whose rounding could flip a
+    # borderline day differently per engine. Gate data: 3 of ~150
+    # (type, day) cells flag — discriminating, not vacuous.
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n_events) AS BIGINT) AS s_sum,
+               CAST(sum(n_events * n_events) AS BIGINT) AS s_sq
+        FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n_events, s.n_days
+    FROM d JOIN s USING (event_type)
+    WHERE s.n_days > 1
+      AND (s.n_days * d.n_events - s.s_sum) * (s.n_days * d.n_events - s.s_sum)
+            * (s.n_days - 1)
+          > 4 * (s.n_days * s.s_sq - s.s_sum * s.s_sum) * s.n_days
+    ORDER BY d.event_type, d.day
+    """,
+)
+def metrics_anomaly_days(spark, sf_dir):
+    """Volume-anomaly detection over the event stream: flag every
+    (event_type, day) whose count sits more than two sample standard
+    deviations from that type's daily mean — the data-quality tripwire
+    a pipeline runs before trusting a day's ingest. The z² test is
+    cleared of floats entirely ((n·c − S)²·(n−1) > 4·(n·Q − S²)·n, all
+    bigint), so the flag decision is bit-identical across engines; at
+    counts beyond ~10⁸/day the quadratics outgrow int64 and the same
+    expressions lift to decimal(38,0) — documented dial, same algebra.
+    Plan: one partial-agg census per (type, day), a per-type 1-row
+    stats reduction, broadcast join back — no second fact scan."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    d = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("s_sum"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("s_sq"),
+    )
+    dev = F.col("n_days") * F.col("n_events") - F.col("s_sum")
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .filter(
+            (F.col("n_days") > 1)
+            & (
+                dev * dev * (F.col("n_days") - 1)
+                > F.lit(4) * (F.col("n_days") * F.col("s_sq") - F.col("s_sum") * F.col("s_sum")) * F.col("n_days")
+            )
+        )
+        .select("event_type", "day", "n_events", "n_days")
+        .orderBy("event_type", "day")
+    )

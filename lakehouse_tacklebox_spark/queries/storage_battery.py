@@ -271,3 +271,90 @@ def table_skipping_pointlookup(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "table_version_diff",
+    tags=("tablestore", "time-travel", "audit"),
+    # The oracle recomputes the diff census from the base data and the
+    # two deterministic mutations — the engine side must reconstruct
+    # the SAME census purely from time-travel reads of the commit log.
+    # Money deltas are exact cents so an update that leaked into the
+    # wrong version (or a delete that missed a file rewrite) moves a
+    # bigint and fails the hash.
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT 'removed' AS change, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(-sum(cents) AS BIGINT) AS cents_delta
+    FROM base WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT 'updated', CAST(count(*) AS BIGINT),
+           CAST(count(*) * 100 AS BIGINT)
+    FROM base WHERE o_orderkey % 50 = 0 AND o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT 'unchanged', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM base WHERE o_orderkey % 50 <> 0 AND o_orderkey % 97 <> 0
+    ORDER BY change
+    """,
+)
+def table_version_diff(spark, sf_dir):
+    """Time-travel semantic diff — the audit question 'what changed
+    between version 0 and now, row by row?' answered from the commit
+    log alone: a TackleTable is mutated twice (UPDATE bumps price +1.00
+    on the %50 keys, DELETE removes the %97 keys), then the head and
+    v0 snapshots are full-outer joined on the key and classified into
+    removed / updated / unchanged with exact cents deltas. This is the
+    reconciliation pattern the reference's validator family runs
+    between environments, pointed instead at two VERSIONS of one table
+    — no CDF required, so it works across any version gap including
+    compactions. Scale: both snapshots are pruned scans, the diff join
+    shuffles on the table key once, and the census is a 3-row agg."""
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_tacklebox_spark.functions import dmoney
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tmp = tempfile.mkdtemp(prefix="vdiff_")
+    try:
+        orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+        base = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+        )
+        t = TackleTable.create(spark, os.path.join(tmp, "t"), base)
+        t.update("o_orderkey % 50 = 0", {"price": "price + 1.0"})
+        t.delete("o_orderkey % 97 = 0")
+
+        cents = lambda c: F.round(dmoney(c) * 100).cast("bigint")  # noqa: E731
+        v0 = t.read(version=0).select(
+            "o_orderkey", cents("price").alias("cents_before")
+        )
+        head = t.read().select("o_orderkey", cents("price").alias("cents_after"))
+        diff = v0.join(head, "o_orderkey", "full_outer").select(
+            F.when(F.col("cents_after").isNull(), "removed")
+            .when(F.col("cents_before").isNull(), "added")
+            .when(F.col("cents_after") != F.col("cents_before"), "updated")
+            .otherwise("unchanged")
+            .alias("change"),
+            (F.coalesce("cents_after", F.lit(0)) - F.coalesce("cents_before", F.lit(0))).alias(
+                "delta"
+            ),
+        )
+        out = (
+            diff.groupBy("change")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("delta").cast("bigint").alias("cents_delta"),
+            )
+            .orderBy("change")
+        )
+        # materialize before the temp table vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
