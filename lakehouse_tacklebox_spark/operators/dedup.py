@@ -362,3 +362,59 @@ def jaccard_for_pairs(
         .withColumn("jaccard", inter / union)
         .drop("__sa", "__sb")
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold_ppm: int = 900000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT |A∩B| / |A| — the asymmetric
+    complement to :func:`jaccard_pairs`. Jaccard divides by the union,
+    so a short document fully embedded in a long one (a quoted article,
+    a RAG chunk, a boilerplate-wrapped repost) scores LOW and survives
+    symmetric dedup; containment divides by the CONTAINED side's size
+    and flags exactly those subset-duplicates (Broder's resemblance vs
+    containment distinction, SEQUENCES'97).
+
+    Same postings-join physique as jaccard_pairs (hash the grams to
+    8-byte keys, optional stop-shingle cap before the quadratic join),
+    but directed: both (A,B) orientations are scored, and the score is
+    exact integer ppm (``inter·10⁶ div |A|``) so the result is
+    engine-reproducible. Shingle multiplicity is collapsed per doc
+    (set semantics) before sizing.
+    """
+    exploded = (
+        shingled.select(F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        stop = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        exploded = exploded.join(F.broadcast(stop), "sh", "left_anti")
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sa, "id_a")
+        .withColumn(
+            "containment_ppm",
+            F.expr("CAST((inter * CAST(1000000 AS BIGINT)) div sz_a AS BIGINT)"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "inter", "sz_a", "containment_ppm")
+    )

