@@ -208,3 +208,46 @@ def join_size_estimate(
         F.sum("est_rows").cast("bigint").alias("est_rows"),
     ).select(F.lit("*TOTAL*").alias("join_key"), "left_rows", "right_rows", "est_rows")
     return top.unionByName(total).orderBy(F.desc("est_rows"), "join_key")
+
+
+def functional_deps(
+    candidates: list[tuple[str, DataFrame, str, str]],
+) -> DataFrame:
+    """Functional-dependency check over candidate (determinant →
+    dependent) column pairs: A → B holds iff |distinct A| equals
+    |distinct (A, B)| over the rows where both are non-null; the gap is
+    the exact violation count (extra (A,B) combinations beyond one-per-A).
+    This is the profiling step behind key discovery, normalization
+    advice, and choosing clustering columns (a held FD means the
+    dependent is free to co-locate with the determinant) — the
+    column-metadata mining the reference's optimizer does from query
+    logs (deltaoptimizer.py:1207-1242), done from the DATA instead.
+
+    ``candidates``: (table_label, df, determinant, dependent) tuples.
+    Each pair costs one filtered two-distinct aggregate — map-side
+    partial agg, one shuffle keyed on nothing wider than the pair
+    itself; at 100 TB you run it on a sampled or recent partition
+    first, then confirm survivors exactly.
+    """
+    parts = []
+    for label, df, det, dep in candidates:
+        parts.append(
+            df.filter(F.col(det).isNotNull() & F.col(dep).isNotNull())
+            .agg(
+                F.countDistinct(det).cast("bigint").alias("n_det"),
+                F.countDistinct(det, dep).cast("bigint").alias("n_pair"),
+            )
+            .select(
+                F.lit(label).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_det",
+                "n_pair",
+                (F.col("n_pair") == F.col("n_det")).cast("int").alias("holds"),
+                (F.col("n_pair") - F.col("n_det")).alias("violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "determinant", "dependent")
