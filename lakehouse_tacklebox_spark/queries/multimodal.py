@@ -267,3 +267,103 @@ def mm_block_dedup(spark, sf_dir):
             (F.count(F.lit(1)) - F.countDistinct("bh")).alias("dup_blocks"),
         )
     )
+
+
+@register(
+    "mm_image_phash_neardup",
+    tags=("multimodal", "image", "dedup", "certification"),
+    # SELF-CERTIFYING oracle (knn_ivf_recall_cert precedent): the pHash
+    # values are codec+DCT outputs DuckDB can't recompute, but the
+    # planted-duplicate structure is pure id arithmetic, so the oracle
+    # independently derives n_images / n_copies / n_pairs and asserts
+    # the two verdict flags. Measured margins on this construction:
+    # copy↔source ≤ 2 bits, every other pair ≥ 12 bits at both gate scales, threshold 6 —
+    # a hash regression (pooling, DCT, packing, banding) either loses a
+    # copy pair or admits a false one, and either flips a flag or moves
+    # n_pairs.
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_images,
+           CAST(count(*) FILTER (WHERE doc_id % 9 = 0) AS BIGINT) AS n_copies,
+           CAST(count(*) FILTER (WHERE doc_id % 9 = 0) AS BIGINT) AS n_pairs,
+           CAST(1 AS INT) AS copies_all_matched,
+           CAST(1 AS INT) AS no_false_pairs
+    FROM documents
+    """,
+)
+def mm_image_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection over real BMP payloads:
+    every image-modality document becomes a random-pixel 24-bit BMP and
+    every ninth also plants a near-duplicate copy (brightness +7, sparse
+    +5 pixel noise — the re-encode/levels-tweak class). Pipeline:
+    Arrow-batched decode→pHash (8×8 pool → DCT-II → median-threshold →
+    64-bit bigint), then ALL JVM-side: 4×16-bit band extraction
+    (pigeonhole: any pair differing in ≤3 bits leaves ≥1 of the 4 bands
+    untouched, so the planted ≤2-bit copies are guaranteed candidates;
+    the ≤6 cut below is the exact-verify verdict, not the recall bound),
+    band-bucket self-join, exact Hamming verify via xor+bit_count ≤ 6. The result certifies itself: all 56 planted
+    copies pair with exactly their source and nothing else pairs.
+    Scale: hash once per image (embarrassingly parallel), shuffle only
+    (band, key) rows, candidates bounded by band-bucket occupancy —
+    the SimHash/LSH physique applied to the image modality."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    imgs = MM.as_bmp_images_with_neardups(d)
+    hashed = MM.image_phash(imgs, keys=["img_id"]).localCheckpoint(eager=True)
+    bands = hashed.select(
+        "img_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("img_id", "phash", "b.band_idx", "b.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("id_a"),
+            F.col("b.img_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b")
+    )
+    n_images = hashed.filter(F.col("img_id") < 100000).count()
+    n_copies = hashed.filter(F.col("img_id") >= 100000).count()
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
+        ).alias("n_copy_source_pairs"),
+    ).collect()[0]
+    n_pairs = int(stats["n_pairs"] or 0)
+    n_cs = int(stats["n_copy_source_pairs"] or 0)
+    return spark.createDataFrame(
+        [
+            (
+                n_images,
+                n_copies,
+                n_pairs,
+                1 if n_cs == n_copies else 0,
+                1 if n_pairs == n_copies else 0,
+            )
+        ],
+        "n_images bigint, n_copies bigint, n_pairs bigint, copies_all_matched int, no_false_pairs int",
+    )

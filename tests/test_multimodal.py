@@ -231,3 +231,31 @@ def test_resize_nearest_neighbor(spark, bmp):
         ys = (np.arange(6) * sh // 6).clip(0, sh - 1)
         xs = (np.arange(8) * sw // 8).clip(0, sw - 1)
         np.testing.assert_array_equal(pix.reshape(6, 8, 3), src_img[ys][:, xs])
+
+
+def test_phash_brightness_invariant_and_noise_tolerant(spark):
+    """The pHash drops the DC coefficient, so a uniform (unclipped)
+    brightness shift must leave the hash EXACTLY unchanged, and the
+    planted sparse-noise copy must stay within the 6-bit verify cut
+    while a different random image stays far — the margin contract the
+    battery oracle certifies end-to-end."""
+    import numpy as np
+
+    from lakehouse_tacklebox_spark.operators.multimodal import _lcg_bytes, _phash_bits
+
+    w, h = 24, 20
+    pix = _lcg_bytes(42, 3 * w * h).reshape(h, w, 3)
+    base = _phash_bits(pix)
+    # uniform shift, no clipping anywhere (stay <= 200 before shift)
+    capped = np.minimum(pix, 200.0)
+    assert np.array_equal(_phash_bits(capped), _phash_bits(capped + 30))
+    # sparse noise copy: within the verify cut
+    noisy = np.minimum(pix + 7, 255.0)
+    flat = noisy.reshape(-1)
+    flat[np.arange(flat.size) % 23 == 0] = np.minimum(
+        flat[np.arange(flat.size) % 23 == 0] + 5, 255.0
+    )
+    assert int(np.sum(_phash_bits(noisy) != base)) <= 6
+    # unrelated image: far
+    other = _lcg_bytes(43, 3 * w * h).reshape(h, w, 3)
+    assert int(np.sum(_phash_bits(other) != base)) >= 12
