@@ -226,8 +226,13 @@ _WINDOW_PRIORITY = [
 # on first match with no watermark wait; anti emits only on eviction,
 # 2 tail rows withheld), metrics_anomaly_days (pure-bigint |z|>2 daily
 # volume tripwire), table_version_diff (time-travel head-vs-v0 census
-# with exact cents deltas) — all drive-green at sf0.01 (and several
-# spot-driven at sf0.1);
+# with exact cents deltas), dedup_containment (directed |A∩B|/|A|,
+# 331 chunk→parent subset-dups invisible to Jaccard),
+# profile_functional_deps (2 held FDs + 3 rejected with exact
+# violation counts), mm_image_phash_neardup (DCT pHash + banded
+# Hamming LSH, self-certifying flags), corpus_epoch_plan (√-temperature
+# token-budget epochs with the >4-epoch repeat-risk flag) — all
+# drive-green at sf0.01 (and several spot-driven at sf0.1);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/

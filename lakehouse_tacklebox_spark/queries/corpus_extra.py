@@ -743,3 +743,79 @@ def corpus_filter_cascade(spark, sf_dir):
              4, 'shared_prefix_boilerplate', s4, c4, n - c1 - c2 - c3 - c4
            ) AS (stage, rule, standalone_fail, cascade_drop, survivors)"""
     ).orderBy("stage")
+
+
+@register(
+    "corpus_epoch_plan",
+    tags=("corpus", "mixing", "planning"),
+    # Discriminating on the gate corpus: at a 3.5x-total token budget
+    # the sqrt-flattened quotas push the four minority languages past
+    # 4.0 epochs (repeat_risk = 1) while en stays ~2.5 (risk 0) — the
+    # flag separates, it is not a constant column. All arithmetic is
+    # the temperature_mix integer idiom (floor(sqrt*1000) milli-weights,
+    # DIV/% only), so both engines land on identical plans.
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+                   AS corpus_tokens
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, corpus_tokens,
+               CAST(floor(sqrt(CAST(corpus_tokens AS DOUBLE)) * 1000) AS BIGINT)
+                   AS weight_milli
+        FROM s
+    ),
+    t AS (SELECT CAST(sum(weight_milli) AS BIGINT) AS sw,
+                 CAST(sum(corpus_tokens) AS BIGINT) * 7 // 2 AS budget
+          FROM w)
+    SELECT lang, corpus_tokens, weight_milli,
+           (weight_milli * budget) // sw AS target_tokens,
+           ((weight_milli * budget) // sw * 1000 + corpus_tokens - 1) // corpus_tokens
+               AS epochs_milli,
+           CAST(((weight_milli * budget) // sw * 1000 + corpus_tokens - 1)
+                    // corpus_tokens > 4000 AS INT) AS repeat_risk
+    FROM w, t
+    ORDER BY lang
+    """,
+)
+def corpus_epoch_plan(spark, sf_dir):
+    """Token-budget epoch planner: given a training budget (here 3.5×
+    the corpus) and √-temperature mixture weights per language, emit
+    each source's target token draw, the EPOCHS of its corpus that
+    requires (milli-precision), and a repeat-risk flag at the >4-epoch
+    line — the planning table behind data-constrained scaling decisions
+    (Muennighoff et al. '23: repetition beyond ~4 epochs yields rapidly
+    decaying returns, so a quota demanding 4+ epochs means find more
+    data or reshape the mixture). Integer end-to-end (the
+    temperature_mix milli-weight idiom); one token census, then
+    control-plane arithmetic on a |sources|-row frame."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    s = d.groupBy("lang").agg(F.sum(toks.cast("bigint")).cast("bigint").alias("corpus_tokens"))
+    w = s.withColumn(
+        "weight_milli",
+        F.floor(F.sqrt(F.col("corpus_tokens").cast("double")) * 1000.0).cast("bigint"),
+    )
+    t = w.agg(
+        F.sum("weight_milli").cast("bigint").alias("sw"),
+        F.expr("CAST(sum(corpus_tokens) AS BIGINT) * 7 div 2").alias("budget"),
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .withColumn("target_tokens", F.expr("(weight_milli * budget) div sw"))
+        .withColumn(
+            "epochs_milli",
+            F.expr("(target_tokens * 1000 + corpus_tokens - 1) div corpus_tokens"),
+        )
+        .select(
+            "lang",
+            "corpus_tokens",
+            "weight_milli",
+            "target_tokens",
+            "epochs_milli",
+            (F.col("epochs_milli") > 4000).cast("int").alias("repeat_risk"),
+        )
+        .orderBy("lang")
+    )
