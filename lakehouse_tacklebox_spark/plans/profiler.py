@@ -121,6 +121,10 @@ def skew_advisor(
     All arithmetic is exact integer (ppm floor-division), so the
     recommendation is engine-reproducible and battery-oracled.
     """
+    if not columns:
+        return df.sparkSession.createDataFrame(
+            [], "column string, skew_key string, n bigint, share_ppm bigint, salt_factor int"
+        )
     # one narrow scan for the per-column non-null totals (control-plane
     # scalars; at scale this is a columnar count, not a shuffle)
     totals = df.agg(
@@ -203,9 +207,11 @@ def join_size_estimate(
     j = j.localCheckpoint(eager=False)
     top = j.orderBy(F.desc("est_rows"), "join_key").limit(top_n)
     total = j.agg(
-        F.sum("left_rows").cast("bigint").alias("left_rows"),
-        F.sum("right_rows").cast("bigint").alias("right_rows"),
-        F.sum("est_rows").cast("bigint").alias("est_rows"),
+        # coalesce: a join with NO matching keys still yields a 0-total
+        # row, not a null one
+        F.coalesce(F.sum("left_rows"), F.lit(0)).cast("bigint").alias("left_rows"),
+        F.coalesce(F.sum("right_rows"), F.lit(0)).cast("bigint").alias("right_rows"),
+        F.coalesce(F.sum("est_rows"), F.lit(0)).cast("bigint").alias("est_rows"),
     ).select(F.lit("*TOTAL*").alias("join_key"), "left_rows", "right_rows", "est_rows")
     return top.unionByName(total).orderBy(F.desc("est_rows"), "join_key")
 

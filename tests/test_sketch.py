@@ -100,3 +100,17 @@ def test_mg_merge_preserves_heavy_keys_across_arbitrary_merge_trees():
     assert "HEAVY" in acc and acc["HEAVY"] > 0
     assert truth["HEAVY"] - acc["HEAVY"] <= n // 7
     assert len(acc) <= 6
+
+
+def test_skew_advisor_and_join_size_empty_edges(spark):
+    from lakehouse_tacklebox_spark.plans.profiler import join_size_estimate, skew_advisor
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    assert skew_advisor(df, []).collect() == []
+    # disjoint key spaces: TOTAL row must be zeros, not nulls
+    left = spark.createDataFrame([("a",)], "k string")
+    right = spark.createDataFrame([("b",)], "k string")
+    got = join_size_estimate(left, right, "k").collect()
+    assert [(r["join_key"], r["left_rows"], r["right_rows"], r["est_rows"]) for r in got] == [
+        ("*TOTAL*", 0, 0, 0)
+    ]
