@@ -64,6 +64,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     scalars,
     setops,
     similarity,
+    sql_surface,
     storage_battery,
     streaming_battery,
     textops,
@@ -231,7 +232,9 @@ _WINDOW_PRIORITY = [
 # profile_functional_deps (2 held FDs + 3 rejected with exact
 # violation counts), mm_image_phash_neardup (DCT pHash + banded
 # Hamming LSH, self-certifying flags), corpus_epoch_plan (√-temperature
-# token-budget epochs with the >4-epoch repeat-risk flag) — all
+# token-budget epochs with the >4-epoch repeat-risk flag),
+# sql_recursive_hierarchy + sql_lateral_topk (Spark-4 SQL surface:
+# WITH RECURSIVE org-chart census; correlated LATERAL top-k) — all
 # drive-green at sf0.01 (and several spot-driven at sf0.1);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
