@@ -253,3 +253,74 @@ def test_temperature_mix_matches_reference(spark, counts, total):
         assert r["take_n"] == take[r["stratum"]]
     for k in by_stratum:
         assert got_by_stratum.get(k, set()) == expect[k], k
+
+
+@given(
+    chunks=st.lists(
+        st.dictionaries(
+            st.text(alphabet="abcdef", min_size=1, max_size=3),
+            st.integers(min_value=1, max_value=50),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    capacity=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_merge_bound_property(chunks, capacity):
+    """Mergeable-summaries invariant (PODS'12): after ANY left-fold of
+    per-chunk exact counts through mg_merge, every key's undercount is
+    ≤ N/(capacity+1), so every key with true count > N/(capacity+1)
+    survives with a positive counter (no false negatives)."""
+    import collections
+
+    from lakehouse_tacklebox_spark.operators.sketch import mg_merge
+
+    truth = collections.Counter()
+    acc: dict = {}
+    for c in chunks:
+        truth.update(c)
+        acc = mg_merge([acc, c], capacity)
+    n = sum(truth.values())
+    assert len(acc) <= capacity
+    for k, true_n in truth.items():
+        under = true_n - acc.get(k, 0)
+        assert 0 <= under <= n // (capacity + 1) + (1 if n % (capacity + 1) else 0)
+        if true_n * (capacity + 1) > n:
+            assert acc.get(k, 0) > 0, k
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=7,
+    ),
+    thr=st.sampled_from([500000, 750000, 900000]),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_pairs_matches_bruteforce(spark, docs, thr):
+    """containment_pairs == brute-force set containment over the
+    distinct 3-gram shingle sets, for every (A,B) orientation."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators.dedup import containment_pairs
+
+    rows = [(i, [f"{'' .join(d[j:j+3])}" for j in range(len(d) - 2)]) for i, d in enumerate(docs)]
+    expect = set()
+    sets = {i: set(g) for i, g in rows}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            ix = len(sets[a] & sets[b])
+            if ix * 1000000 // len(sets[a]) >= thr:
+                expect.add((a, b))
+    df = spark.createDataFrame(rows, "doc_id long, grams array<string>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, "doc_id", "grams", threshold_ppm=thr).collect()
+    }
+    assert got == expect

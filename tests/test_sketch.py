@@ -114,3 +114,94 @@ def test_skew_advisor_and_join_size_empty_edges(spark):
     assert [(r["join_key"], r["left_rows"], r["right_rows"], r["est_rows"]) for r in got] == [
         ("*TOTAL*", 0, 0, 0)
     ]
+
+
+def test_mg_mv_fold_exactly_once_across_restart_and_replay(spark, tmp_path):
+    """The streaming sketch-MV fold (stream_heavy_hitters_mv's shape)
+    must survive a stop/restart on the same checkpoint AND a zombie
+    re-application of an already-committed epoch: the final candidate
+    re-count equals the exact one-shot HAVING answer either way."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators.sketch import (
+        _mg_partition_summary,
+        mg_merge,
+    )
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    capacity = 5
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    # HEAVY holds ~40% of the stream; noise keys differ per wave
+    wave1 = [("HEAVY " * 10 + "x1 y1 z1").strip()]
+    wave2 = [("HEAVY " * 10 + "x2 y2 z2").strip(), "a b c d e f"]
+    spark.createDataFrame([(t,) for t in wave1], "text string").write.parquet(
+        str(src / "w1")
+    )
+
+    TackleTable.create(spark, state_dir, schema="w string, mg_count bigint, is_total int")
+
+    def _fold(batch_df, epoch):
+        s = batch_df.sparkSession
+        table = TackleTable(s, state_dir)
+        if table.txn_version("fold") >= epoch:
+            return
+        toks = batch_df.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        summ = toks.mapInPandas(
+            _mg_partition_summary("w", capacity), schema="w string, mg_count long, is_total int"
+        ).collect()
+        prev = TackleTable(s, state_dir).read().collect()
+        n_total = sum(r["mg_count"] for r in prev + summ if r["is_total"] == 1)
+        counters = mg_merge(
+            [{r["w"]: r["mg_count"]} for r in prev + summ if r["is_total"] == 0], capacity
+        )
+        new_state = s.createDataFrame(
+            [(k, int(c), 0) for k, c in sorted(counters.items())] + [("", int(n_total), 1)],
+            "w string, mg_count bigint, is_total int",
+        )
+        table.overwrite(new_state, txn=("fold", epoch))
+
+    def _drain(path_root):
+        schema = spark.read.parquet(*[str(p) for p in src.iterdir()]).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(path_root) + "/*")
+            .writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    _drain(src)  # run 1: wave-1 only
+    v_after_run1 = TackleTable(spark, state_dir).version()
+    spark.createDataFrame([(t,) for t in wave2], "text string").write.parquet(
+        str(src / "w2")
+    )
+    _drain(src)  # run 2, same checkpoint: only the new files fold
+
+    table = TackleTable(spark, state_dir)
+    # zombie replay of the last committed epoch: state must not move
+    last_epoch = table.txn_version("fold")
+    docs_all = spark.read.parquet(*[str(p) for p in src.iterdir()])
+    v_before = table.version()
+    _fold(docs_all, last_epoch)  # replays with an already-committed stamp
+    assert table.version() == v_before
+
+    state = table.read()
+    n_total = state.filter(F.col("is_total") == 1).agg(F.sum("mg_count")).collect()[0][0]
+    toks = docs_all.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+    assert n_total == toks.count()
+    candidates = [r["w"] for r in state.filter(F.col("is_total") == 0).collect()]
+    exact = {
+        r["w"]: r["n"]
+        for r in toks.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    heavy = {w for w, n in exact.items() if n * (capacity + 1) > n_total}
+    assert heavy == {"heavy"}
+    assert heavy <= set(candidates)  # pigeonhole: no qualifying key lost
