@@ -233,9 +233,11 @@ _WINDOW_PRIORITY = [
 # violation counts), mm_image_phash_neardup (DCT pHash + banded
 # Hamming LSH, self-certifying flags), corpus_epoch_plan (√-temperature
 # token-budget epochs with the >4-epoch repeat-risk flag),
-# sql_recursive_hierarchy + sql_lateral_topk (Spark-4 SQL surface:
-# WITH RECURSIVE org-chart census; correlated LATERAL top-k) — all
-# drive-green at sf0.01 (and several spot-driven at sf0.1);
+# sql_recursive_hierarchy + sql_lateral_topk + udtf_chunk_documents
+# (Spark-4 SQL surface: WITH RECURSIVE org-chart census; correlated
+# LATERAL top-k; @udtf set-returning chunker with content-pinned
+# hashes) — all drive-green at sf0.01 (and several spot-driven at
+# sf0.1);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/

@@ -106,3 +106,64 @@ def sql_lateral_topk(spark, sf_dir):
         ORDER BY r.r_name, acctbal_cents DESC, x.c_custkey
         """
     )
+
+
+@register(
+    "udtf_chunk_documents",
+    tags=("sql", "udtf", "corpus"),
+    # DuckDB rebuilds the identical chunking relationally (list slices
+    # over unnested ranges) and the chunk CONTENT is pinned through the
+    # engine-portable md5-60-bit hash — a UDTF that drops, reorders, or
+    # mis-splits one token changes a hash and fails the compare.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               array_to_string(w[i*32+1 : least((i+1)*32, len(w))], ' ') AS chunk_text,
+               CAST(least(32, len(w) - i*32) AS INT) AS n_tokens
+        FROM t, UNNEST(range(0, CAST(ceil(len(w)/32.0) AS BIGINT))) AS u(i)
+        WHERE len(w) > 0
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def udtf_chunk_documents(spark, sf_dir):
+    """Python user-defined TABLE function (Spark 4's @udtf — the F-family
+    UDF surface extended to set-returning functions): a chunker UDTF
+    yields one row per non-overlapping 32-token window of each document,
+    invoked through SQL's `LATERAL udtf(...)` exactly as a reference
+    user would call a DLT-style expansion function. Content is verified,
+    not just shape: every chunk's md5-60-bit hash must match the
+    relational rebuild. Scale: the UDTF streams rows per input row (no
+    per-doc materialization beyond its own chunks), Spark distributes it
+    like any projection; heavy-duty chunking stays available on the pure
+    JVM path (corpus_chunk_windows) — this entry pins the API surface."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int, chunk_hash long")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            toks = text.lower().strip().split()
+            if not toks:
+                return
+            for i in range(0, len(toks), 32):
+                c = toks[i : i + 32]
+                h = int(hashlib.md5(" ".join(c).encode()).hexdigest()[:15], 16)
+                yield doc_id, i // 32, len(c), h
+
+    _views(spark, sf_dir, ["documents"])
+    spark.udtf.register("chunk_doc", Chunker)
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_hash
+        FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) c
+        ORDER BY c.doc_id, c.chunk_idx
+        """
+    )
