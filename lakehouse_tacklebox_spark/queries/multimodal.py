@@ -367,3 +367,100 @@ def mm_image_phash_neardup(spark, sf_dir):
         ],
         "n_images bigint, n_copies bigint, n_pairs bigint, copies_all_matched int, no_false_pairs int",
     )
+
+
+@register(
+    "mm_audio_fingerprint_neardup",
+    tags=("multimodal", "audio", "dedup", "certification"),
+    # SELF-CERTIFYING oracle, same design as mm_image_phash_neardup:
+    # fingerprints are codec outputs DuckDB can't recompute, but the
+    # planted-duplicate structure is id arithmetic — the oracle derives
+    # n_clips / n_copies / n_pairs independently and asserts the
+    # verdict flags. Measured margins through the real int16 WAV
+    # round-trip at both gate scales: copy↔source ≤ 3 bits, any other
+    # pair ≥ 11, verify cut 6. Pigeonhole: ≤3 differing bits leave ≥1
+    # of the 4 bands untouched, so every planted copy is a guaranteed
+    # band candidate.
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 3 = 1) AS BIGINT) AS n_clips,
+           CAST(count(*) FILTER (WHERE doc_id % 9 = 1) AS BIGINT) AS n_copies,
+           CAST(count(*) FILTER (WHERE doc_id % 9 = 1) AS BIGINT) AS n_pairs,
+           CAST(1 AS INT) AS copies_all_matched,
+           CAST(1 AS INT) AS no_false_pairs
+    FROM documents
+    """,
+)
+def mm_audio_fingerprint_neardup(spark, sf_dir):
+    """Audio near-duplicate detection over real PCM16 WAV payloads: the
+    fingerprint is 64 energy-delta sign bits (65 frame energies →
+    diff → sign), which is EXACTLY invariant to uniform gain — the
+    dominant audio re-encode difference — and robust to sparse additive
+    noise. Every ninth clip plants a ×1.35-gain + sparse-noise copy;
+    the pipeline (Arrow-batched RIFF decode → fingerprint bigint, then
+    JVM-side 4×16-bit band LSH + xor/bit_count ≤ 6 verify) must pair
+    each copy with exactly its source and nothing else. With text
+    containment and image pHash this completes the modality triad of
+    near-dup operators, all sharing the band-bucket shuffle physique
+    (the shuffle moves (band, key) rows, never samples)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    clips = MM.as_wav_audio_with_neardups(d)
+    hashed = MM.audio_fingerprint(clips, keys=["clip_id"]).localCheckpoint(eager=True)
+    bands = hashed.select(
+        "clip_id",
+        "afp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("afp"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("clip_id", "afp", "b.band_idx", "b.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.clip_id") < F.col("b.clip_id")),
+        )
+        .select(
+            F.col("a.clip_id").alias("id_a"),
+            F.col("b.clip_id").alias("id_b"),
+            F.col("a.afp").alias("fp_a"),
+            F.col("b.afp").alias("fp_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("fp_a ^ fp_b")))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b")
+    )
+    n_clips = hashed.filter(F.col("clip_id") < 100000).count()
+    n_copies = hashed.filter(F.col("clip_id") >= 100000).count()
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
+        ).alias("n_copy_source_pairs"),
+    ).collect()[0]
+    n_pairs = int(stats["n_pairs"] or 0)
+    n_cs = int(stats["n_copy_source_pairs"] or 0)
+    return spark.createDataFrame(
+        [
+            (
+                n_clips,
+                n_copies,
+                n_pairs,
+                1 if n_cs == n_copies else 0,
+                1 if n_pairs == n_copies else 0,
+            )
+        ],
+        "n_clips bigint, n_copies bigint, n_pairs bigint, copies_all_matched int, no_false_pairs int",
+    )

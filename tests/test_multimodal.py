@@ -259,3 +259,23 @@ def test_phash_brightness_invariant_and_noise_tolerant(spark):
     # unrelated image: far
     other = _lcg_bytes(43, 3 * w * h).reshape(h, w, 3)
     assert int(np.sum(_phash_bits(other) != base)) >= 12
+
+
+def test_audio_fingerprint_gain_invariant_and_noise_tolerant(spark):
+    """Energy-delta signs are EXACTLY invariant to uniform gain (every
+    energy scales by g², delta signs unchanged), tolerant to the
+    planted sparse noise, and far for unrelated clips — the margin
+    contract mm_audio_fingerprint_neardup certifies end-to-end."""
+    import numpy as np
+
+    from lakehouse_tacklebox_spark.operators.multimodal import _afp_bits, _lcg_bytes
+
+    n = 2200
+    s = (_lcg_bytes(7, n) * 15.66) - 2000.0
+    base = _afp_bits(s)
+    assert np.array_equal(_afp_bits(s * 3.7), base)  # pure gain: identical
+    noisy = s * 1.35
+    noisy[np.arange(n) % 29 == 0] += 40.0
+    assert int(np.sum(_afp_bits(np.round(noisy)) != base)) <= 6
+    other = (_lcg_bytes(8, n) * 15.66) - 2000.0
+    assert int(np.sum(_afp_bits(other) != base)) >= 11
