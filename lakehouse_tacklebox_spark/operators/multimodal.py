@@ -883,3 +883,78 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload", keys: list[st
             yield pd.DataFrame(rows, columns=[*keys, "afp"])
 
     return df.select(*keys, payload_col).mapInPandas(_hash, schema)
+
+
+def as_avi_videos_with_neardups(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """AVI fixture with planted near-duplicates: every ``id % 3 == 2``
+    document becomes a real AVI of 2-5 LCG-random-pixel frames (frame f
+    seeded by ``id*8 + f``; dims 16-31 × 16-27 — the pHash-safe sizing
+    measured in the image fixture), and every ``id % 9 == 2`` video also
+    yields a copy at ``id + 100000`` with the brightness+sparse-noise
+    tweak applied to EVERY frame (the re-encode class). Per-frame pHash
+    margins carry over from the image analysis: copy frame ↔ source
+    frame ≤ 2 bits, any unrelated frame pair ≥ 12."""
+    import numpy as np
+
+    base = documents.filter(F.col(id_col) % 3 == 2).select(
+        F.col(id_col).alias("vid_id"),
+        F.col(id_col).alias("src_id"),
+        (F.col(id_col) % 4 + 2).cast("int").alias("n_frames"),
+        (F.col(id_col) % 16 + 16).cast("int").alias("width"),
+        (F.col(id_col) % 12 + 16).cast("int").alias("height"),
+        F.lit(0).alias("is_copy"),
+    )
+    copies = documents.filter(F.col(id_col) % 9 == 2).select(
+        (F.col(id_col) + 100000).alias("vid_id"),
+        F.col(id_col).alias("src_id"),
+        (F.col(id_col) % 4 + 2).cast("int").alias("n_frames"),
+        (F.col(id_col) % 16 + 16).cast("int").alias("width"),
+        (F.col(id_col) % 12 + 16).cast("int").alias("height"),
+        F.lit(1).alias("is_copy"),
+    )
+
+    @pandas_udf("binary")
+    def _enc(srcs: pd.Series, nf: pd.Series, ws: pd.Series, hs: pd.Series, is_copy: pd.Series) -> pd.Series:
+        out = []
+        for s, n, w, h, c in zip(srcs, nf, ws, hs, is_copy):
+            npx = 3 * int(w) * int(h)
+            frames = []
+            for f in range(int(n)):
+                pix = _lcg_bytes(int(s) * 8 + f, npx)
+                if int(c):
+                    pix = np.minimum(pix + 7, 255.0)
+                    idx = np.arange(npx) % 23 == 0
+                    pix[idx] = np.minimum(pix[idx] + 5, 255.0)
+                frames.append(pix.astype(np.uint8).reshape(int(h), int(w) * 3))
+            out.append(_avi_encode(frames, int(w), int(h)))
+        return pd.Series(out)
+
+    return base.unionByName(copies).withColumn(
+        "payload", _enc("src_id", "n_frames", "width", "height", "is_copy")
+    )
+
+
+def video_frame_phash(df: DataFrame, payload_col: str = "payload", keys: list[str] | None = None) -> DataFrame:
+    """Real-AVI decode → one pHash bigint PER FRAME:
+    (keys..., frame_idx, phash). Container walk + DCT hashing happen in
+    one Arrow crossing per batch; banding/verification on the per-frame
+    hashes stay JVM-side."""
+    import numpy as np
+
+    keys = keys or ["vid_id"]
+    schema = ", ".join(f"{k} long" for k in keys) + ", frame_idx int, phash long"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, frames = _avi_decode(bytes(r[payload_col]))
+                for fi, fr in enumerate(frames):
+                    bits = _phash_bits(fr.reshape(h, w, 3).astype(np.float64))
+                    val = np.uint64(0)
+                    for b in bits:
+                        val = (val << np.uint64(1)) | np.uint64(b)
+                    rows.append([*(r[k] for k in keys), fi, int(np.int64(val))])
+            yield pd.DataFrame(rows, columns=[*keys, "frame_idx", "phash"])
+
+    return df.select(*keys, payload_col).mapInPandas(_hash, schema)

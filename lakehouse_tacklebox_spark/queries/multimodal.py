@@ -464,3 +464,111 @@ def mm_audio_fingerprint_neardup(spark, sf_dir):
         ],
         "n_clips bigint, n_copies bigint, n_pairs bigint, copies_all_matched int, no_false_pairs int",
     )
+
+
+@register(
+    "mm_video_phash_neardup",
+    tags=("multimodal", "video", "dedup", "certification"),
+    # SELF-CERTIFYING oracle (same design as the image/audio near-dup
+    # entries): per-frame hashes are codec+DCT outputs DuckDB can't
+    # recompute; the planted structure is id arithmetic, so the oracle
+    # derives n_videos / n_copies / n_pairs and asserts the verdict
+    # flags. A video pair matches only if frame counts agree AND every
+    # ALIGNED frame is within the 6-bit cut — per-frame margins are the
+    # image fixture's measured ≤2 vs ≥12.
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT) AS n_videos,
+           CAST(count(*) FILTER (WHERE doc_id % 9 = 2) AS BIGINT) AS n_copies,
+           CAST(count(*) FILTER (WHERE doc_id % 9 = 2) AS BIGINT) AS n_pairs,
+           CAST(1 AS INT) AS copies_all_matched,
+           CAST(1 AS INT) AS no_false_pairs
+    FROM documents
+    """,
+)
+def mm_video_phash_neardup(spark, sf_dir):
+    """Video near-duplicate detection over real AVI payloads: decode the
+    container, pHash every frame, and declare two videos near-dups iff
+    they have the same frame count and EVERY aligned frame pair sits
+    within 6 bits — the re-encoded-clip shape (each frame brightness-
+    shifted + sparsely noised). Candidates come from a banded LSH join
+    on (frame_idx 0, band) so the quadratic step only sees first-frame
+    bucket collisions; verification joins the full frame sequences and
+    aggregates (count match + max Hamming) per candidate pair. With
+    text containment, image pHash and the audio fingerprint this makes
+    the near-dup family cover all four modalities on one shuffle
+    physique: hash once per item in Arrow batches, move only (band,
+    key) rows, verify exactly on the candidates."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vids = MM.as_avi_videos_with_neardups(d)
+    hashed = MM.video_frame_phash(vids, keys=["vid_id"]).localCheckpoint(eager=True)
+    f0 = hashed.filter(F.col("frame_idx") == 0)
+    bands = f0.select(
+        "vid_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("vid_id", "b.band_idx", "b.band_key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vid_id") < F.col("b.vid_id")),
+        )
+        .select(F.col("a.vid_id").alias("id_a"), F.col("b.vid_id").alias("id_b"))
+        .distinct()
+    )
+    nf = hashed.groupBy("vid_id").agg(F.count(F.lit(1)).alias("nf"))
+    ha = hashed.select(F.col("vid_id").alias("id_a"), "frame_idx", F.col("phash").alias("ph_a"))
+    hb = hashed.select(F.col("vid_id").alias("id_b"), "frame_idx", F.col("phash").alias("ph_b"))
+    verified = (
+        cand.join(ha, "id_a")
+        .join(hb, ["id_b", "frame_idx"])
+        .withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("aligned"),
+            F.max("hamming").alias("max_ham"),
+        )
+        .join(nf.select(F.col("vid_id").alias("id_a"), F.col("nf").alias("nf_a")), "id_a")
+        .join(nf.select(F.col("vid_id").alias("id_b"), F.col("nf").alias("nf_b")), "id_b")
+        .filter(
+            (F.col("nf_a") == F.col("nf_b"))
+            & (F.col("aligned") == F.col("nf_a"))
+            & (F.col("max_ham") <= 6)
+        )
+        .select("id_a", "id_b")
+    )
+    n_videos = nf.filter(F.col("vid_id") < 100000).count()
+    n_copies = nf.filter(F.col("vid_id") >= 100000).count()
+    stats = verified.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
+        ).alias("n_copy_source_pairs"),
+    ).collect()[0]
+    n_pairs = int(stats["n_pairs"] or 0)
+    n_cs = int(stats["n_copy_source_pairs"] or 0)
+    return spark.createDataFrame(
+        [
+            (
+                n_videos,
+                n_copies,
+                n_pairs,
+                1 if n_cs == n_copies else 0,
+                1 if n_pairs == n_copies else 0,
+            )
+        ],
+        "n_videos bigint, n_copies bigint, n_pairs bigint, copies_all_matched int, no_false_pairs int",
+    )
