@@ -238,8 +238,10 @@ _WINDOW_PRIORITY = [
 # LATERAL top-k; @udtf set-returning chunker with content-pinned
 # hashes), mm_audio_fingerprint_neardup (gain-invariant energy-delta
 # fingerprint) + mm_video_phash_neardup (aligned-frame pHash sequence
-# verify — near-dup family covers all four modalities) — all
-# drive-green at sf0.01 (and several spot-driven at sf0.1);
+# verify — near-dup family covers all four modalities),
+# win_session_dynamic_gap (native session_window with per-event gap,
+# merge rule replayed relationally) — all drive-green at sf0.01 (and
+# several spot-driven at sf0.1);
 # (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
 # q20_excess_share_suppliers, q21_waiting_suppliers,
 # q22_dormant_customer_balance, q_top_supplier, text_langid/quality/

@@ -276,3 +276,72 @@ def win_scd2_intervals(spark, sf_dir):
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "win_session_dynamic_gap",
+    tags=("windows", "session", "dynamic-gap"),
+    # The oracle replays Spark's dynamic-gap merge rule relationally:
+    # an event joins the open session iff ts < the running MAX of
+    # (member ts + member gap) — a plain max-over-preceding-rows
+    # islands computation — and session_end is the island's max end.
+    # Same-timestamp ties are order-safe: a tied event always lands in
+    # the earlier event's session (gap > 0), and max-end/island
+    # boundaries don't depend on tie order.
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+                    WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                    ELSE INTERVAL 5 MINUTE END AS gap
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts, ts + gap AS e_end,
+               max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM e
+    ),
+    i AS (
+        SELECT user_id, ts, e_end,
+               sum(CASE WHEN prev_max IS NULL OR ts >= prev_max THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m
+    )
+    SELECT user_id, min(ts) AS session_start, max(e_end) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM i GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def win_session_dynamic_gap(spark, sf_dir):
+    """Sessionization with a PER-EVENT gap via Spark's native
+    ``session_window(ts, gap_expr)`` — the idle timeout depends on what
+    the user just did (a purchase holds the session open 30 min, a
+    click 10, anything else 5), the formulation engagement analytics
+    actually needs and the one the fixed-gap rewrite can't express.
+    Spark merges overlapping per-event windows, so session_end is the
+    running max of member ends; the oracle derives the identical
+    islands relationally. Complements the fixed-gap trio
+    (win_sessionize batch rewrite, stream_session_window streaming,
+    stateful sessionizer) as the native dynamic-gap API surface.
+    Scale: one shuffle on user_id, state bounded per key — identical
+    physique to fixed-gap session windows."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+        .when(F.col("event_type") == "click", F.lit("10 minutes"))
+        .otherwise(F.lit("5 minutes"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
