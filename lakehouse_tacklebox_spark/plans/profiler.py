@@ -235,6 +235,16 @@ def functional_deps(
     itself; at 100 TB you run it on a sampled or recent partition
     first, then confirm survivors exactly.
     """
+    if not candidates:
+        # mirror skew_advisor's empty-input branch: a typed empty frame,
+        # not an IndexError at parts[0]
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession().createDataFrame(
+            [],
+            "table_name string, determinant string, dependent string, "
+            "n_det bigint, n_pair bigint, holds int, violations bigint",
+        )
     parts = []
     for label, df, det, dep in candidates:
         parts.append(

@@ -99,7 +99,12 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 # Order the registry so every entry's NEWEST green row stays recent across
 # the union of rounds; never-checked entries get evidence first.
 #
-# Staleness ledger (newest green driver row per entry, after round 6):
+# Staleness ledger (newest green driver row per entry, after round 7):
+#   r7 (50): TPC-DS waves 10-15 (26), TPC-H q1-q17 ex q15 (16),
+#     stream_incremental_join_mv, stream_dedup_within_watermark,
+#     stream_stream_left_join, text_nearest_neighbor,
+#     corpus_weighted_sample, corpus_chunk_windows,
+#     join_bucketed_colocated, stream_idempotent_mv_replay.
 #   r6 (50): TPC-DS waves 4-9 (29), stream_incremental_mv,
 #     stream_funnel_stages, events_funnel_stages, text_ngram_novelty,
 #     corpus_temperature_mix, mm_audio_features, mm_video_features,
@@ -107,148 +112,101 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 #     knn_ivf_recall_cert, windows battery (9), cdc_scd2_late_events.
 #   r5 (50): aggregates battery, joins battery, set ops, scalars,
 #     TPC-DS waves 1-3, dedup/ANN/text family refreshes.
-#   r3 (50): streaming battery (dedup/user_stats/stream_stream_join/
+#   r3 (49): streaming battery (dedup/user_stats/stream_stream_join/
 #     session_window), corpus pipeline family, metrics battery (most),
 #     plans battery, validation (most).
-#   r2 (31): TPC-H q1-q22 + q_top_supplier, text_langid/quality/
+#   r2 (16): q18-q22, q_top_supplier, text_langid/quality/
 #     token_stats/fingerprint_groups, metrics_user_activity/
 #     _top_durations/_cost_efficiency, stream_hourly_rollup,
 #     validate_diff_drilldown, reconcile_counts_by_grain.
-#   never (33): TPC-DS waves 10-15 (26), stream_incremental_join_mv,
-#     stream_dedup_within_watermark, stream_stream_left_join,
-#     text_nearest_neighbor, corpus_weighted_sample,
-#     corpus_chunk_windows (all landed after the round-6 window froze;
-#     all green in tools/drive_contract.py full runs), plus knn_ivf
-#     (rows-only BY DESIGN — its quality claims are driver-checked via
-#     knn_ivf_recall_cert, green r6).
+#   never (48): the 46 round-7 additions that landed after the round-7
+#     window froze (TPC-DS waves 16-18, the sketch/profiler family, the
+#     stream-stream FULL/SEMI/ANTI + retraction MVs, the multimodal
+#     near-dup trio, containment/spans/bigram/cascade/split/epoch-plan,
+#     the SQL-surface trio, win_session_dynamic_gap,
+#     table_skipping_pointlookup, agg_approx_quantiles_cert,
+#     metrics_anomaly_days, table_version_diff — all green in
+#     tools/drive_contract.py full runs), plus knn_ivf (newly oracled
+#     this round — never checked WITH its oracle) and
+#     optimizer_strategy_loop (new this round).
 #
-# Round-7 window: (a) the 32 never-driver-checked round-6 additions —
-# TPC-DS waves 10-15 plus the three streaming entries and the three
-# corpus/text entries; (b) 18 slots start refreshing the r2-stale list,
-# TPC-H first (q1-q19 ex q15; q15 ≡ q_top_supplier stays r2 with the
-# q20-q22 tail for the round-8 window alongside the remaining r2 text/
-# metrics/validator names).
+# Round-8 window (below): the 46 never-checked round-7 additions +
+# knn_ivf + optimizer_strategy_loop + the 2 oldest r2-stale TPC-H.
 _WINDOW_PRIORITY = [
-    # (a) never driver-checked — TPC-DS wave 10
-    "ds_week_yoy_selfjoin",
-    "ds_channel_overlap_census",
-    "ds_rolling_range_window",
-    "ds_brands_above_avg_semi",
-    "ds_first_last_span",
-    "ds_quarter_setop_chain",
-    # wave 11
-    "ds_decile_transition",
-    "ds_percentile_distribution",
-    "ds_quantity_discount_corr",
-    "ds_calendar_fact_align",
-    "ds_locf_gap_fill",
-    "ds_month_seasonality_index",
-    # wave 12
-    "ds_churned_revenue_anti",
-    "ds_centered_moving_window",
-    "ds_nested_share_of_total",
-    "ds_running_distinct_parts",
-    "ds_brand_skew_classes",
-    "ds_hourly_entropy",
-    # wave 13
-    "ds_topk_with_others",
-    "ds_exists_having_combo",
-    "ds_leave_one_out_avg",
-    # wave 14
-    "ds_fallback_key_join",
-    "ds_having_over_window",
-    "ds_interval_month_census",
-    # wave 15
-    "ds_weighted_avg_price_mix",
-    "ds_median_order_gap",
-    # (a) never driver-checked — streaming / corpus / text (round 6)
-    "stream_incremental_join_mv",
-    "stream_dedup_within_watermark",
-    "stream_stream_left_join",
-    "text_nearest_neighbor",
-    "corpus_weighted_sample",
-    "corpus_chunk_windows",
-    # (b) r2-stale refresh: TPC-H q1-q19 (q15 ≡ q_top_supplier, not a
-    # registry name; it rotates with the q20-q22 tail next round)
-    "q1_pricing_summary",
-    "q2_min_balance_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_count",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_priority_line_classes",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    # (c) round-7 additions that must land a driver row THIS round
-    # (VERDICT r6 item 6): bucketed co-located join + idempotent replay
-    "join_bucketed_colocated",
-    "stream_idempotent_mv_replay",
+    # (a) never driver-checked round-7 additions — TPC-DS waves 16-18
+    "ds_quantity_band_stats",
+    "ds_excess_discount_lines",
+    "ds_active_priced_parts",
+    "ds_nation_return_refunds",
+    "ds_attribute_combo_census",
+    "ds_weekday_priority_matrix",
+    "ds_channel_union_yoy",
+    "ds_profit_rollup_channels",
+    "ds_hourly_type_share",
+    "ds_bigticket_customer_split",
+    "ds_promo_revenue_ratio",
+    "ds_multi_supplier_return_orders",
+    "ds_cumulative_priority_crossover",
+    "ds_rollup_level_share_rank",
+    "ds_brand_month_deviation",
+    "ds_type_share_in_category",
+    "ds_monthly_error_trend",
+    "ds_lapsed_customer_census",
+    # (a cont.) never driver-checked round-7 non-DS additions
+    "table_skipping_pointlookup",
+    "stream_stream_full_outer_join",
+    "corpus_pack_sequences",
+    "text_duplicate_spans",
+    "agg_approx_quantiles_cert",
+    "stream_join_then_window",
+    "agg_heavy_hitters_mg",
+    "profile_skew_advisor",
+    "stream_heavy_hitters_mv",
+    "profile_join_size",
+    "corpus_split_leakage_safe",
+    "text_bigram_commonness",
+    "corpus_filter_cascade",
+    "stream_mv_retraction",
+    "stream_stream_semi_join",
+    "stream_stream_anti_join",
+    "metrics_anomaly_days",
+    "table_version_diff",
+    "dedup_containment",
+    "profile_functional_deps",
+    "mm_image_phash_neardup",
+    "corpus_epoch_plan",
+    "sql_recursive_hierarchy",
+    "sql_lateral_topk",
+    "udtf_chunk_documents",
+    "mm_audio_fingerprint_neardup",
+    "mm_video_phash_neardup",
+    "win_session_dynamic_gap",
+    # (b) newly oracled / new this round (never checked WITH an oracle):
+    # knn_ivf folded its recall certification in (VERDICT r7 item 4 —
+    # exact top-5 rows + in_full_probe + recall3_ge_50pct flags, oracled,
+    # retiring the registry's last rows-only slot); the optimizer
+    # strategy loop is VERDICT r7 item 3.
+    "knn_ivf",
+    "optimizer_strategy_loop",
+    # (c) r2-stale refresh head (the two oldest TPC-H tail entries; the
+    # rest of the r2 tail is round 9's block — see the plan below)
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
 ]
-# Round-8 window plan (mechanical, from the ledger above): (a) the 18
-# round-7 TPC-DS additions that landed after this window froze — waves
-# 16-18 (ds_quantity_band_stats, ds_excess_discount_lines,
-# ds_active_priced_parts, ds_nation_return_refunds,
-# ds_attribute_combo_census, ds_weekday_priority_matrix,
-# ds_channel_union_yoy, ds_profit_rollup_channels, ds_hourly_type_share,
-# ds_bigticket_customer_split, ds_promo_revenue_ratio,
-# ds_multi_supplier_return_orders, ds_cumulative_priority_crossover,
-# ds_rollup_level_share_rank, ds_brand_month_deviation,
-# ds_type_share_in_category, ds_monthly_error_trend,
-# ds_lapsed_customer_census — all drive-green at sf0.01 this round)
-# plus the round-7 non-DS additions that landed after this window froze:
-# table_skipping_pointlookup (z-order + stats-pruned point lookup),
-# stream_stream_full_outer_join (both per-side eviction rules pinned),
-# corpus_pack_sequences (two-phase prefix-sum packing),
-# text_duplicate_spans (positional span census),
-# agg_approx_quantiles_cert (rank-bound self-certification),
-# stream_join_then_window (chained join→window, delayed-watermark
-# propagation rule pinned with a discriminating tail window),
-# agg_heavy_hitters_mg (Misra-Gries candidates + exact re-count,
-# oracled against the exact HAVING answer),
-# profile_skew_advisor (MG census over shuffle keys + exact ppm salt
-# fan-out; uniform column correctly empty),
-# stream_heavy_hitters_mv (mergeable-MG sketch state folded per epoch
-# under overwrite(txn=...) idempotence, final exact re-count),
-# profile_join_size (histogram-product join-cardinality forecast),
-# corpus_split_leakage_safe (group-keyed md5 split, leaky_groups=0
-# earned not vacuous), text_bigram_commonness (integer-exact CCNet-ish
-# LM commonness), corpus_filter_cascade (Gopher-style rule ablation:
-# standalone vs cascade-marginal kill counts), stream_mv_retraction
-# (CDF deletes as negative IVM deltas after a forget-list MERGE,
-# double-applied retraction proven a no-op), stream_stream_semi_join +
-# stream_stream_anti_join (emission-rule spectrum completed: semi emits
-# on first match with no watermark wait; anti emits only on eviction,
-# 2 tail rows withheld), metrics_anomaly_days (pure-bigint |z|>2 daily
-# volume tripwire), table_version_diff (time-travel head-vs-v0 census
-# with exact cents deltas), dedup_containment (directed |A∩B|/|A|,
-# 331 chunk→parent subset-dups invisible to Jaccard),
-# profile_functional_deps (2 held FDs + 3 rejected with exact
-# violation counts), mm_image_phash_neardup (DCT pHash + banded
-# Hamming LSH, self-certifying flags), corpus_epoch_plan (√-temperature
-# token-budget epochs with the >4-epoch repeat-risk flag),
-# sql_recursive_hierarchy + sql_lateral_topk + udtf_chunk_documents
-# (Spark-4 SQL surface: WITH RECURSIVE org-chart census; correlated
-# LATERAL top-k; @udtf set-returning chunker with content-pinned
-# hashes), mm_audio_fingerprint_neardup (gain-invariant energy-delta
-# fingerprint) + mm_video_phash_neardup (aligned-frame pHash sequence
-# verify — near-dup family covers all four modalities),
-# win_session_dynamic_gap (native session_window with per-event gap,
-# merge rule replayed relationally) — all drive-green at sf0.01 (and
-# several spot-driven at sf0.1);
-# (b) the r2 tail — q18_large_volume_customer, q19_discounted_revenue,
-# q20_excess_share_suppliers, q21_waiting_suppliers,
-# q22_dormant_customer_balance, q_top_supplier, text_langid/quality/
-# token_stats/fingerprint_groups, metrics_user_activity/_top_durations/
-# _cost_efficiency, stream_hourly_rollup, validate_diff_drilldown,
-# reconcile_counts_by_grain (15 entries incl. the two displaced TPC-H);
-# that fills 33 of 50 — top up with the oldest r3 greens.
+# Round-9 window plan (mechanical, from the ledger): after round 8 the
+# only entries whose newest green driver row predates r3 are the 14
+# remaining r2-stale names — q20_excess_share_suppliers,
+# q21_waiting_suppliers, q22_dormant_customer_balance, q_top_supplier,
+# text_langid, text_quality, text_token_stats, text_fingerprint_groups,
+# metrics_user_activity, metrics_top_durations, metrics_cost_efficiency,
+# stream_hourly_rollup, validate_diff_drilldown,
+# reconcile_counts_by_grain — plus any round-8 additions that land after
+# THIS window froze (they are enumerated in the ledger comment of the
+# round-9 edit). That fills 14+ of 50; top up with the oldest r3 greens
+# (aggregates battery, dedup family, streaming stateful trio, corpus
+# pipeline family, metrics battery, scalars — 49 entries at r3, take the
+# oldest by ledger order). Done when no entry's newest green row is
+# older than r5 (VERDICT r7 item 6).
 
 
 def _reorder_registry() -> None:

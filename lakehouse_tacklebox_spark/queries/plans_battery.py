@@ -296,3 +296,103 @@ def profile_functional_deps(spark, sf_dir):
             ("orders", t["orders"], "o_orderkey", "o_custkey"),
         ]
     )
+
+
+@register(
+    "optimizer_strategy_loop",
+    tags=("optimizer", "tablestore", "storage"),
+    # End-to-end strategy loop (VERDICT r7 item 3): profile the query
+    # log -> build_strategy -> run_strategy against a REAL TackleTable,
+    # then prove BOTH halves of the maintenance contract in one oracled
+    # result: (a) the layout commands actually executed — file count
+    # moved and the OPTIMIZE commit records the strategy's cluster
+    # columns (asserted inline + surfaced as flag columns), and (b)
+    # maintenance is INVISIBLE to query results — the post-OPTIMIZE
+    # census must hash-match DuckDB reading the untouched raw parquet,
+    # and a full-row xxhash fingerprint must survive the rewrite
+    # bit-for-bit. Reference: deltaoptimizer.py:1714-1966 (strategy
+    # builder) + the Step-2 runner notebook loop.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round(CAST(o_totalprice AS DECIMAL(14,2)) * 100)) AS BIGINT)
+               AS cents,
+           CAST(1 AS BIGINT) AS layout_changed,
+           CAST(1 AS BIGINT) AS optimize_recorded_strategy,
+           CAST(1 AS BIGINT) AS contents_invariant
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def optimizer_strategy_loop(spark, sf_dir):
+    """The optimizer's full profile → score → strategy → execute loop on
+    a live table: orders lands in a TackleCatalog as 16 unclustered
+    files, the query-log profile recommends a ZORDER set + file-size
+    target for it, run_strategy executes the OPTIMIZE, and the entry
+    certifies the loop did real work without changing a single row.
+    Scale: the profile is one shuffle over the exploded query log, the
+    rewrite is the one-time OPTIMIZE cost every deployment pays, and
+    the invariance proof is two single-pass fingerprint aggregates."""
+    import hashlib
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.transactions import TackleCatalog
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.mkdtemp(prefix=f"stratloop_{tag}_")
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    cat = TackleCatalog(spark, os.path.join(tmp, "cat"))
+    t = cat.create("orders", orders.repartition(16))
+
+    def fingerprint(df):
+        # order-independent full-row fingerprint: decimal sum of per-row
+        # hashes (no bigint overflow under ANSI mode)
+        return df.select(
+            F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")).alias("fp")
+        ).collect()[0]["fp"]
+
+    files_before = t.detail()["numFiles"]
+    fp_before = fingerprint(t.read())
+    assert files_before == 16, files_before
+
+    log = spark.createDataFrame(
+        QUERY_LOG_FIXTURE, "query_text string, duration_s double"
+    )
+    strategies = [s for s in OPT.recommend(cat, log) if s.table == "orders"]
+    assert strategies and strategies[0].zorder_by, strategies
+    # size files to the table so OPTIMIZE has real work at every SF
+    versions = OPT.run_strategy(
+        cat, strategies, bytes_per_row=max(100, strategies[0].target_file_bytes // max(64, orders.count() // 4)),
+    )
+    assert versions.get("orders") == t.version()
+
+    files_after = t.detail()["numFiles"]
+    last = t.history()[0]  # newest first
+    recorded = (
+        last["operation"] == "OPTIMIZE"
+        and last["operationParameters"].get("zorderBy") == strategies[0].zorder_by
+    )
+    layout_changed = files_after != files_before
+    contents_invariant = fingerprint(t.read()) == fp_before
+
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice").cast("decimal(14,2)") * 100)
+            ).cast("bigint").alias("cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "cents",
+            F.lit(int(layout_changed)).cast("bigint").alias("layout_changed"),
+            F.lit(int(recorded)).cast("bigint").alias("optimize_recorded_strategy"),
+            F.lit(int(contents_invariant)).cast("bigint").alias("contents_invariant"),
+        )
+        .orderBy("o_orderpriority")
+    )

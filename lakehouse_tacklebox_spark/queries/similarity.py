@@ -2,7 +2,8 @@
 
 Brute-force cosine top-k (exact baseline, oracle-checked against DuckDB's
 list_cosine_similarity), threshold near-dup pairs, and the IVF bucketed
-variant (rows-only: approximate by construction).
+variant (self-certifying: exact top-k rows + IVF quality flags in one
+oracled result — no rows-only entries remain).
 """
 
 from __future__ import annotations
@@ -169,16 +170,79 @@ def emb_neardup_lsh(spark, sf_dir):
 
 @register(
     "knn_ivf",
-    tags=("similarity", "ann"),
-    oracle=None,  # approximate by construction → rows-only; pytest asserts recall vs brute force
+    tags=("similarity", "ann", "certification"),
+    # SELF-CERTIFYING (VERDICT r7 item 4 — the registry's last rows-only
+    # entry, retired): the IVF path is approximate by construction, so
+    # its raw nprobe=3 output can't be SQL-oracled — but the ENTRY can
+    # be. It emits the exact brute-force top-5 (every value
+    # DuckDB-checkable) with two per-row certification flags computed BY
+    # RUNNING the IVF path on the same corpus: in_full_probe = this
+    # exact pair is recovered when every list is probed (full-probe IVF
+    # must equal brute force — partition-and-prune loses nothing when
+    # nothing is pruned), and recall3_ge_50pct = the aggregate recall@5
+    # bound at nprobe=3 on the isotropic gate corpus (the hardest case:
+    # recall tracks the probed fraction, 3/8). k-means is hash-seeded →
+    # deterministic, not flaky; a quality regression flips a flag and
+    # fails the driver hash-compare.
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank,
+           CAST(1 AS BIGINT) AS in_full_probe,
+           CAST(1 AS BIGINT) AS recall3_ge_50pct
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
 )
 def knn_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-5 — the scale path: Lloyd's k-means
     (all-DataFrame, hash-seeded) builds balanced lists, then each query
     compares against only its nprobe nearest lists (~nprobe/k of the
-    corpus). Recall and list balance are pinned in tests/test_embed.py."""
+    corpus). The entry certifies the path against exact brute force in
+    one result (see the oracle comment); per-list balance is pinned in
+    tests/test_embed.py."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    return S.knn_ivf(e, e.filter(F.col("vec_id") < 10), k=5, num_centroids=8, nprobe=3)
+    q = e.filter(F.col("vec_id") < 10)
+    cents = S.kmeans_centroids(e, k=8)
+    bf = S.knn_bruteforce(e, q, k=5)
+
+    def pairs(nprobe):
+        return S.knn_ivf(
+            e, q, k=5, num_centroids=8, nprobe=nprobe, centroids=cents
+        ).select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2"))
+
+    cond = (F.col("query_id") == F.col("q2")) & (F.col("neighbor_id") == F.col("n2"))
+    full = pairs(8)
+    hit3 = bf.join(pairs(3), cond).agg(F.count(F.lit(1)).alias("n_hit3"))
+    truth = bf.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        bf.join(F.broadcast(full), cond, "left")
+        .crossJoin(F.broadcast(hit3))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "rank",
+            F.when(F.col("q2").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("in_full_probe"),
+            F.when(F.col("n_hit3") * 100 >= F.col("n_truth") * 50, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("recall3_ge_50pct"),
+        )
+    )
 
 
 @register(
@@ -264,9 +328,9 @@ def emb_quantize_stats(spark, sf_dir):
 @register(
     "knn_ivf_recall_cert",
     tags=("similarity", "ann", "certification"),
-    # SELF-CERTIFYING oracle: IVF results are approximate by
-    # construction, so knn_ivf itself stays rows-only — but its QUALITY
-    # claims are verifiable: this entry certifies the two bounds the
+    # SELF-CERTIFYING oracle (the compact census twin of knn_ivf, which
+    # since round 8 carries the same certification per exact top-k row):
+    # this entry certifies the two bounds the
     # pytest suite pins (the gate corpus is ISOTROPIC random — the
     # hardest case for IVF, where recall tracks the probed fraction
     # nprobe/k ≈ 0.62 at 3/8): recall@5 ≥ 50% at nprobe=3, and

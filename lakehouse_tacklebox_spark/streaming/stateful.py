@@ -166,7 +166,11 @@ def stateful_funnel(
     anchors via the minimum in its window, so dropping the latest tail
     only loses anchors for views arriving inside that dropped tail).
     Keys WITH a view are pruned exactly by the deadline rule and never
-    hit the cap in practice.
+    hit the cap in practice. Because the cap CAN under-report stage 2/3
+    for a view that later lands past the dropped tail, every emission
+    carries a sticky ``buffer_truncated`` flag: False means the key's
+    answer is exact (the batch oracle must agree); True marks the keys
+    where the bounded-state answer is a documented lower bound.
 
     KEY-count lifetime is the ``ttl_minutes`` dial: set it on a
     long-running stream so idle keys are dropped
@@ -184,7 +188,10 @@ def stateful_funnel(
     ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
     key_field = stream.schema[user_col]
     out_schema = (
-        StructType([key_field]).add("stage", "integer").add("n_buffered", "long")
+        StructType([key_field])
+        .add("stage", "integer")
+        .add("n_buffered", "long")
+        .add("buffer_truncated", "boolean")
     )
     s1, s2, s3 = stages
 
@@ -198,8 +205,8 @@ def stateful_funnel(
         if state.hasTimedOut:
             state.remove()
             return
-        views, clicks, purchases, n_seen = (
-            state.get if state.exists else ([], [], [], 0)
+        views, clicks, purchases, n_seen, truncated = (
+            state.get if state.exists else ([], [], [], 0, 0)
         )
         views, clicks, purchases = list(views), list(clicks), list(purchases)
         seen = False
@@ -227,10 +234,17 @@ def stateful_funnel(
             purchases = [p for p in purchases if p <= t1_cur + 2 * deadline_ns]
         else:
             # view-less key: no deadline prune applies, so cap the buffers
-            # (earliest kept — see docstring) to bound state growth
+            # (earliest kept — see docstring) to bound state growth. The
+            # cap is LOSSY for a view arriving later whose deadline window
+            # falls in the dropped tail, so mark the key sticky-truncated —
+            # a downstream consumer (or the batch oracle) can see exactly
+            # which keys may under-report stage 2/3 instead of silently
+            # diverging.
+            if len(clicks) > max_buffer or len(purchases) > max_buffer:
+                truncated = 1
             clicks = clicks[:max_buffer]
             purchases = purchases[:max_buffer]
-        state.update((views, clicks, purchases, n_seen))
+        state.update((views, clicks, purchases, n_seen, truncated))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         t1 = views[0] if views else None
@@ -249,13 +263,14 @@ def stateful_funnel(
                     user_col: [key[0]],
                     "stage": [stage],
                     "n_buffered": [n_seen],
+                    "buffer_truncated": [bool(truncated)],
                 }
             )
 
     return stream.groupBy(user_col).applyInPandasWithState(
         fn,
         out_schema,
-        "views array<bigint>, clicks array<bigint>, purchases array<bigint>, n_seen bigint",
+        "views array<bigint>, clicks array<bigint>, purchases array<bigint>, n_seen bigint, truncated int",
         "update",
         GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None else GroupStateTimeout.NoTimeout,
     )

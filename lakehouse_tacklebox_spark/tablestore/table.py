@@ -532,17 +532,28 @@ class TackleTable:
             return self.version()
         old, _ = self._active_files()
         files, n = _write_files(df, self.path)
-        return self._commit(
-            "OVERWRITE",
-            {"txn": {"appId": txn[0], "version": txn[1]}} if txn else {},
-            files,
-            old,
-            {"numOutputRows": n, "numAddedFiles": len(files), "numRemovedFiles": len(old)},
-            schema=_schema_ddl(df),
-            expected_version=self.version(),
-            identity_reserve=identity_reserve,
-            txn=txn,
-        )
+        try:
+            return self._commit(
+                "OVERWRITE",
+                {"txn": {"appId": txn[0], "version": txn[1]}} if txn else {},
+                files,
+                old,
+                {"numOutputRows": n, "numAddedFiles": len(files), "numRemovedFiles": len(old)},
+                schema=_schema_ddl(df),
+                expected_version=self.version(),
+                identity_reserve=identity_reserve,
+                txn=txn,
+            )
+        except CommitConflictError:
+            # Same zombie-retry rule as MergeBuilder.execute: overwrite sets
+            # expected_version, so a same-app_id writer landing this epoch
+            # between the per-attempt txn check and the log write surfaces as
+            # a version conflict — but the work is already durably committed,
+            # so resolve to the idempotent no-op instead of raising. Any
+            # other winner is a genuine conflict the caller re-runs.
+            if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+                return self.version()
+            raise
 
     def delete(self, condition: str) -> int:
         """DELETE WHERE condition — rewrites only files containing matches."""

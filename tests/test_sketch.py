@@ -103,10 +103,21 @@ def test_mg_merge_preserves_heavy_keys_across_arbitrary_merge_trees():
 
 
 def test_skew_advisor_and_join_size_empty_edges(spark):
-    from lakehouse_tacklebox_spark.plans.profiler import join_size_estimate, skew_advisor
+    from lakehouse_tacklebox_spark.plans.profiler import (
+        functional_deps,
+        join_size_estimate,
+        skew_advisor,
+    )
 
     df = spark.createDataFrame([("a", 1)], ["k", "v"])
     assert skew_advisor(df, []).collect() == []
+    # functional_deps([]) mirrors the same contract (ADVICE r7): a typed
+    # empty frame, not an IndexError
+    fd = functional_deps([])
+    assert fd.collect() == []
+    assert fd.columns == [
+        "table_name", "determinant", "dependent", "n_det", "n_pair", "holds", "violations",
+    ]
     # disjoint key spaces: TOTAL row must be zeros, not nulls
     left = spark.createDataFrame([("a",)], "k string")
     right = spark.createDataFrame([("b",)], "k string")

@@ -244,3 +244,76 @@ def test_stateful_funnel_invariant_to_arrival_order(spark, tmp_path):
     u3 = {r.user_id for r in s3.collect()}
     expect = {u: (3 if u in u3 else 2 if u in u2 else 1) for u in u1}
     assert got == expect
+
+
+def test_stateful_funnel_buffer_truncation_flag(spark, tmp_path):
+    """max_buffer is lossy only for view-less keys whose click/purchase
+    tail exceeds the cap; the contract (ADVICE r7) is that such keys are
+    MARKED, not silently under-reported. Key 'cap' gets 5 clicks and no
+    view under max_buffer=2 -> sticky buffer_truncated; key 'ok' stays
+    exact and unflagged."""
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.streaming.stateful import stateful_funnel
+
+    rows = [("cap", 1_000 + i * 10, "click") for i in range(5)]
+    rows += [("ok", 1_000, "view"), ("ok", 2_000, "click")]
+    src = str(tmp_path / "trunc_src")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ns", "event_type"])
+    ).select(
+        "user_id", F.col("ns").cast("timestamp").alias("ts"), "event_type"
+    ).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    out = stateful_funnel(stream, "user_id", "ts", "event_type", max_buffer=2)
+    name = f"trunc_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table(name)
+    flags = {r.user_id: r.buffer_truncated for r in sink.collect()}
+    # view-less 'cap' emits nothing (stage 0) in this corpus, so surface
+    # the flag by landing its view in a second pass that re-anchors
+    spark.createDataFrame(
+        pd.DataFrame([("cap", 900, "view")], columns=["user_id", "ns", "event_type"])
+    ).select(
+        "user_id", F.col("ns").cast("timestamp").alias("ts"), "event_type"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = (
+        stateful_funnel(
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            "user_id", "ts", "event_type", max_buffer=2,
+        )
+        .writeStream.format("memory")
+        .queryName(name + "b")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    sink2 = spark.table(name + "b")
+    latest = (
+        sink2.groupBy("user_id")
+        .agg(F.max(F.struct("n_buffered", "stage", "buffer_truncated")).alias("s"))
+        .select("user_id", "s.stage", "s.buffer_truncated")
+    )
+    got = {r.user_id: (r.stage, r.buffer_truncated) for r in latest.collect()}
+    assert got["ok"] == (2, False), got
+    # 'cap' kept only its 2 EARLIEST clicks; both are within the view's
+    # 24h window, so stage 2 still lands — but the flag records that the
+    # dropped tail makes the answer a lower bound, not exact
+    assert got["cap"][1] is True, got

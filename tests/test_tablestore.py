@@ -340,3 +340,36 @@ def test_txn_idempotent_overwrite(spark, users, tmp_path):
     v2 = t.overwrite(s2, txn=("fold", 1))
     assert v2 > v1 and t.overwrite(s2, txn=("fold", 1)) == v2
     assert [r["id"] for r in t.read().collect()] == [2]
+
+
+def test_overwrite_txn_conflict_resolves_to_noop(spark, users, tmp_path):
+    """An overwrite whose snapshot conflict was caused by a zombie retry
+    of the SAME (app_id, version) resolves to idempotent success instead
+    of raising (ADVICE r7): overwrite sets expected_version, so the
+    zombie landing between the per-attempt txn recheck and the log write
+    surfaces as CommitConflictError — the handler must recognise its own
+    stamp and no-op, exactly like MergeBuilder.execute."""
+    import unittest.mock as mock
+
+    import lakehouse_tacklebox_spark.tablestore.table as T
+
+    t = TackleTable.create(spark, str(tmp_path / "t"), users)
+    new = spark.createDataFrame(
+        [(7, "gil", 700.0)], "id bigint, name string, balance double"
+    )
+
+    raced = {"done": False}
+    orig = T._collect_stats
+
+    def racing_collect_stats(path, add):
+        # fire the zombie's winning overwrite after the straggler's
+        # per-attempt txn recheck but before its log write
+        if not raced["done"]:
+            raced["done"] = True
+            TackleTable(spark, t.path).overwrite(new, txn=("mv", 9))
+        return orig(path, add)
+
+    with mock.patch.object(T, "_collect_stats", racing_collect_stats):
+        v = t.overwrite(new, txn=("mv", 9))
+    assert v == t.version()
+    assert t.read().count() == 1  # epoch applied exactly once
