@@ -200,9 +200,14 @@ _WINDOW_PRIORITY = [
 # text_langid, text_quality, text_token_stats, text_fingerprint_groups,
 # metrics_user_activity, metrics_top_durations, metrics_cost_efficiency,
 # stream_hourly_rollup, validate_diff_drilldown,
-# reconcile_counts_by_grain — plus any round-8 additions that land after
-# THIS window froze (they are enumerated in the ledger comment of the
-# round-9 edit). That fills 14+ of 50; top up with the oldest r3 greens
+# reconcile_counts_by_grain — plus the round-8 additions that landed
+# after THIS window froze: knn_pq_rerank (PQ/ADC + exact re-rank,
+# self-certifying: full-shortlist exactness + measured recall floor),
+# dedup_semantic_clusters (SemDeDup-shaped cluster-bounded embedding
+# dedup, four integrity flags + exact global pair count),
+# mm_audio_snippet_match (landmark offset voting recovers every planted
+# snippet at its exact frame offset — audio containment). All three are
+# drive-green at sf0.01 and sf0.1 under vanilla sessions this round. That fills 14+ of 50; top up with the oldest r3 greens
 # (aggregates battery, dedup family, streaming stateful trio, corpus
 # pipeline family, metrics battery, scalars — 49 entries at r3, take the
 # oldest by ledger order). Done when no entry's newest green row is

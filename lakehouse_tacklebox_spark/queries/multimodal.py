@@ -572,3 +572,88 @@ def mm_video_phash_neardup(spark, sf_dir):
         ],
         "n_videos bigint, n_copies bigint, n_pairs bigint, copies_all_matched int, no_false_pairs int",
     )
+
+
+@register(
+    "mm_audio_snippet_match",
+    tags=("multimodal", "audio", "containment", "certification"),
+    # The planted-containment structure is pure id arithmetic (offset =
+    # (id·7) mod (frames−23), frames = id%16+32), so the oracle derives
+    # the complete expected match table — snippet → source track at the
+    # exact planted frame offset — without decoding a byte of audio.
+    # The engine must recover every row from the WAV payloads alone via
+    # landmark offset voting; a hash regression, a framing bug, or an
+    # off-by-one in the vote delta moves offset_frames and fails the
+    # hash compare, and any chance-collision false match flips
+    # no_false_matches. The snippet ships at exact ×2 integer gain, so
+    # every frame-delta sign survives the int16 round-trip by
+    # construction and the true delta collects all 8 possible votes
+    # deterministically. Sign votes alone are NOT sufficient at corpus
+    # scale — 13/556 snippets at sf0.1 hit a wrong track at full votes
+    # (a 23-bit pattern, ~2⁻²³ per trial, ~10⁷ trials) — so candidates
+    # are verified by exact gain-invariant energy-ratio constancy
+    # (operators/multimodal.py audio_snippet_matches stage 2), which no
+    # chance sign-twin survives.
+    oracle="""
+    SELECT CAST(doc_id + 200000 AS BIGINT) AS snippet_id,
+           CAST(doc_id AS BIGINT) AS track_id,
+           CAST((doc_id * 7) % ((doc_id % 16 + 32) - 23) AS INT) AS offset_frames,
+           CAST(1 AS INT) AS matched_true_offset,
+           CAST(1 AS INT) AS no_false_matches
+    FROM documents
+    WHERE doc_id % 9 = 1
+    ORDER BY snippet_id
+    """,
+)
+def mm_audio_snippet_match(spark, sf_dir):
+    """Audio CONTAINMENT detection (the clip-inside-a-track shape that
+    whole-clip fingerprints structurally miss): per-frame energy-delta
+    landmark hashes on both sides, hash join, offset-delta voting —
+    every ``id % 9 = 1`` document's planted 24-frame snippet (shipped
+    at exact ×2 gain — the landmark hash is gain-invariant) must match
+    exactly its source track at exactly the planted frame offset, and
+    nothing else may reach the vote threshold. The Shazam physique,
+    public method (Wang, ISMIR 2003): hash once per clip (Arrow
+    batches), shuffle only (hash, pos) rows then (pair, delta) votes —
+    never raw samples. Completes the containment story across
+    modalities (text: dedup_containment)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    clips = MM.as_wav_audio_with_snippets(d)
+    hashes = MM.audio_frame_hashes(clips, keys=["clip_id"]).localCheckpoint(eager=True)
+    tracks = hashes.filter(F.col("clip_id") < 200000).withColumnRenamed("clip_id", "track_id")
+    snips = hashes.filter(F.col("clip_id") >= 200000).withColumnRenamed("clip_id", "snippet_id")
+    matches = MM.audio_snippet_matches(tracks, snips, min_votes=5)
+    expected = clips.filter(F.col("role") == "snippet").select(
+        F.col("clip_id").alias("snippet_id"),
+        F.col("src_id").alias("exp_track"),
+        F.col("offset_frames").alias("exp_offset"),
+    )
+    j = matches.join(expected, "snippet_id", "full_outer")
+    flags = j.agg(
+        F.sum(
+            F.when(
+                (F.col("track_id") == F.col("exp_track"))
+                & (F.col("offset_frames") == F.col("exp_offset")),
+                1,
+            ).otherwise(0)
+        ).alias("n_true"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("exp_track").isNull(), 1).otherwise(0)).alias("n_unexpected"),
+    )
+    return (
+        matches.crossJoin(F.broadcast(flags))
+        .select(
+            F.col("snippet_id").cast("bigint"),
+            F.col("track_id").cast("bigint"),
+            F.col("offset_frames").cast("int"),
+            F.when(
+                (F.col("n_true") == F.col("n_rows")) & (F.col("n_unexpected") == 0),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("int").alias("matched_true_offset"),
+            F.when(F.col("n_unexpected") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("no_false_matches"),
+        )
+        .orderBy("snippet_id")
+    )

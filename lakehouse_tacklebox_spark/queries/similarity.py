@@ -380,3 +380,206 @@ def knn_ivf_recall_cert(spark, sf_dir):
         .cast("bigint")
         .alias("full_probe_is_exact"),
     )
+
+
+@register(
+    "knn_pq_rerank",
+    tags=("similarity", "ann", "quantization", "certification"),
+    # SELF-CERTIFYING (knn_ivf design): PQ/ADC output is approximate by
+    # construction, so the entry emits the exact brute-force top-5
+    # (every value DuckDB-checkable) with two flags computed BY RUNNING
+    # the PQ pipeline on the same corpus: full_shortlist_exact — with
+    # the shortlist opened to the whole corpus the ADC scan + exact
+    # re-rank must reproduce brute force EXACTLY (pair-for-pair,
+    # rank-for-rank; the compressed scan may only ever PRE-FILTER, never
+    # alter the exact ranking) — and recall_ge_40pct, the measured
+    # aggregate recall@5 floor of the production shape (shortlist =
+    # max(50, n/10), the fraction-of-corpus dial every ADC deployment
+    # scales with n) on the isotropic gate corpus, PQ's hardest case.
+    # Measured at m=8/ksub=16: 0.82 at sf0.001, 0.74 at sf0.01 (500
+    # vecs, shortlist 50), 0.70 at sf0.1 (2000 vecs, shortlist 200);
+    # a FIXED shortlist 50 at sf0.1 measured 0.38 recall and was
+    # rejected — the 40% floor had no margin there. Codebooks/codes are
+    # xxhash-seeded k-means → deterministic, not flaky.
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank,
+           CAST(1 AS BIGINT) AS full_shortlist_exact,
+           CAST(1 AS BIGINT) AS recall_ge_40pct
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_pq_rerank(spark, sf_dir):
+    """Product-quantized ANN with exact re-rank — the compressed-domain
+    scale path: unit-normalize, 8 subspaces × 16 L2 k-means codes (64-d
+    float32 → 8 bytes/vector, 32×), ADC-score every code word with m
+    table lookups per query (the scan reads ONLY the code column),
+    shortlist max(50, n/10), exact cosine re-rank of the shortlist. At
+    100 TB the raw vectors never move: the ADC scan is a 32×-compressed
+    column scan and the exact re-rank touches shortlist×queries rows."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    books = S.pq_codebooks(e, m=8, ksub=16, iters=3).localCheckpoint(eager=True)
+    codes = S.pq_encode(e, books).localCheckpoint(eager=True)
+    n_corpus = e.count()
+    bf = S.knn_bruteforce(e, q, k=5)
+
+    def pairs(shortlist):
+        return S.knn_pq_adc(
+            codes, q, books, e, k=5, shortlist=shortlist
+        ).select(
+            F.col("query_id").alias("q2"),
+            F.col("neighbor_id").alias("n2"),
+            F.col("rank").alias("r2"),
+        )
+
+    cond = (F.col("query_id") == F.col("q2")) & (F.col("neighbor_id") == F.col("n2"))
+    # full shortlist: pair AND rank must reproduce brute force exactly
+    hit_full = bf.join(
+        pairs(n_corpus), cond & (F.col("rank") == F.col("r2"))
+    ).agg(F.count(F.lit(1)).alias("n_hit_full"))
+    hit50 = bf.join(pairs(max(50, n_corpus // 10)), cond).agg(
+        F.count(F.lit(1)).alias("n_hit50")
+    )
+    truth = bf.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        bf.crossJoin(F.broadcast(hit_full))
+        .crossJoin(F.broadcast(hit50))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "rank",
+            F.when(F.col("n_hit_full") == F.col("n_truth"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("full_shortlist_exact"),
+            F.when(F.col("n_hit50") * 100 >= F.col("n_truth") * 40, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("recall_ge_40pct"),
+        )
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    tags=("similarity", "dedup", "ann", "certification"),
+    # SELF-CERTIFYING: the k-means partition isn't SQL-replayable, but
+    # every integrity claim of cluster-bounded semantic dedup is — the
+    # exact global dup-pair count (all-pairs cosine ≥ 0.40) anchors the
+    # row, and the
+    # flags certify (a) survivors+removed exactly partition the corpus,
+    # (b) no two SURVIVORS in one cluster are dups (the SemDeDup quality
+    # invariant — connected components make it structural), (c) every
+    # removed vector earned removal via a real verified dup edge, and
+    # (d) the cluster-bounded candidate pairs are a SUBSET of the exact
+    # global pair set (bounding candidates can only lose cross-cluster
+    # pairs, never invent one). A clustering, CC, or verify regression
+    # flips a flag or moves the exact pair count. Threshold 0.40, not
+    # 0.95: the gate corpus is isotropic with NO pairs above 0.95 at any
+    # scale (measured max background cosine 0.48/0.51/0.60 at
+    # sf0.001/0.01/0.1) — at 0.95 every flag would be vacuously true. At
+    # 0.40 the dup population is real (66/59/920 pairs at the three
+    # scales) so survivors actually drop members (25 removed at sf0.01,
+    # 304 at sf0.1 — earned, not vacuous), and the nearest pair
+    # to the threshold is ≥ 9.9e-6 away — nine orders above
+    # cross-engine float noise, so pair MEMBERSHIP is engine-stable even
+    # though three float programs (numpy matmul, Spark fold, DuckDB
+    # list_cosine_similarity) compute it.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.40)
+               AS n_global_dup_pairs,
+           CAST(1 AS INT) AS partition_ok,
+           CAST(1 AS INT) AS survivors_dedup_within_cluster,
+           CAST(1 AS INT) AS removed_all_have_dup_edge,
+           CAST(1 AS INT) AS pairs_subset_of_global
+    FROM embeddings
+    """,
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023, public
+    method): k-means the embedding space (hash-seeded Lloyd's, 8
+    clusters), generate dup candidates ONLY within clusters (the scale
+    move — all-pairs never happens; at 100 TB the within-cluster join is
+    bounded by cluster occupancy), verify exact cosine ≥ 0.40, run
+    connected components over the verified edges, keep one survivor per
+    component. The cross-cluster recall loss is the documented
+    trade-off; flag (d) certifies the candidate set never exceeds the
+    exact global pair set it approximates."""
+    from lakehouse_tacklebox_spark.operators.cluster import connected_components
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = S.kmeans_centroids(e, k=8, iters=3)
+    assign = S.ivf_assign(e, cents, nprobe=1).drop("rank")
+    ve = e.join(assign, "vec_id").select("vec_id", "centroid_id", "embedding")
+    a, b = ve.alias("a"), ve.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", S.cosine_col(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(F.col("cosine") >= 0.40)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    comps = connected_components(
+        pairs, vertices=e.select("vec_id"), id_col="vec_id"
+    ).localCheckpoint(eager=True)
+    survivors = comps.filter(F.col("component") == F.col("vec_id")).select("vec_id")
+    removed = comps.filter(F.col("component") != F.col("vec_id")).select("vec_id")
+
+    n_vectors = e.count()
+    n_surv, n_rem = survivors.count(), removed.count()
+    # (b): no verified dup edge connects two survivors
+    sa = survivors.select(F.col("vec_id").alias("id_a"))
+    sb = survivors.select(F.col("vec_id").alias("id_b"))
+    surv_edges = pairs.join(sa, "id_a").join(sb, "id_b").count()
+    # (c): every removed id appears in at least one verified edge
+    edge_ids = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .union(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    rem_without_edge = removed.join(edge_ids, "vec_id", "left_anti").count()
+    # (d): within-cluster verified pairs ⊆ exact global pairs
+    # Arrow matmul kernel: the expression form's interpreted zip_with/
+    # aggregate costs ~98 s on the 2M-pair sf0.1 corpus; the matmul is
+    # sub-second and membership-exact at this corpus' margins.
+    g = S.neardup_pairs_arrow(e, threshold=0.40).localCheckpoint(eager=True)
+    extra = pairs.join(g, ["id_a", "id_b"], "left_anti").count()
+    n_global = g.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_vectors,
+                n_global,
+                1 if n_surv + n_rem == n_vectors else 0,
+                1 if surv_edges == 0 else 0,
+                1 if rem_without_edge == 0 else 0,
+                1 if extra == 0 else 0,
+            )
+        ],
+        "n_vectors bigint, n_global_dup_pairs bigint, partition_ok int, "
+        "survivors_dedup_within_cluster int, removed_all_have_dup_edge int, "
+        "pairs_subset_of_global int",
+    )

@@ -279,3 +279,38 @@ def test_audio_fingerprint_gain_invariant_and_noise_tolerant(spark):
     assert int(np.sum(_afp_bits(np.round(noisy)) != base)) <= 6
     other = (_lcg_bytes(8, n) * 15.66) - 2000.0
     assert int(np.sum(_afp_bits(other) != base)) >= 11
+
+
+def test_audio_snippet_offset_voting(spark):
+    """Landmark offset voting must recover every planted snippet's source
+    track at EXACTLY the planted frame offset, and nothing else may reach
+    the vote threshold — including under the fixture's exact ×2-gain
+    re-encode (energy-delta signs preserved by construction). Also pins
+    the landmark margin: the true delta must collect all possible votes
+    (8 positions for a 24-frame snippet at window 16)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import multimodal as MM
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001", ["documents"])["documents"]
+    clips = MM.as_wav_audio_with_snippets(d)
+    hashes = MM.audio_frame_hashes(clips, keys=["clip_id"])
+    tracks = hashes.filter(F.col("clip_id") < 200000).withColumnRenamed("clip_id", "track_id")
+    snips = hashes.filter(F.col("clip_id") >= 200000).withColumnRenamed("clip_id", "snippet_id")
+    got = {
+        r["snippet_id"]: (r["track_id"], r["offset_frames"], r["votes"])
+        for r in MM.audio_snippet_matches(tracks, snips, min_votes=5).collect()
+    }
+    expected = {
+        r["clip_id"]: (r["src_id"], r["offset_frames"])
+        for r in clips.filter(F.col("role") == "snippet")
+        .select("clip_id", "src_id", "offset_frames")
+        .collect()
+    }
+    assert expected, "fixture must plant snippets at this scale"
+    assert set(got) == set(expected)
+    for sid, (track, off) in expected.items():
+        g_track, g_off, g_votes = got[sid]
+        assert (g_track, g_off) == (track, off), (sid, got[sid], (track, off))
+        assert g_votes == 8, f"true delta must collect all 8 votes, got {g_votes}"

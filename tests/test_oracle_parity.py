@@ -26,13 +26,12 @@ def test_oracle_parity(spark, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_queries_run(spark, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, SF_DIR)
-    # Must produce a stable schema and be collectable (≥0 rows).
-    assert df.columns
-    df.collect()
+def test_no_rows_only_queries_remain():
+    """Since round 8 every registered query carries a DuckDB oracle
+    (knn_ivf, the last rows-only entry, was folded into a
+    self-certifying shape). This pins that invariant: a new rows-only
+    registration must be a deliberate, reviewed decision."""
+    assert ROWS_ONLY_QUERIES == [], ROWS_ONLY_QUERIES
 
 
 def test_hll_sketch_rollup_error_bound(spark):

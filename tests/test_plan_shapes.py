@@ -391,7 +391,13 @@ def test_no_forced_broadcast_on_sf_growing_tables():
     bad = []
     for f in glob.glob(os.path.join(qdir, "*.py")):
         for i, line in enumerate(open(f), 1):
-            if re.search(r'\bbroadcast\(t\["(customer|part|orders|lineitem|events|documents|embeddings)"\]', line):
+            # catch both the catalog-dict form broadcast(t["customer"])
+            # and bare-variable forms broadcast(customer) / broadcast(
+            # customers.filter(...)) — \b keeps maybe_broadcast( exempt
+            if re.search(
+                r'\bbroadcast\(\s*(t\[")?(customer|part|orders|lineitem|events|documents|embeddings)s?\b',
+                line,
+            ):
                 bad.append(f"{os.path.basename(f)}:{i}: {line.strip()}")
     assert not bad, "forced broadcast on SF-growing table:\n" + "\n".join(bad)
 
