@@ -1134,3 +1134,96 @@ def audio_snippet_matches(
         .filter(F.col("rk") == 1)
         .select(snippet_id, track_id, "offset_frames", "votes")
     )
+
+
+def as_avi_videos_with_snippets(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """AVI fixture with planted CONTAINED clips — the video analogue of
+    the audio snippet fixture: every ``id % 3 == 2`` document becomes a
+    real AVI track of ``12 + id % 8`` LCG-random-pixel frames (frame f
+    seeded by ``id·32 + f``), and every ``id % 9 == 2`` also yields a
+    6-frame snippet at ``id + 200000``: the exact frame slice starting
+    at frame ``(id · 5) mod (frames − 5)`` (the clip-reposted-inside-a-
+    compilation shape). Frames are bit-exact copies, so per-frame
+    pHashes match exactly; the planted offset is id arithmetic an
+    oracle can derive without decoding video. Rows: (vid_id, src_id,
+    role, offset_frames, n_frames, width, height)."""
+    import numpy as np
+
+    frames_track = (F.col(id_col) % 8 + 12).cast("int")
+    base = documents.filter(F.col(id_col) % 3 == 2).select(
+        F.col(id_col).alias("vid_id"),
+        F.col(id_col).alias("src_id"),
+        frames_track.alias("n_frames"),
+        (F.col(id_col) % 16 + 16).cast("int").alias("width"),
+        (F.col(id_col) % 12 + 16).cast("int").alias("height"),
+        F.lit("track").alias("role"),
+        F.lit(-1).alias("offset_frames"),
+    )
+    snips = documents.filter(F.col(id_col) % 9 == 2).select(
+        (F.col(id_col) + 200000).alias("vid_id"),
+        F.col(id_col).alias("src_id"),
+        frames_track.alias("n_frames"),
+        (F.col(id_col) % 16 + 16).cast("int").alias("width"),
+        (F.col(id_col) % 12 + 16).cast("int").alias("height"),
+        F.lit("snippet").alias("role"),
+        ((F.col(id_col) * 5) % (frames_track - F.lit(5))).cast("int").alias("offset_frames"),
+    )
+
+    @pandas_udf("binary")
+    def _enc(srcs: pd.Series, nf: pd.Series, ws: pd.Series, hs: pd.Series,
+             roles: pd.Series, offs: pd.Series) -> pd.Series:
+        out = []
+        for s, n, w, h, role, o in zip(srcs, nf, ws, hs, roles, offs):
+            lo, hi = (int(o), int(o) + 6) if role == "snippet" else (0, int(n))
+            frames = [
+                _lcg_bytes(int(s) * 32 + f, 3 * int(w) * int(h))
+                .astype(np.uint8)
+                .reshape(int(h), int(w) * 3)
+                for f in range(lo, hi)
+            ]
+            out.append(_avi_encode(frames, int(w), int(h)))
+        return pd.Series(out)
+
+    return base.unionByName(snips).withColumn(
+        "payload", _enc("src_id", "n_frames", "width", "height", "role", "offset_frames")
+    )
+
+
+def frame_sequence_matches(
+    track_frames: DataFrame,
+    snippet_frames: DataFrame,
+    hash_col: str,
+    track_id: str = "track_id",
+    snippet_id: str = "snippet_id",
+    idx_col: str = "frame_idx",
+    min_votes: int = 6,
+) -> DataFrame:
+    """Frame-sequence containment by offset voting over per-frame
+    hashes: join on the hash, histogram ``track_idx − snippet_idx``
+    per (snippet, track), keep deltas where ≥ ``min_votes`` frames
+    agree. With 64-bit frame hashes (video pHash) a chance agreement of
+    ``min_votes`` frames at one delta is ~2⁻⁶⁴·ᵛ — no verify stage is
+    needed, unlike the audio path's 16-bit landmark hashes (see
+    audio_snippet_matches, where the verify stage is mandatory). Set
+    ``min_votes`` to the snippet length for full-coverage containment.
+    Shuffle moves (hash, idx) rows then (pair, delta) votes."""
+    t = track_frames.select(
+        F.col(track_id), F.col(idx_col).alias("t_idx"), F.col(hash_col)
+    )
+    s = snippet_frames.select(
+        F.col(snippet_id), F.col(idx_col).alias("s_idx"), F.col(hash_col)
+    )
+    votes = (
+        s.join(t, hash_col)
+        .groupBy(snippet_id, track_id, (F.col("t_idx") - F.col("s_idx")).alias("offset_frames"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter((F.col("votes") >= min_votes) & (F.col("offset_frames") >= 0))
+    )
+    w = W.partitionBy(snippet_id).orderBy(
+        F.col("votes").desc(), F.col(track_id), F.col("offset_frames")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(snippet_id, track_id, "offset_frames", "votes")
+    )

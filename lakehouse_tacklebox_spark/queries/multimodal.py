@@ -657,3 +657,81 @@ def mm_audio_snippet_match(spark, sf_dir):
         )
         .orderBy("snippet_id")
     )
+
+
+@register(
+    "mm_video_snippet_match",
+    tags=("multimodal", "video", "containment", "certification"),
+    # Same oracle design as mm_audio_snippet_match: the planted
+    # containment is pure id arithmetic (offset = (id·5) mod (frames−5),
+    # frames = id%8+12), so the oracle derives the full expected match
+    # table — snippet → source track at the exact planted frame offset —
+    # without decoding a byte of video. 64-bit frame pHashes make a
+    # chance 6-frame agreement at one delta ~impossible, so full
+    # coverage (votes = 6) IS the verify (contrast the audio path's
+    # 16-bit landmarks, which need the energy-ratio stage).
+    oracle="""
+    SELECT CAST(doc_id + 200000 AS BIGINT) AS snippet_id,
+           CAST(doc_id AS BIGINT) AS track_id,
+           CAST((doc_id * 5) % ((doc_id % 8 + 12) - 5) AS INT) AS offset_frames,
+           CAST(6 AS BIGINT) AS votes,
+           CAST(1 AS INT) AS matched_true_offset,
+           CAST(1 AS INT) AS no_false_matches
+    FROM documents
+    WHERE doc_id % 9 = 2
+    ORDER BY snippet_id
+    """,
+)
+def mm_video_snippet_match(spark, sf_dir):
+    """Video CONTAINMENT detection (a clip reposted inside a longer
+    compilation): per-frame DCT pHashes on both sides, hash join,
+    offset-delta voting with full-coverage requirement — every
+    ``id % 9 = 2`` document's planted 6-frame snippet must match exactly
+    its source track at exactly the planted offset with all 6 frames
+    voting, and nothing else may reach the threshold. Completes the
+    containment spectrum across modalities (text: dedup_containment,
+    audio: mm_audio_snippet_match). Hash once per frame in Arrow
+    batches; shuffle only (hash, idx) rows then (pair, delta) votes."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    clips = MM.as_avi_videos_with_snippets(d)
+    hashes = MM.video_frame_phash(clips, keys=["vid_id"]).localCheckpoint(eager=True)
+    tracks = hashes.filter(F.col("vid_id") < 200000).withColumnRenamed("vid_id", "track_id")
+    snips = hashes.filter(F.col("vid_id") >= 200000).withColumnRenamed("vid_id", "snippet_id")
+    matches = MM.frame_sequence_matches(
+        tracks, snips, hash_col="phash", min_votes=6
+    )
+    expected = clips.filter(F.col("role") == "snippet").select(
+        F.col("vid_id").alias("snippet_id"),
+        F.col("src_id").alias("exp_track"),
+        F.col("offset_frames").alias("exp_offset"),
+    )
+    j = matches.join(expected, "snippet_id", "full_outer")
+    flags = j.agg(
+        F.sum(
+            F.when(
+                (F.col("track_id") == F.col("exp_track"))
+                & (F.col("offset_frames") == F.col("exp_offset")),
+                1,
+            ).otherwise(0)
+        ).alias("n_true"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("exp_track").isNull(), 1).otherwise(0)).alias("n_unexpected"),
+    )
+    return (
+        matches.crossJoin(F.broadcast(flags))
+        .select(
+            F.col("snippet_id").cast("bigint"),
+            F.col("track_id").cast("bigint"),
+            F.col("offset_frames").cast("int"),
+            F.col("votes").cast("bigint"),
+            F.when(
+                (F.col("n_true") == F.col("n_rows")) & (F.col("n_unexpected") == 0),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("int").alias("matched_true_offset"),
+            F.when(F.col("n_unexpected") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("no_false_matches"),
+        )
+        .orderBy("snippet_id")
+    )

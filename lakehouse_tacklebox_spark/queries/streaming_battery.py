@@ -1413,3 +1413,113 @@ def stream_stream_anti_join(spark, sf_dir):
         "left_outer",
     ).filter(F.col("purchase_id").isNull()).select("click_id", "user_id")
     return _run_memory_sink(spark, joined, "append", "ss_anti").orderBy("click_id")
+
+
+@register(
+    "stream_pq_index_mv",
+    tags=("streaming", "similarity", "quantization", "transactions", "incremental"),
+    # SELF-CERTIFYING: PQ codes aren't SQL-derivable (k-means), but the
+    # index-maintenance CONTRACT is — n_vectors is the exact corpus
+    # count, codes_match_batch certifies the streamed MV is
+    # byte-identical to a one-shot batch encode of the full corpus under
+    # the same frozen codebooks (train-offline/encode-online, the
+    # production ANN-index pattern), and replay_noop certifies the
+    # deliberate double-replay of the final epoch changed nothing
+    # (Delta-txn idempotent appends). A drifting encoder, a lost batch,
+    # or a double-applied epoch flips a flag or moves the count.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(1 AS INT) AS codes_match_batch,
+           CAST(1 AS INT) AS replay_noop
+    FROM embeddings
+    """,
+)
+def stream_pq_index_mv(spark, sf_dir):
+    """Streaming maintenance of a product-quantization ANN index:
+    codebooks are trained ONCE on the initial corpus (frozen — the
+    offline-train/online-encode split every deployed ANN index uses),
+    then embeddings stream in micro-batches and each batch is PQ-encoded
+    against the frozen codebooks and appended to a TackleTable codes MV
+    under Delta-style txn idempotence; the last epoch is replayed twice
+    (foreachBatch failover model) and must no-op. The final MV must
+    equal a one-shot batch encode exactly. Scale: per-batch cost is
+    |batch| × m broadcast-joined code assignments — no shuffle of the
+    corpus, no retraining; the 100 TB shape is identical with the codes
+    column 32× smaller than the vectors it indexes."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.operators import similarity as S
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tmp = tempfile.mkdtemp(prefix="pq_mv_")
+    src_dir = os.path.join(tmp, "src")
+    tbl_dir = os.path.join(tmp, "tbl")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    books = S.pq_codebooks(e, m=8, ksub=16, iters=2)
+    book_rows = [(r["sub_idx"], r["code"], list(r["sub_vec"])) for r in books.collect()]
+
+    e.select("vec_id", "embedding").repartition(4).write.parquet(src_dir)
+    TackleTable.create(spark, tbl_dir, schema="vec_id bigint, codes array<int>")
+
+    last = {"epoch": None, "batch": None}
+
+    def _encode_append(batch_df, epoch):
+        s = batch_df.sparkSession
+        table = TackleTable(s, tbl_dir)
+        if table.txn_version("pq_mv") >= epoch:
+            return  # retried epoch already committed
+        bdf = s.createDataFrame(
+            book_rows, schema="sub_idx INT, code INT, sub_vec ARRAY<DOUBLE>"
+        )
+        codes = S.pq_encode(batch_df, bdf, id_col="vec_id", vec_col="embedding")
+        table.append(
+            codes.select(
+                F.col("vec_id").cast("bigint"),
+                F.col("codes").cast("array<int>"),
+            ),
+            txn=("pq_mv", epoch),
+        )
+
+    def _tracking(batch_df, epoch):
+        last["epoch"], last["batch"] = epoch, batch_df
+        _encode_append(batch_df, epoch)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_tracking)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
+
+    t = TackleTable(spark, tbl_dir)
+    v_before_replay = t.version()
+    if last["epoch"] is not None:
+        _encode_append(last["batch"], last["epoch"])
+        _encode_append(last["batch"], last["epoch"])
+    replay_noop = t.version() == v_before_replay
+
+    mv = t.read()
+    batch_codes = S.pq_encode(e, books, id_col="vec_id", vec_col="embedding")
+    n_vectors = e.count()
+    n_mv = mv.count()
+    n_match = mv.join(
+        batch_codes.select("vec_id", F.col("codes").alias("codes_b")), "vec_id"
+    ).filter(F.col("codes") == F.col("codes_b")).count()
+    codes_match = (n_mv == n_vectors) and (n_match == n_vectors)
+
+    return spark.createDataFrame(
+        [(n_vectors, 1 if codes_match else 0, 1 if replay_noop else 0)],
+        "n_vectors bigint, codes_match_batch int, replay_noop int",
+    )

@@ -314,3 +314,34 @@ def test_audio_snippet_offset_voting(spark):
         g_track, g_off, g_votes = got[sid]
         assert (g_track, g_off) == (track, off), (sid, got[sid], (track, off))
         assert g_votes == 8, f"true delta must collect all 8 votes, got {g_votes}"
+
+
+def test_video_snippet_offset_voting(spark):
+    """Frame-sequence offset voting must recover every planted 6-frame
+    video snippet's source track at EXACTLY the planted offset with full
+    coverage (votes == 6), and nothing else may reach the threshold —
+    64-bit frame pHashes make full-coverage agreement the verify."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import multimodal as MM
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001", ["documents"])["documents"]
+    clips = MM.as_avi_videos_with_snippets(d)
+    hashes = MM.video_frame_phash(clips, keys=["vid_id"])
+    tracks = hashes.filter(F.col("vid_id") < 200000).withColumnRenamed("vid_id", "track_id")
+    snips = hashes.filter(F.col("vid_id") >= 200000).withColumnRenamed("vid_id", "snippet_id")
+    got = {
+        r["snippet_id"]: (r["track_id"], r["offset_frames"], r["votes"])
+        for r in MM.frame_sequence_matches(tracks, snips, hash_col="phash", min_votes=6).collect()
+    }
+    expected = {
+        r["vid_id"]: (r["src_id"], r["offset_frames"])
+        for r in clips.filter(F.col("role") == "snippet")
+        .select("vid_id", "src_id", "offset_frames")
+        .collect()
+    }
+    assert expected, "fixture must plant snippets at this scale"
+    assert set(got) == set(expected)
+    for sid, (track, off) in expected.items():
+        assert got[sid] == (track, off, 6), (sid, got[sid], (track, off))
