@@ -527,19 +527,23 @@ def pq_codebooks(
     ksub: int = 16,
     iters: int = 4,
     sample_mod: int | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Train the m per-subspace codebooks: Lloyd's k-means with L2
     assignment on each d/m-dim slice, all-DataFrame (same control-plane
     shape as kmeans_centroids — only ksub rows per subspace per
-    iteration touch the driver). Vectors are unit-normalized first so
-    ADC's L2 ranking equals cosine ranking. Returns
+    iteration touch the driver). Vectors are unit-normalized first
+    (``normalize=True``, the flat-PQ default) so ADC's L2 ranking equals
+    cosine ranking; pass ``normalize=False`` when the input is already a
+    residual (IVF-PQ trains codebooks on ``x/|x| − coarse_centroid``,
+    which must NOT be re-normalized). Returns
     (sub_idx, code, sub_vec array<double>), deterministic via the
     xxhash64 seeding.
     """
     spark = df.sparkSession
-    base = unit_normalize(
-        df.select(F.col(id_col), F.col(vec_col)), vec_col
-    )
+    base = df.select(F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col))
+    if normalize:
+        base = unit_normalize(base, vec_col)
     dim = len(base.select(vec_col).first()[0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub_dim = dim // m
@@ -599,17 +603,22 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Encode each vector as its array<int> of m nearest-sub-centroid
     codes (one byte per subspace at ksub ≤ 256). One explode to
     (id, sub_idx, slice), one broadcast codebook join, one window top-1
-    per (id, subspace), re-assembled in subspace order. The output —
-    (id_col, codes) — is the ENTIRE search-time corpus footprint."""
+    per (id, subspace), re-assembled in subspace order
+    (``normalize=False`` for residual inputs, as in pq_codebooks). The
+    output — (id_col, codes) — is the ENTIRE search-time corpus
+    footprint."""
     mrow = codebooks.agg(
         F.max("sub_idx").alias("mi"), F.max(F.size("sub_vec")).alias("sd")
     ).first()
     m, sub_dim = int(mrow["mi"]) + 1, int(mrow["sd"])
-    base = unit_normalize(df.select(F.col(id_col), F.col(vec_col)), vec_col)
+    base = df.select(F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col))
+    if normalize:
+        base = unit_normalize(base, vec_col)
     sliced = base.select(
         F.col(id_col),
         F.explode(
@@ -770,3 +779,148 @@ def neardup_pairs_arrow(
             yield pd.DataFrame({"id_a": a[keep], "id_b": c[keep]})
 
     return df.select(id_col, vec_col).mapInPandas(_pairs, "id_a long, id_b long")
+
+
+def _minus(vec_a, vec_b):
+    return F.zip_with(vec_a, vec_b, lambda x, y: x - y)
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the composed IVF-PQ index (the canonical production ANN
+    layout, Jégou et al. 2011 §IV): a coarse quantizer partitions the
+    unit-normalized corpus into inverted lists, and PQ codebooks are
+    trained on the RESIDUALS ``u − coarse_centroid`` — residuals are far
+    more compressible than raw vectors because the coarse quantizer has
+    already absorbed the between-list variance, so the same m bytes buy
+    materially better distance fidelity than flat PQ. Returns
+    (coarse_centroids, codebooks, codes) where codes =
+    (id, centroid_id, codes array<int>) — the search-time footprint is
+    one int per list assignment plus m bytes per vector.
+    """
+    cu = unit_normalize(corpus.select(F.col(id_col), F.col(vec_col)), vec_col)
+    cu = cu.localCheckpoint(eager=False)
+    coarse = kmeans_centroids(cu, id_col, vec_col, k=num_centroids, iters=iters)
+    assign = ivf_assign(cu, coarse, id_col, vec_col, nprobe=1).drop("rank")
+    cc = coarse.select("centroid_id", F.col(vec_col).alias("__cent"))
+    resid = (
+        cu.join(assign, id_col)
+        .join(F.broadcast(cc), "centroid_id")
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            _minus(F.col(vec_col), F.col("__cent")).alias(vec_col),
+        )
+        .localCheckpoint(eager=True)
+    )
+    books = pq_codebooks(
+        resid, id_col, vec_col, m=m, ksub=ksub, iters=iters, normalize=False
+    )
+    codes = pq_encode(resid, books, id_col, vec_col, normalize=False).join(
+        resid.select(id_col, "centroid_id"), id_col
+    )
+    return coarse, books, codes
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ search: each query probes its ``nprobe`` nearest inverted
+    lists; within each probed list a per-(query, list) ADC lookup table
+    of exact residual-subvector↔sub-centroid distances scores every code
+    word (||q−x||² = ||qr − PQ(r)||² since x = c + r and qr = q − c);
+    the ``shortlist`` best approximate ids survive per query and only
+    those join back to the true vectors for an exact cosine top-k. The
+    corpus scan reads ONLY (centroid_id, codes); raw vectors enter at
+    shortlist size. With nprobe = num_centroids AND shortlist ≥ corpus
+    the result EQUALS knn_bruteforce exactly (prune-nothing ⇒ the exact
+    re-rank sees everything)."""
+    mrow = codebooks.agg(
+        F.max("sub_idx").alias("mi"), F.max(F.size("sub_vec")).alias("sd")
+    ).first()
+    m, sub_dim = int(mrow["mi"]) + 1, int(mrow["sd"])
+    qu = unit_normalize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), vec_col
+    )
+    q_probe = ivf_assign(
+        qu.select(F.col("query_id").alias(id_col), vec_col),
+        coarse, id_col, vec_col, nprobe=nprobe,
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    cc = coarse.select("centroid_id", F.col(vec_col).alias("__cent"))
+    qr = (
+        qu.join(q_probe, "query_id")
+        .join(F.broadcast(cc), "centroid_id")
+        .select(
+            "query_id",
+            "centroid_id",
+            _minus(F.col(vec_col), F.col("__cent")).alias("qr"),
+        )
+    )
+    q_sliced = qr.select(
+        "query_id",
+        "centroid_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub_idx"),
+                        _subvec(F.col("qr"), j, sub_dim).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "centroid_id", "s.sub_idx", "s.qv")
+    lut = q_sliced.join(F.broadcast(codebooks), "sub_idx").select(
+        "query_id",
+        "centroid_id",
+        "sub_idx",
+        "code",
+        l2sq_col(F.col("qv"), F.col("sub_vec")).alias("d2"),
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        "centroid_id",
+        F.posexplode("codes").alias("sub_idx", "code"),
+    )
+    approx = (
+        exploded.join(F.broadcast(lut), ["centroid_id", "sub_idx", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    ws = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    short = (
+        approx.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    rer = (
+        short.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

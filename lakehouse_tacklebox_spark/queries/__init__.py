@@ -206,7 +206,12 @@ _WINDOW_PRIORITY = [
 # dedup_semantic_clusters (SemDeDup-shaped cluster-bounded embedding
 # dedup, four integrity flags + exact global pair count),
 # mm_audio_snippet_match (landmark offset voting recovers every planted
-# snippet at its exact frame offset — audio containment). All three are
+# snippet at its exact frame offset — audio containment),
+# mm_video_snippet_match (frame-sequence offset voting, full coverage =
+# verify), stream_pq_index_mv (frozen-codebook streaming ANN-index
+# maintenance under txn idempotence + replay no-op), and
+# knn_ivfpq_rerank (composed IVF-PQ: coarse lists + residual ADC +
+# exact re-rank; full-probe exactness certified). All six are
 # drive-green at sf0.01 and sf0.1 under vanilla sessions this round. That fills 14+ of 50; top up with the oldest r3 greens
 # (aggregates battery, dedup family, streaming stateful trio, corpus
 # pipeline family, metrics battery, scalars — 49 entries at r3, take the

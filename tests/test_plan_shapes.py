@@ -557,3 +557,76 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_semantic_dedup_within_cluster_join_not_cartesian(spark):
+    """dedup_semantic_clusters' candidate join must be an equi-join on
+    centroid_id (hash or sort-merge), never a nested-loop cartesian —
+    the cluster bound IS the operator's scale claim."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import similarity as S
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    cents = S.kmeans_centroids(e, k=8, iters=1)
+    assign = S.ivf_assign(e, cents, nprobe=1).drop("rank")
+    ve = e.join(assign, "vec_id").select("vec_id", "centroid_id", "embedding")
+    a, b = ve.alias("a"), ve.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", S.cosine_col(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(F.col("cosine") >= 0.40)
+    )
+    plan = _plan(pairs, "simple")
+    # the centroid-assignment stage is vector × broadcast(k centroids) —
+    # a bounded-k BroadcastNestedLoopJoin, the intended linear pass (same
+    # exemption as knn_ivf above). The CANDIDATE join itself must be an
+    # equi-join keyed on centroid_id and nothing may cartesian.
+    assert "CartesianProduct" not in plan, plan
+    cand = [l for l in plan.splitlines() if "Join" in l and "centroid_id" in l]
+    assert cand and all(
+        ("SortMergeJoin" in l) or ("ShuffledHashJoin" in l) or ("BroadcastHashJoin" in l)
+        for l in cand
+    ), cand
+
+
+def test_pq_adc_scan_reads_codes_via_broadcast_lut(spark):
+    """knn_pq_adc's approximate scan must join the exploded CODES to a
+    broadcast lookup table — the corpus's raw vectors must not appear in
+    the ADC stage (they enter only in the shortlist re-rank)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import similarity as S
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < 3)
+    books = S.pq_codebooks(e, m=4, ksub=16, iters=1)
+    codes = S.pq_encode(e, books)
+    out = S.knn_pq_adc(codes, q, books, e, k=3, shortlist=20)
+    plan = _plan(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_snippet_voting_joins_shuffle_on_hash(spark):
+    """The audio/video snippet voting joins must be hash-keyed equi-joins
+    on the landmark/frame hash — never a nested loop over clips."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import multimodal as MM
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    d = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    clips = MM.as_avi_videos_with_snippets(d)
+    hashes = MM.video_frame_phash(clips, keys=["vid_id"])
+    tracks = hashes.filter(F.col("vid_id") < 200000).withColumnRenamed("vid_id", "track_id")
+    snips = hashes.filter(F.col("vid_id") >= 200000).withColumnRenamed("vid_id", "snippet_id")
+    out = MM.frame_sequence_matches(tracks, snips, hash_col="phash", min_votes=6)
+    plan = _plan(out, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

@@ -83,3 +83,24 @@ def test_pq_shortlist_recall_floor(spark):
     total = bf.count()
     assert total == 50
     assert hits * 100 >= total * 40, f"recall@5 {hits}/{total} below the 40% floor"
+
+
+def test_ivfpq_full_probe_reproduces_bruteforce(spark):
+    """Composed IVF-PQ ranking contract: probing every list with the
+    shortlist opened to the corpus must reproduce knn_bruteforce exactly
+    — the residual-ADC inverted index may only ever PRE-FILTER."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 5)
+    n = e.count()
+    coarse, books, codes = S.ivfpq_index(e, num_centroids=8, m=8, ksub=16, iters=2)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.knn_ivfpq(
+            e, q, coarse, books, codes, k=5, nprobe=8, shortlist=n
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.knn_bruteforce(e, q, k=5).collect()
+    }
+    assert got == want
