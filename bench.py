@@ -312,7 +312,11 @@ def _scale_readouts(spark) -> dict:
 
         # containment candidate pairs = the capped postings join's output
         # (directed doc pairs sharing >=1 surviving gram) — the quantity
-        # the max_doc_freq cap bounds.
+        # the max_doc_freq cap bounds. Measured at cap 500 (the gate
+        # parameter): 44.6M pairs at sf1 — super-linear, which is why
+        # the sf1 column runs the documented cap-100 override; this
+        # readout measures the OVERRIDE's candidate set so the payload
+        # shows the number the timed query actually paid.
         toks2 = F.split(F.lower(F.trim("text")), r"\s+")
         base = d.select("doc_id", toks2.alias("w"))
         chunks = base.filter(F.size("w") >= 40).select(
@@ -333,12 +337,12 @@ def _scale_readouts(spark) -> dict:
         stop = (
             expl.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > 500)
+            .filter(F.col("df") > 100)
             .select("sh")
         )
         expl = expl.join(F.broadcast(stop), "sh", "left_anti")
         xa, xb = expl.alias("xa"), expl.alias("xb")
-        out["containment_candidate_pairs"] = (
+        out["containment_candidate_pairs_cap100"] = (
             xa.join(
                 xb,
                 (F.col("xa.sh") == F.col("xb.sh"))

@@ -530,9 +530,16 @@ def pq_codebooks(
     normalize: bool = True,
 ) -> DataFrame:
     """Train the m per-subspace codebooks: Lloyd's k-means with L2
-    assignment on each d/m-dim slice, all-DataFrame (same control-plane
-    shape as kmeans_centroids — only ksub rows per subspace per
-    iteration touch the driver). Vectors are unit-normalized first
+    assignment on each d/m-dim slice, all-DataFrame. All m subspaces
+    train JOINTLY — the slices are exploded to (id, sub_idx, sv) rows
+    and every iteration assigns/averages all subspaces in the same two
+    distributed jobs, so the driver does ``iters`` round-trips of
+    m·ksub centroid rows instead of ``m × iters`` (the per-subspace
+    loop was measured at ~50 driver jobs for m=8/iters=3; the joint
+    form does 3). The math is identical to training each subspace
+    independently: seeds are the ksub smallest-xxhash ids (the same ids
+    in every subspace), assignment is per-(id, sub_idx) L2 top-1, and
+    means never mix subspaces. Vectors are unit-normalized first
     (``normalize=True``, the flat-PQ default) so ADC's L2 ranking equals
     cosine ranking; pass ``normalize=False`` when the input is already a
     residual (IVF-PQ trains codebooks on ``x/|x| − coarse_centroid``,
@@ -549,53 +556,72 @@ def pq_codebooks(
     sub_dim = dim // m
     if sample_mod is not None and sample_mod > 1:
         base = base.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
-    base = base.localCheckpoint(eager=False)
 
-    books = []
-    for j in range(m):
-        train = base.select(F.col(id_col), _subvec(F.col(vec_col), j, sub_dim).alias("sv"))
-        seed_rows = (
-            train.withColumn("__h", F.xxhash64(F.col(id_col)))
-            .orderBy("__h", id_col)
-            .limit(ksub)
-            .select("sv")
+    sliced = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub_idx"),
+                        _subvec(F.col(vec_col), j, sub_dim).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "s.sub_idx", "s.sv").localCheckpoint(eager=True)
+
+    # seeds: the ksub smallest-xxhash ids' slices, every subspace at once
+    seed_rows = (
+        base.withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h", id_col)
+        .limit(ksub)
+        .select(vec_col)
+        .collect()
+    )
+    cents = {
+        (j, c): list(r[vec_col])[j * sub_dim : (j + 1) * sub_dim]
+        for c, r in enumerate(seed_rows)
+        for j in range(m)
+    }
+
+    def as_df(cmap):
+        return spark.createDataFrame(
+            [(j, c, v) for (j, c), v in sorted(cmap.items())],
+            schema="sub_idx INT, code INT, cv ARRAY<DOUBLE>",
+        )
+
+    for _ in range(iters):
+        cdf = as_df(cents)
+        w = W.partitionBy(id_col, "sub_idx").orderBy("d2", "code")
+        assigned = (
+            sliced.join(F.broadcast(cdf), "sub_idx")
+            .withColumn("d2", l2sq_col(F.col("sv"), F.col("cv")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(id_col, "sub_idx", "code", "sv")
+        )
+        means = (
+            assigned.select("sub_idx", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub_idx", "code", "pos")
+            .agg(F.avg("v").alias("mu"))
+            .groupBy("sub_idx", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+                ).alias("cv")
+            )
             .collect()
         )
-        cents = [list(r["sv"]) for r in seed_rows]
-
-        def as_df(vecs):
-            return spark.createDataFrame(
-                [(c, v) for c, v in enumerate(vecs)], schema="code INT, cv ARRAY<DOUBLE>"
-            )
-
-        for _ in range(iters):
-            cdf = as_df(cents)
-            w = W.partitionBy(id_col).orderBy("d2", "code")
-            assigned = (
-                train.join(F.broadcast(cdf))
-                .withColumn("d2", l2sq_col(F.col("sv"), F.col("cv")))
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") == 1)
-                .select(id_col, "code", "sv")
-            )
-            means = (
-                assigned.select("code", F.posexplode("sv").alias("pos", "v"))
-                .groupBy("code", "pos")
-                .agg(F.avg("v").alias("mu"))
-                .groupBy("code")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
-                    ).alias("cv")
-                )
-                .collect()
-            )
-            new_cents = list(cents)  # empty clusters keep their previous centroid
-            for r in means:
-                new_cents[r["code"]] = list(r["cv"])
-            cents = new_cents
-        books.extend((j, c, v) for c, v in enumerate(cents))
-    return spark.createDataFrame(books, schema="sub_idx INT, code INT, sub_vec ARRAY<DOUBLE>")
+        new_cents = dict(cents)  # empty clusters keep their previous centroid
+        for r in means:
+            new_cents[(r["sub_idx"], r["code"])] = list(r["cv"])
+        cents = new_cents
+    return spark.createDataFrame(
+        [(j, c, v) for (j, c), v in sorted(cents.items())],
+        schema="sub_idx INT, code INT, sub_vec ARRAY<DOUBLE>",
+    )
 
 
 def pq_encode(
