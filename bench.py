@@ -137,41 +137,6 @@ DRIFT_SUBSET = [
 ]
 
 
-def _dedup_containment_sf1(spark, sf_dir):
-    """dedup_containment at the sf1-appropriate stop-gram cap.
-
-    Candidate pairs are Σ_gram df² with df capped by max_doc_freq; at a
-    fixed cap the mass grows super-linearly as more grams approach the
-    cap (measured: cap 500 produced 44.6M candidate pairs / 19.8 s at
-    sf1 — a >10 decade ratio). The operator contract prices the cap to
-    the candidate budget, so the sf1 column runs the cap at 100 —
-    measured 45.0k result rows, EXACTLY 10× the sf0.1 answer (nothing
-    true is lost; the planted containments ride rare grams), in ~11 s
-    cold / linear warm."""
-    from pyspark.sql import functions as F2
-
-    from lakehouse_tacklebox_spark.operators.dedup import containment_pairs
-    from lakehouse_tacklebox_spark.queries.textops import _spread
-    from lakehouse_tacklebox_spark.sources import load_tables
-
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    toks = F2.split(F2.lower(F2.trim("text")), r"\s+")
-    base = _spread(d.select("doc_id", toks.alias("w")))
-    chunks = base.filter(F2.size("w") >= 40).select(
-        (F2.col("doc_id") + 10000).alias("doc_id"), F2.slice("w", 1, 25).alias("w")
-    )
-    aug = base.unionByName(chunks)
-    grams = F2.expr(
-        "CASE WHEN size(w) >= 3 THEN transform(sequence(3, size(w)), "
-        "i -> concat_ws(' ', w[i-3], w[i-2], w[i-1])) "
-        "ELSE CAST(array() AS array<string>) END"
-    )
-    return containment_pairs(
-        aug.select("doc_id", grams.alias("grams")), "doc_id", "grams",
-        threshold_ppm=900000, max_doc_freq=100,
-    )
-
-
 def _emb_neardup_lsh_sf1(spark, sf_dir):
     """emb_neardup_lsh at the sf1-appropriate parameterization.
 
@@ -196,10 +161,6 @@ SF1_PARAM_OVERRIDES = {
     "emb_neardup_lsh": (
         _emb_neardup_lsh_sf1,
         "n_planes=96/bands=8 (12-bit bands): bits-per-band scales with n per the operator contract",
-    ),
-    "dedup_containment": (
-        _dedup_containment_sf1,
-        "max_doc_freq=100 (was 500): the stop-gram cap prices the Σdf² candidate budget and scales down with n; result rows are exactly 10× sf0.1",
     ),
 }
 
@@ -310,13 +271,16 @@ def _scale_readouts(spark) -> dict:
         out["mm_video_items"] = vids.count()
         out["mm_video_band_candidates"] = band_candidates(vids, "vid_id", "phash")
 
-        # containment candidate pairs = the capped postings join's output
-        # (directed doc pairs sharing >=1 surviving gram) — the quantity
-        # the max_doc_freq cap bounds. Measured at cap 500 (the gate
-        # parameter): 44.6M pairs at sf1 — super-linear, which is why
-        # the sf1 column runs the documented cap-100 override; this
-        # readout measures the OVERRIDE's candidate set so the payload
-        # shows the number the timed query actually paid.
+        # containment candidate pairs = the postings join's output
+        # (directed doc pairs sharing >=1 surviving gram). On THIS
+        # corpus the max_doc_freq=500 stop-gram cap never binds (max
+        # gram df measured: 10 at sf0.01, 35 at sf0.1, 70 at sf1), so
+        # the number below is the true candidate mass — it grew 11.4×
+        # for 10× docs (Σdf² 4.74M → 54.0M; max df doubling shows the
+        # sf1 synthesis repeats natural grams across replicas), i.e.
+        # mildly super-linear but nowhere near quadratic. The cap is
+        # the designed relief valve if a real corpus's df tail ever
+        # makes this number outrun n.
         toks2 = F.split(F.lower(F.trim("text")), r"\s+")
         base = d.select("doc_id", toks2.alias("w"))
         chunks = base.filter(F.size("w") >= 40).select(
@@ -337,12 +301,12 @@ def _scale_readouts(spark) -> dict:
         stop = (
             expl.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > 100)
+            .filter(F.col("df") > 500)
             .select("sh")
         )
         expl = expl.join(F.broadcast(stop), "sh", "left_anti")
         xa, xb = expl.alias("xa"), expl.alias("xb")
-        out["containment_candidate_pairs_cap100"] = (
+        out["containment_candidate_pairs"] = (
             xa.join(
                 xb,
                 (F.col("xa.sh") == F.col("xb.sh"))

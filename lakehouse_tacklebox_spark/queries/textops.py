@@ -1285,3 +1285,108 @@ def dedup_containment(spark, sf_dir):
     return containment_pairs(
         shingled, "doc_id", "grams", threshold_ppm=900000, max_doc_freq=500
     ).orderBy("id_a", "id_b")
+
+
+# Fixed BPE merge table (rank order — the artifact a tokenizer TRAINING
+# job would produce; here a literal so both engines replay the identical
+# merge program). Merges operate on space-separated symbol sequences;
+# replace() is left-to-right non-overlapping in BOTH engines (probed
+# before trusting: 't h t h' -> 'th th' in Spark AND DuckDB).
+_BPE_MERGES = [
+    ("t h", "th"), ("h e", "he"), ("i n", "in"), ("e r", "er"),
+    ("a n", "an"), ("r e", "re"), ("o n", "on"), ("e n", "en"),
+    ("a t", "at"), ("o r", "or"), ("t i", "ti"), ("e s", "es"),
+    ("t e", "te"), ("th e", "the"), ("a l", "al"), ("s t", "st"),
+    ("a r", "ar"), ("n t", "nt"), ("o u", "ou"), ("in g", "ing"),
+]
+
+
+def _bpe_expr_sql(col: str) -> str:
+    """Nested replace() chain applying the merge table in rank order —
+    the same SQL text is valid in Spark and DuckDB."""
+    expr = col
+    for pair, merged in _BPE_MERGES:
+        expr = f"replace({expr}, '{pair}', '{merged}')"
+    return expr
+
+
+_BPE_SYM_DUCK = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+_BPE_WORDS_DUCK = "string_split_regex(lower(trim(text)), '\\s+')"
+_BPE_ORACLE = f"""
+    WITH words AS (
+        SELECT source, unnest({_BPE_WORDS_DUCK}) AS w
+        FROM documents
+    ), lw AS (
+        SELECT source, w FROM words WHERE regexp_matches(w, '^[a-z]+$')
+    ), b AS (
+        SELECT source, w,
+               {_bpe_expr_sql(_BPE_SYM_DUCK)} AS bpe
+        FROM lw
+    ), t AS (
+        SELECT source, w, bpe, len(string_split(bpe, ' ')) AS n_tok FROM b
+    ), sy AS (
+        SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS n_symbol_types
+        FROM (SELECT source, unnest(string_split(bpe, ' ')) AS s FROM b)
+        GROUP BY source
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT)       AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(n_tok) AS BIGINT)     AS n_tokens,
+           CAST((sum(n_tok) * CAST(1000000 AS BIGINT)) // count(*) AS BIGINT)
+               AS tokens_per_word_ppm,
+           sy.n_symbol_types
+    FROM t JOIN sy USING (source)
+    GROUP BY t.source, sy.n_symbol_types
+    ORDER BY t.source
+"""
+
+
+@register(
+    "text_bpe_tokenize",
+    tags=("text", "tokenizer", "corpus"),
+    oracle=_BPE_ORACLE,
+)
+def text_bpe_tokenize(spark, sf_dir):
+    """BPE tokenization as PURE column expressions — no UDF in the hot
+    path: each [a-z]+ word becomes a space-separated symbol sequence and
+    a FIXED 20-merge table (the artifact tokenizer training produces) is
+    applied as a chained replace() program in rank order; token count =
+    surviving symbol count. The merge chain is the SAME SQL text on both
+    engines, so the oracle checks the tokenizer's exact arithmetic —
+    per-source word/char/token masses, integer tokens-per-word ppm, and
+    the post-merge symbol-type census. Scale: one scan, one explode,
+    whole-stage-codegen string ops, one groupBy on source — the
+    token-counting pass every corpus budget (epoch planner,
+    pack_sequences, temperature mix) starts from."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    words = (
+        d.select("source", F.explode(toks).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+    )
+    sym = "trim(regexp_replace(w, '(.)', '$1 '))"
+    b = words.withColumn("bpe", F.expr(_bpe_expr_sql(sym))).localCheckpoint(eager=False)
+    per_source = b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        F.sum(F.size(F.split("bpe", " "))).cast("bigint").alias("n_tokens"),
+    )
+    sy = (
+        b.select("source", F.explode(F.split("bpe", " ")).alias("s"))
+        .groupBy("source")
+        .agg(F.countDistinct("s").cast("bigint").alias("n_symbol_types"))
+    )
+    return (
+        per_source.join(sy, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("CAST((n_tokens * CAST(1000000 AS BIGINT)) div n_words AS BIGINT)")
+            .alias("tokens_per_word_ppm"),
+            "n_symbol_types",
+        )
+        .orderBy("source")
+    )
