@@ -691,17 +691,47 @@ _LCG_A = 6364136223846793005
 _LCG_C = 1442695040888963407
 
 
-def _lcg_bytes(seed: int, n: int):
-    """Deterministic per-image pixel stream (top 31 bits of a 64-bit LCG,
-    mod 256) — seeded by the image id, engine- and partition-independent."""
+_LCG_TABLE = None  # (A, B) closed-form coefficient arrays, grown on demand
+
+
+def _lcg_table(n: int):
+    """Closed-form LCG coefficients: A[k] = a^(k+1), B[k] = c·Σ_{i≤k} a^i
+    (both mod 2⁶⁴, built by wrapping cumprod/cumsum — no Python loop).
+    Cached and grown to the largest n ever requested."""
     import numpy as np
 
-    out = np.empty(n, dtype=np.float64)
-    s = (seed * _LCG_A + _LCG_C) % (1 << 63)
-    for k in range(n):
-        s = (s * _LCG_A + _LCG_C) % (1 << 63)
-        out[k] = (s >> 33) % 256
-    return out
+    global _LCG_TABLE
+    if _LCG_TABLE is None or _LCG_TABLE[0].size < n:
+        size = max(n, 16384)
+        a = np.uint64(_LCG_A)
+        powers = np.empty(size + 1, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        powers[1:] = np.cumprod(np.full(size, a, dtype=np.uint64))
+        A = powers[1:]
+        B = np.uint64(_LCG_C) * np.cumsum(powers[:size], dtype=np.uint64)
+        _LCG_TABLE = (A, B)
+    return _LCG_TABLE[0][:n], _LCG_TABLE[1][:n]
+
+
+def _lcg_bytes(seed: int, n: int):
+    """Deterministic per-image pixel stream (top 31 bits of a 64-bit LCG,
+    mod 256) — seeded by the image id, engine- and partition-independent.
+
+    Vectorized via the closed form s_k = A[k]·s₀ + B[k] (mod 2⁶⁴) with a
+    final mask to 63 bits — BIT-IDENTICAL to the original per-byte
+    Python loop (which reduced mod 2⁶³ each step): the multiplier is
+    odd, so a·2⁶³ ≡ 2⁶³ (mod 2⁶⁴) and any bit-63 disagreement never
+    contaminates the low 63 bits; tests/test_multimodal.py pins
+    loop↔closed-form equality across seeds and lengths. This was the
+    fixture hot path: ~10⁸ Python loop iterations per sf1 bench pass
+    collapse into three numpy ops per clip."""
+    import numpy as np
+
+    A, B = _lcg_table(n)
+    s0 = np.uint64((seed * _LCG_A + _LCG_C) % (1 << 64))
+    with np.errstate(over="ignore"):
+        sk = (A * s0 + B) & np.uint64((1 << 63) - 1)
+    return ((sk >> np.uint64(33)) % np.uint64(256)).astype(np.float64)
 
 
 def _phash_bits(pix):

@@ -345,3 +345,28 @@ def test_video_snippet_offset_voting(spark):
     assert set(got) == set(expected)
     for sid, (track, off) in expected.items():
         assert got[sid] == (track, off, 6), (sid, got[sid], (track, off))
+
+
+def test_lcg_closed_form_matches_loop():
+    """_lcg_bytes' vectorized closed form must be BIT-IDENTICAL to the
+    original per-step mod-2^63 loop — every multimodal fixture's pixels,
+    samples, and planted-duplicate margins depend on these exact bytes."""
+    import numpy as np
+
+    from lakehouse_tacklebox_spark.operators.multimodal import (
+        _LCG_A,
+        _LCG_C,
+        _lcg_bytes,
+    )
+
+    def loop(seed, n):
+        out = np.empty(n, dtype=np.float64)
+        s = (seed * _LCG_A + _LCG_C) % (1 << 63)
+        for k in range(n):
+            s = (s * _LCG_A + _LCG_C) % (1 << 63)
+            out[k] = (s >> 33) % 256
+        return out
+
+    for seed in (0, 1, 42, 999983, 12345678901):
+        for n in (1, 7, 256, 1441, 12288):
+            assert (loop(seed, n) == _lcg_bytes(seed, n)).all(), (seed, n)
