@@ -212,9 +212,10 @@ _WINDOW_PRIORITY = [
 # maintenance under txn idempotence + replay no-op), and
 # knn_ivfpq_rerank (composed IVF-PQ: coarse lists + residual ADC +
 # exact re-rank; full-probe exactness certified), and text_bpe_tokenize
-# (fixed-merge-table BPE as a chained replace() program, fully oracled).
-# All seven are drive-green at sf0.01 and sf0.1 under vanilla sessions
-# this round. That fills 14+ of 50; top up with the oldest r3 greens
+# (fixed-merge-table BPE as a chained replace() program, fully
+# oracled), and text_bpe_pair_census (the BPE TRAINING statistic —
+# exact tie-broken adjacent-pair census). All eight are drive-green at
+# sf0.01 and sf0.1 under vanilla sessions this round. That fills 14+ of 50; top up with the oldest r3 greens
 # (aggregates battery, dedup family, streaming stateful trio, corpus
 # pipeline family, metrics battery, scalars — 49 entries at r3, take the
 # oldest by ledger order). Done when no entry's newest green row is

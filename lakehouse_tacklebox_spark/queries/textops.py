@@ -1390,3 +1390,56 @@ def text_bpe_tokenize(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bpe_pair_census",
+    tags=("text", "tokenizer", "corpus"),
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ), lw AS (
+        SELECT w FROM words WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+    ), pairs AS (
+        SELECT unnest(list_transform(range(2, length(w) + 1),
+                      i -> w[i-1] || ' ' || w[i])) AS pair
+        FROM lw
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 10
+    """,
+)
+def text_bpe_pair_census(spark, sf_dir):
+    """The BPE TRAINING statistic: the exact census of adjacent symbol
+    pairs over the corpus' [a-z]+ words — rank 1 is the pair a tokenizer
+    trainer would merge first, and iterating this census IS BPE
+    training. One scan, one explode (length-1 pairs per word), one
+    census shuffle keyed on the pair, fully tie-broken top-10; the same
+    map-side-combining shape as the vocabulary census, so 100 TB costs
+    one pass plus a distinct-pairs-sized aggregate. Complements
+    text_bpe_tokenize (which APPLIES a trained table): together they
+    cover the tokenizer train/apply split."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    words = (
+        d.select(F.explode(toks).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(2, length(w)), "
+                "i -> concat(substring(w, i-1, 1), ' ', substring(w, i, 1)))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(10)
+    )
