@@ -762,6 +762,7 @@ def neardup_pairs_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via the Arrow/numpy matmul
     kernel — the same answer as :func:`neardup_pairs` but ~10× faster:
@@ -776,13 +777,29 @@ def neardup_pairs_arrow(
     kernel is unchanged. No cosine column is emitted: chance pairs sit
     far from real-duplicate thresholds (measured on the gate corpora:
     every true pair ≥ 0.99, every non-pair ≤ 0.72), so membership is
-    summation-order robust where a 6-dp rounded VALUE would not be."""
+    summation-order robust where a 6-dp rounded VALUE would not be.
+
+    The broadcast side is driver-staged (Arrow ``toPandas`` of just the
+    two needed columns), so ``max_broadcast_rows`` guards against
+    silently pulling an unbounded corpus through the driver — past it,
+    use the tiled form (block-partitioned matmul) instead. Ids keep
+    their Spark type (string ids work; ordering of the id_a < id_b
+    orientation follows the column's own ordering)."""
     import numpy as np
 
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    proj = df.select(id_col, vec_col)
+    n = proj.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"neardup_pairs_arrow broadcasts the full corpus via the driver: "
+            f"{n} rows > max_broadcast_rows={max_broadcast_rows}. "
+            "Tile both sides (block matmul) or raise the guard explicitly."
+        )
+    id_type = proj.schema[id_col].dataType.simpleString()
+    cpdf = proj.toPandas()
+    ids = cpdf[id_col].to_numpy()
+    mat = np.array([list(v) for v in cpdf[vec_col]], dtype=np.float64)
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
     mat = mat / nrm
@@ -793,7 +810,7 @@ def neardup_pairs_arrow(
         for pdf in batches:
             if pdf.empty:
                 continue
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            b_ids = pdf[id_col].to_numpy()
             b = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             bn = np.linalg.norm(b, axis=1, keepdims=True)
             bn[bn == 0] = 1.0
@@ -804,7 +821,7 @@ def neardup_pairs_arrow(
             keep = a < c
             yield pd.DataFrame({"id_a": a[keep], "id_b": c[keep]})
 
-    return df.select(id_col, vec_col).mapInPandas(_pairs, "id_a long, id_b long")
+    return proj.mapInPandas(_pairs, f"id_a {id_type}, id_b {id_type}")
 
 
 def _minus(vec_a, vec_b):

@@ -1464,7 +1464,7 @@ def stream_pq_index_mv(spark, sf_dir):
     e.select("vec_id", "embedding").repartition(4).write.parquet(src_dir)
     TackleTable.create(spark, tbl_dir, schema="vec_id bigint, codes array<int>")
 
-    last = {"epoch": None, "batch": None}
+    last = {"epoch": None, "rows": None}
 
     def _encode_append(batch_df, epoch):
         s = batch_df.sparkSession
@@ -1484,7 +1484,12 @@ def stream_pq_index_mv(spark, sf_dir):
         )
 
     def _tracking(batch_df, epoch):
-        last["epoch"], last["batch"] = epoch, batch_df
+        # Materialize the batch's ROWS, not the DataFrame handle: a
+        # micro-batch DataFrame is undefined outside its batch, and the
+        # replay below runs after the query terminates — if the final
+        # epoch had genuinely failed to commit, _encode_append would
+        # evaluate it for real, so it must be rebuilt from captured rows.
+        last["epoch"], last["rows"] = epoch, batch_df.collect()
         _encode_append(batch_df, epoch)
 
     raw_schema = spark.read.parquet(src_dir).schema
@@ -1506,8 +1511,9 @@ def stream_pq_index_mv(spark, sf_dir):
     t = TackleTable(spark, tbl_dir)
     v_before_replay = t.version()
     if last["epoch"] is not None:
-        _encode_append(last["batch"], last["epoch"])
-        _encode_append(last["batch"], last["epoch"])
+        replay_df = spark.createDataFrame(last["rows"], raw_schema)
+        _encode_append(replay_df, last["epoch"])
+        _encode_append(replay_df, last["epoch"])
     replay_noop = t.version() == v_before_replay
 
     mv = t.read()

@@ -1287,30 +1287,44 @@ def dedup_containment(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-# Fixed BPE merge table (rank order — the artifact a tokenizer TRAINING
-# job would produce; here a literal so both engines replay the identical
-# merge program). Merges operate on space-separated symbol sequences;
-# replace() is left-to-right non-overlapping in BOTH engines (probed
-# before trusting: 't h t h' -> 'th th' in Spark AND DuckDB).
+# Fixed BPE merge table (rank order) — text_bpe_train's output on the
+# sf0.01 gate corpus, pinned as a literal the way a production tokenizer
+# pins its trained vocab: train once on a dev corpus, apply everywhere.
+# Regenerate with `_bpe_train_oracle()` over sf0.01 documents (DuckDB,
+# <1 s) if the gate corpus ever changes; both engines replay the
+# identical merge program so the tokenize oracle stays exact.
+#
+# Encoding that makes a replace() chain EXACT greedy BPE: symbols are
+# joined by TWO spaces and the word is wrapped in one space each side
+# (' t  e  s  t ' ); each merge pattern is single-space-padded
+# (' t  h ' -> ' th '). A match consumes one space from each boundary's
+# pair and the replacement restores them, so an adjacent occurrence
+# still sees its own leading space — the single-space scheme loses that
+# space to the previous match and silently skips every second
+# occurrence in runs like 'ththth'. Certified against a pure-Python
+# greedy-BPE reference on 5k adversarial words (tests/test_bpe.py);
+# replace() is left-to-right non-overlapping in Python, Spark, and
+# DuckDB alike.
 _BPE_MERGES = [
-    ("t h", "th"), ("h e", "he"), ("i n", "in"), ("e r", "er"),
-    ("a n", "an"), ("r e", "re"), ("o n", "on"), ("e n", "en"),
-    ("a t", "at"), ("o r", "or"), ("t i", "ti"), ("e s", "es"),
-    ("t e", "te"), ("th e", "the"), ("a l", "al"), ("s t", "st"),
-    ("a r", "ar"), ("n t", "nt"), ("o u", "ou"), ("in g", "ing"),
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+    ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
 ]
 
 
-def _bpe_expr_sql(col: str) -> str:
+def _bpe_expr_sql(col: str, merges=None) -> str:
     """Nested replace() chain applying the merge table in rank order —
-    the same SQL text is valid in Spark and DuckDB."""
+    the same SQL text is valid in Spark and DuckDB. `col` must already
+    be in the double-space symbol encoding (see _BPE_MERGES note)."""
     expr = col
-    for pair, merged in _BPE_MERGES:
-        expr = f"replace({expr}, '{pair}', '{merged}')"
+    for a, b in merges if merges is not None else _BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
     return expr
 
 
-_BPE_SYM_DUCK = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+_BPE_SYM_DUCK = "concat(' ', trim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ')"
 _BPE_WORDS_DUCK = "string_split_regex(lower(trim(text)), '\\s+')"
 _BPE_ORACLE = f"""
     WITH words AS (
@@ -1323,10 +1337,10 @@ _BPE_ORACLE = f"""
                {_bpe_expr_sql(_BPE_SYM_DUCK)} AS bpe
         FROM lw
     ), t AS (
-        SELECT source, w, bpe, len(string_split(bpe, ' ')) AS n_tok FROM b
+        SELECT source, w, bpe, len(string_split(trim(bpe), '  ')) AS n_tok FROM b
     ), sy AS (
         SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS n_symbol_types
-        FROM (SELECT source, unnest(string_split(bpe, ' ')) AS s FROM b)
+        FROM (SELECT source, unnest(string_split(trim(bpe), '  ')) AS s FROM b)
         GROUP BY source
     )
     SELECT t.source,
@@ -1349,8 +1363,9 @@ _BPE_ORACLE = f"""
 )
 def text_bpe_tokenize(spark, sf_dir):
     """BPE tokenization as PURE column expressions — no UDF in the hot
-    path: each [a-z]+ word becomes a space-separated symbol sequence and
-    a FIXED 20-merge table (the artifact tokenizer training produces) is
+    path: each [a-z]+ word becomes a double-space symbol sequence (the
+    encoding that makes replace() exact greedy BPE — see _BPE_MERGES)
+    and the 20-merge table text_bpe_train learned on the gate corpus is
     applied as a chained replace() program in rank order; token count =
     surviving symbol count. The merge chain is the SAME SQL text on both
     engines, so the oracle checks the tokenizer's exact arithmetic —
@@ -1365,15 +1380,15 @@ def text_bpe_tokenize(spark, sf_dir):
         d.select("source", F.explode(toks).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))
     )
-    sym = "trim(regexp_replace(w, '(.)', '$1 '))"
+    sym = "concat(' ', trim(regexp_replace(w, '(.)', '$1  ')), ' ')"
     b = words.withColumn("bpe", F.expr(_bpe_expr_sql(sym))).localCheckpoint(eager=False)
     per_source = b.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum(F.length("w")).cast("bigint").alias("n_chars"),
-        F.sum(F.size(F.split("bpe", " "))).cast("bigint").alias("n_tokens"),
+        F.sum(F.size(F.split(F.trim(F.col("bpe")), "  "))).cast("bigint").alias("n_tokens"),
     )
     sy = (
-        b.select("source", F.explode(F.split("bpe", " ")).alias("s"))
+        b.select("source", F.explode(F.split(F.trim(F.col("bpe")), "  ")).alias("s"))
         .groupBy("source")
         .agg(F.countDistinct("s").cast("bigint").alias("n_symbol_types"))
     )
@@ -1390,6 +1405,125 @@ def text_bpe_tokenize(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_BPE_TRAIN_N = 20
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
+    """Unrolled n-stage BPE-training SQL for DuckDB: v0 is the weighted
+    [a-z]{2,} vocab in the double-space symbol encoding; each stage k
+    takes the argmax adjacent pair of v_{k-1} (count desc, pair asc) and
+    applies it via replace() with scalar subqueries. MATERIALIZED is
+    load-bearing: v_k and m_k are each referenced more than once, and
+    inlining would re-expand v0 exponentially (2^n)."""
+    pair_census = (
+        "SELECT s[i] AS a, s[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n FROM ("
+        "SELECT string_split(trim(sym), '  ') AS s, cnt FROM {v}"
+        "), unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2 "
+        "ORDER BY n DESC, a, b LIMIT 1"
+    )
+    parts = [
+        "WITH v0 AS MATERIALIZED (",
+        "  SELECT concat(' ', trim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ') AS sym,",
+        "         CAST(count(*) AS BIGINT) AS cnt",
+        "  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w",
+        "        FROM documents)",
+        "  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2",
+        "  GROUP BY 1",
+        ")",
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f", m{k} AS MATERIALIZED ({pair_census.format(v=f'v{k - 1}')})"
+        )
+        if k < n_merges:
+            parts.append(
+                f", v{k} AS MATERIALIZED (SELECT replace(sym,"
+                f" (SELECT ' ' || a || '  ' || b || ' ' FROM m{k}),"
+                f" (SELECT ' ' || a || b || ' ' FROM m{k})) AS sym, cnt FROM v{k - 1})"
+            )
+    selects = [
+        f"SELECT {k} AS rank, a AS pair_a, b AS pair_b,"
+        f" a || b AS merged, n AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    parts.append(" UNION ALL ".join(selects))
+    parts.append("ORDER BY rank")
+    return "\n".join(parts)
+
+
+@register(
+    "text_bpe_train",
+    tags=("text", "tokenizer", "corpus"),
+    oracle=_bpe_train_oracle(),
+)
+def text_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING — the loop text_bpe_pair_census is one
+    step of, run to 20 merges and fully oracled (the DuckDB side replays
+    the identical 20-stage program as unrolled materialized CTEs).
+    Spark-first shape: ONE corpus scan builds the weighted vocab
+    (distinct [a-z]{2,} word -> count) — the classic Sennrich reduction:
+    after that, every training iteration is an adjacent-pair census over
+    the CACHED vocab (|vocab| << |corpus|), an argmax collect (one row —
+    control plane), and a replace() on the symbol encoding. At 100 TB
+    the corpus pass is the only big job; the 20-iteration loop runs on a
+    frame the size of the language's vocabulary. Tie-break: count desc,
+    then pair (a, b) asc, so the learned table is deterministic.
+    _BPE_MERGES (consumed by text_bpe_tokenize) is this entry's output
+    on the gate corpus — the train -> apply loop the reference's corpus
+    prep implies (dbsys21/lakehouse-tacklebox 02-Data-preparation.py)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    vocab = (
+        d.select(F.explode(toks).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.expr("concat(' ', trim(regexp_replace(w, '(.)', '$1  ')), ' ')").alias("sym"),
+            "cnt",
+        )
+        .cache()
+    )
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        sym_expr = "sym"
+        for rank in range(1, _BPE_TRAIN_N + 1):
+            # Spark arrays are 0-indexed (DuckDB's are 1-indexed) — the
+            # pair census below is the same statistic as the oracle's.
+            top = (
+                vocab.select(
+                    F.expr(f"split(trim({sym_expr}), '  ')").alias("s"), "cnt"
+                )
+                .select(
+                    # sequence(1, 0) DESCENDS in Spark, so a fully-merged
+                    # single-symbol word must short-circuit to a typed empty.
+                    F.explode(
+                        F.expr(
+                            "CASE WHEN size(s) >= 2 THEN"
+                            " transform(sequence(1, size(s) - 1),"
+                            " i -> struct(s[i-1] AS a, s[i] AS b))"
+                            " ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").cast("bigint").alias("n"))
+                .orderBy(F.desc("n"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+            merges.append((rank, a, b, int(n)))
+            sym_expr = f"replace({sym_expr}, ' {a}  {b} ', ' {a}{b} ')"
+        return spark.createDataFrame(
+            [(r, a, b, a + b, n) for r, a, b, n in merges],
+            "rank int, pair_a string, pair_b string, merged string, pair_count bigint",
+        ).orderBy("rank")
+    finally:
+        vocab.unpersist()
 
 
 @register(

@@ -175,6 +175,14 @@ def stateful_funnel(
     KEY-count lifetime is the ``ttl_minutes`` dial: set it on a
     long-running stream so idle keys are dropped
     (ProcessingTimeTimeout, same contract as :func:`stateful_dedup`).
+    Checkpoint compatibility: the state tuple widened from 4 to 5
+    fields (``truncated``) and the output schema gained
+    ``buffer_truncated``. A stream restarted from a checkpoint written
+    by the 4-field version must use a NEW ``checkpointLocation`` — the
+    engine validates the state schema at restore. The unpack below
+    additionally pads ``truncated=0`` for a legacy 4-tuple in case the
+    runtime hands one through.
+
     It is deliberately OFF by default because enabling a group-state
     timeout makes the engine schedule timeout-check micro-batches even
     when no data is pending — measured: an ``availableNow`` replay of
@@ -205,9 +213,18 @@ def stateful_funnel(
         if state.hasTimedOut:
             state.remove()
             return
-        views, clicks, purchases, n_seen, truncated = (
-            state.get if state.exists else ([], [], [], 0, 0)
-        )
+        if state.exists:
+            # Tolerate a checkpoint written by the pre-`truncated` state
+            # layout (4 fields): pad truncated=0. NOTE the engine itself
+            # may reject a schema-changed checkpoint before this code
+            # runs — treat the state-schema widening as
+            # checkpoint-incompatible and start new deployments with a
+            # fresh checkpointLocation (see docstring).
+            st = tuple(state.get)
+            views, clicks, purchases, n_seen = st[:4]
+            truncated = st[4] if len(st) > 4 else 0
+        else:
+            views, clicks, purchases, n_seen, truncated = [], [], [], 0, 0
         views, clicks, purchases = list(views), list(clicks), list(purchases)
         seen = False
         for pdf in pdfs:

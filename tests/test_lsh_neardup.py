@@ -199,3 +199,27 @@ def test_rp_lsh_bands_empty_corpus(spark):
     out = S.rp_lsh_bands(e)
     assert out.collect() == []
     assert out.columns == ["vec_id", "band_idx", "band_key"]
+
+
+def test_neardup_arrow_string_ids_and_guard(spark):
+    """neardup_pairs_arrow must honor the id column's Spark type (string
+    ids included) and refuse to stage an over-sized corpus through the
+    driver instead of silently collecting it."""
+    import pytest
+
+    e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    s = e.select(
+        F.concat(F.lit("doc-"), F.format_string("%06d", "vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    pairs = S.neardup_pairs_arrow(s, threshold=0.3)
+    assert dict(pairs.dtypes) == {"id_a": "string", "id_b": "string"}
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    exact = {
+        (f"doc-{r.id_a:06d}", f"doc-{r.id_b:06d}")
+        for r in S.neardup_pairs(e, threshold=0.3).collect()
+    }
+    assert got == exact and len(got) > 50
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        S.neardup_pairs_arrow(e, threshold=0.3, max_broadcast_rows=10)

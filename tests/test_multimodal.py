@@ -370,3 +370,39 @@ def test_lcg_closed_form_matches_loop():
     for seed in (0, 1, 42, 999983, 12345678901):
         for n in (1, 7, 256, 1441, 12288):
             assert (loop(seed, n) == _lcg_bytes(seed, n)).all(), (seed, n)
+
+
+def test_phash_batch_equals_per_frame():
+    """_phash_many must be BIT-IDENTICAL to packing _phash_bits per
+    frame — the equivalence that licenses the batched video/image hash
+    path (VERDICT r8: per-frame Python DCT loop was the sf1 decade-ratio
+    holder). Covers every (h, w) the fixtures emit plus degenerate dims,
+    on LCG pixels both plain and with the near-dup tweak (the values
+    closest to median-tie bit flips)."""
+    import numpy as np
+
+    from lakehouse_tacklebox_spark.operators.multimodal import (
+        _lcg_bytes,
+        _phash_bits,
+        _phash_many,
+    )
+
+    rng_dims = [(h, w) for h in (16, 21, 27, 8, 5) for w in (16, 24, 31, 9)]
+    for h, w in rng_dims:
+        frames = []
+        for seed in range(977, 977 + 40):
+            pix = _lcg_bytes(seed, 3 * h * w)
+            if seed % 3 == 0:
+                pix = np.minimum(pix + 7, 255.0)
+                idx = np.arange(3 * h * w) % 23 == 0
+                pix[idx] = np.minimum(pix[idx] + 5, 255.0)
+            frames.append(pix.astype(np.uint8))
+        stack = np.stack(frames).reshape(len(frames), h, w, 3)
+        gray = stack.astype(np.float64).mean(axis=3)
+        batched = _phash_many(gray)
+        for i, f in enumerate(frames):
+            bits = _phash_bits(f.reshape(h, w, 3).astype(np.float64))
+            val = np.uint64(0)
+            for b in bits:
+                val = (val << np.uint64(1)) | np.uint64(b)
+            assert int(np.int64(val)) == int(batched[i]), (h, w, i)
