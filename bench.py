@@ -271,16 +271,18 @@ def _scale_readouts(spark) -> dict:
         out["mm_video_items"] = vids.count()
         out["mm_video_band_candidates"] = band_candidates(vids, "vid_id", "phash")
 
-        # containment candidate pairs = the postings join's output
-        # (directed doc pairs sharing >=1 surviving gram). On THIS
-        # corpus the max_doc_freq=500 stop-gram cap never binds (max
-        # gram df measured: 10 at sf0.01, 35 at sf0.1, 70 at sf1), so
-        # the number below is the true candidate mass — it grew 11.4×
-        # for 10× docs (Σdf² 4.74M → 54.0M; max df doubling shows the
-        # sf1 synthesis repeats natural grams across replicas), i.e.
-        # mildly super-linear but nowhere near quadratic. The cap is
-        # the designed relief valve if a real corpus's df tail ever
-        # makes this number outrun n.
+        # containment candidate pairs = the PREFIX-FILTERED probe join's
+        # distinct directed pairs — the exact candidate mass the
+        # production operator verifies (operators.dedup.containment_
+        # candidates, same fixture as the dedup_containment entry).
+        # History: the round-8 FULL postings join measured 4.74M (sf0.1)
+        # → 54.0M (sf1) candidates, 11.4× per decade, with the
+        # max_doc_freq=500 cap never binding (max gram df 70 at sf1);
+        # prefix filtering (rarest ~10% of each doc's grams probe at
+        # t=0.9) is the round-9 fix — this readout now tracks whether
+        # the filtered mass stays ~linear in docs.
+        from lakehouse_tacklebox_spark.operators.dedup import containment_candidates
+
         toks2 = F.split(F.lower(F.trim("text")), r"\s+")
         base = d.select("doc_id", toks2.alias("w"))
         chunks = base.filter(F.size("w") >= 40).select(
@@ -293,29 +295,10 @@ def _scale_readouts(spark) -> dict:
             "i -> concat_ws(' ', w[i-3], w[i-2], w[i-1])) "
             "ELSE CAST(array() AS array<string>) END"
         )
-        expl = (
-            aug.select("doc_id", F.explode(grams).alias("g"))
-            .select("doc_id", F.xxhash64("g").alias("sh"))
-            .distinct()
-        )
-        stop = (
-            expl.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > 500)
-            .select("sh")
-        )
-        expl = expl.join(F.broadcast(stop), "sh", "left_anti")
-        xa, xb = expl.alias("xa"), expl.alias("xb")
-        out["containment_candidate_pairs"] = (
-            xa.join(
-                xb,
-                (F.col("xa.sh") == F.col("xb.sh"))
-                & (F.col("xa.doc_id") != F.col("xb.doc_id")),
-            )
-            .select(F.col("xa.doc_id"), F.col("xb.doc_id"))
-            .distinct()
-            .count()
-        )
+        shingled = aug.select("doc_id", grams.alias("grams"))
+        out["containment_candidate_pairs"] = containment_candidates(
+            shingled, "doc_id", "grams", threshold_ppm=900000, max_doc_freq=500
+        ).count()
     except Exception as e:  # noqa: BLE001 — readouts are diagnostics, never sink the bench
         out["error"] = str(e)[:200]
     return out

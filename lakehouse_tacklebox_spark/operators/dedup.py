@@ -379,13 +379,64 @@ def containment_pairs(
     and flags exactly those subset-duplicates (Broder's resemblance vs
     containment distinction, SEQUENCES'97).
 
-    Same postings-join physique as jaccard_pairs (hash the grams to
-    8-byte keys, optional stop-shingle cap before the quadratic join),
-    but directed: both (A,B) orientations are scored, and the score is
+    Candidate generation uses PREFIX FILTERING (Bayardo et al., WWW'07;
+    Chaudhuri et al., ICDE'06) instead of the full postings self-join:
+    order each doc's shingle set by ascending GLOBAL document frequency
+    (rarest first, hash tie-break), and emit probe postings only from
+    the prefix of length ``sz − ⌈t·sz⌉ + 1``. Soundness: a pair passing
+    the threshold needs ``inter ≥ ⌈t·|A|⌉`` shared shingles, and any
+    ``sz_A − ⌈t·sz_A⌉ + 1`` elements of A must contain one of them — so
+    every qualifying pair has a prefix hit and NO result row is lost
+    (pure candidate pruning; the rows are pinned by the dedup_containment
+    oracle). At t = 0.9 the probe side shrinks ~10× by length alone, and
+    because the prefix holds each doc's RAREST shingles the df² mass
+    collapses much further — this is the fix for the 44.6M-candidate
+    super-linear growth VERDICT r8 flagged; the ``max_doc_freq`` cap
+    (which drops stop shingles and CHANGES results) stays as an
+    independent, optional dial. Verification is exact per candidate via
+    ``array_intersect`` on the per-doc hash arrays — O(candidates ·
+    doc_size), the same shape as :func:`jaccard_for_pairs`.
+
+    Directed: both (A,B) orientations are scored, and the score is
     exact integer ppm (``inter·10⁶ div |A|``) so the result is
     engine-reproducible. Shingle multiplicity is collapsed per doc
     (set semantics) before sizing.
     """
+    docs, exploded = _containment_docs(
+        shingled, id_col, shingle_col, threshold_ppm, max_doc_freq
+    )
+    cand = _containment_candidates_from(docs, exploded, id_col)
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("arr").alias("__sa"),
+        F.col("sz").cast("bigint").alias("sz_a"),
+    )
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("__sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")).cast("bigint"))
+        .withColumn(
+            "containment_ppm",
+            F.expr("CAST((inter * CAST(1000000 AS BIGINT)) div sz_a AS BIGINT)"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "inter", "sz_a", "containment_ppm")
+    )
+
+
+def _containment_docs(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold_ppm: int,
+    max_doc_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(docs, exploded) for the prefix-filtered containment join: docs =
+    (id, arr, sz, prefix_len) with ``arr`` the doc's distinct shingle
+    hashes ordered by (global df asc, hash asc) — rarest first — and
+    ``prefix_len = sz − ⌈threshold·sz⌉ + 1`` computed in exact integer
+    arithmetic; exploded = the distinct (id, sh) postings."""
     exploded = (
         shingled.select(F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("sh"))
         .filter(F.col("sh").isNotNull())
@@ -400,21 +451,53 @@ def containment_pairs(
             .select("sh")
         )
         exploded = exploded.join(F.broadcast(stop), "sh", "left_anti")
-    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    return (
-        inter.join(sa, "id_a")
-        .withColumn(
-            "containment_ppm",
-            F.expr("CAST((inter * CAST(1000000 AS BIGINT)) div sz_a AS BIGINT)"),
+    dfs = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        exploded.join(dfs, "sh")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ord"))
+        .select(
+            F.col(id_col),
+            F.expr("transform(ord, x -> x.sh)").alias("arr"),
+            F.size("ord").alias("sz"),
         )
-        .filter(F.col("containment_ppm") >= threshold_ppm)
-        .select("id_a", "id_b", "inter", "sz_a", "containment_ppm")
+        .withColumn(
+            "prefix_len",
+            F.expr(
+                "CAST(sz - (sz * CAST({t} AS BIGINT) + 999999) div 1000000 + 1 AS INT)".format(
+                    t=int(threshold_ppm)
+                )
+            ),
+        )
     )
+    return docs, exploded
+
+
+def _containment_candidates_from(docs: DataFrame, exploded: DataFrame, id_col: str) -> DataFrame:
+    pre = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(F.expr("slice(arr, 1, greatest(prefix_len, 0))")).alias("sh"),
+    )
+    post = exploded.select(F.col(id_col).alias("id_b"), "sh")
+    return (
+        pre.join(post, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def containment_candidates(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold_ppm: int = 900000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """The prefix-filtered candidate PAIR set containment_pairs verifies
+    — exposed so scale readouts (bench.py's containment_candidate_pairs)
+    measure the exact candidate mass the production operator generates."""
+    docs, exploded = _containment_docs(
+        shingled, id_col, shingle_col, threshold_ppm, max_doc_freq
+    )
+    return _containment_candidates_from(docs, exploded, id_col)
