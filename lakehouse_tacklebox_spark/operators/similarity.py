@@ -872,6 +872,146 @@ def ivfpq_index(
     return coarse, books, codes
 
 
+def sq_bounds(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (dim, mn, mx) bounds over the DOUBLE-cast corpus —
+    the training artifact of 8-bit scalar quantization (one corpus scan,
+    d-row output; min/max are selections, so the result is bit-exact and
+    order-independent, unlike a float sum). dim is 0-indexed."""
+    return (
+        corpus.select(
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        )
+        .groupBy(F.col("pos").alias("dim"))
+        .agg(F.min("col").alias("mn"), F.max("col").alias("mx"))
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """8-bit scalar quantization: code_d = floor((x_d − mn_d)·255 /
+    (mx_d − mn_d)), capped at 255 — 4× smaller than float32 and, unlike
+    PQ, EXACTLY reproducible in ANSI SQL: +, −, ×, / on doubles are
+    IEEE-correctly-rounded in every engine, so the same expression text
+    yields bit-identical doubles and floor() needs NO tie margin (the
+    knn_sq_rerank oracle replays this codec in DuckDB verbatim and
+    hash-compares). Returns (id_col, codes array<int>), dim order
+    preserved. One explode + broadcast bounds join + re-assemble."""
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    code = F.expr(
+        "CASE WHEN mx = mn THEN 0"
+        " ELSE CAST(least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) AS INT) END"
+    )
+    return (
+        exploded.join(F.broadcast(bounds), "dim")
+        .select(F.col(id_col), "dim", code.alias("code"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def knn_sq(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """SQ-compressed ANN with exact re-rank: the corpus scan reads ONLY
+    the int8-code column; the approximate score is the INTEGER dot
+    product of zero-centered codes Σ(2c−255)(2q−255) — integer sums are
+    exact and summation-order-free, so the shortlist is deterministic
+    cross-engine with no float-tie analysis at all (the property PQ's
+    float ADC cannot give). The ``shortlist`` best per query re-rank by
+    exact cosine. Codes-only scan is JVM codegen end-to-end (explode +
+    broadcast-join + sum), no Python, no HOF folds."""
+    cc = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("dim", "c")
+    )
+    qq = query_codes.select(
+        F.col(id_col).alias("query_id"), F.posexplode("codes").alias("dim", "qv")
+    )
+    sdot = (
+        cc.join(F.broadcast(qq), "dim")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                (2 * F.col("qv") - 255).cast("bigint") * (2 * F.col("c") - 255)
+            ).alias("s")
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    short = (
+        sdot.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    rer = (
+        short.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a FROZEN IVF-PQ structure (coarse
+    centroids + residual codebooks) — the index-MAINTENANCE encoder: a
+    deployed ANN index trains offline once and encodes every
+    insert/backfill batch against the frozen structure, so this is the
+    per-batch path :func:`ivfpq_index` is the one-shot training form of.
+    Same pipeline as ivfpq_index's encode tail: unit-normalize, nearest
+    coarse list, residual against the list centroid, PQ-encode the
+    residual. Returns (id_col, centroid_id, codes). Cost per batch:
+    |batch| × (k coarse distances + m sub-assignments) — broadcast
+    joins only, no corpus shuffle."""
+    cu = unit_normalize(df.select(F.col(id_col), F.col(vec_col)), vec_col)
+    assign = ivf_assign(cu, coarse, id_col, vec_col, nprobe=1).drop("rank")
+    cc = coarse.select("centroid_id", F.col(vec_col).alias("__cent"))
+    resid = (
+        cu.join(assign, id_col)
+        .join(F.broadcast(cc), "centroid_id")
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            _minus(F.col(vec_col), F.col("__cent")).alias(vec_col),
+        )
+    )
+    return pq_encode(resid, codebooks, id_col, vec_col, normalize=False).join(
+        resid.select(id_col, "centroid_id"), id_col
+    )
+
+
 def knn_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,

@@ -99,7 +99,14 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 # Order the registry so every entry's NEWEST green row stays recent across
 # the union of rounds; never-checked entries get evidence first.
 #
-# Staleness ledger (newest green driver row per entry, after round 7):
+# Staleness ledger (newest green driver row per entry, after round 8):
+#   r8 (50): the 46 round-7 additions (TPC-DS waves 16-18, sketch/
+#     profiler family, stream-stream FULL/SEMI/ANTI + retraction MVs,
+#     multimodal near-dup trio, containment/spans/bigram/cascade/split/
+#     epoch-plan, SQL-surface trio, win_session_dynamic_gap,
+#     table_skipping_pointlookup, agg_approx_quantiles_cert,
+#     metrics_anomaly_days, table_version_diff) + knn_ivf +
+#     optimizer_strategy_loop + q18/q19.
 #   r7 (50): TPC-DS waves 10-15 (26), TPC-H q1-q17 ex q15 (16),
 #     stream_incremental_join_mv, stream_dedup_within_watermark,
 #     stream_stream_left_join, text_nearest_neighbor,
@@ -112,114 +119,84 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 #     knn_ivf_recall_cert, windows battery (9), cdc_scd2_late_events.
 #   r5 (50): aggregates battery, joins battery, set ops, scalars,
 #     TPC-DS waves 1-3, dedup/ANN/text family refreshes.
-#   r3 (49): streaming battery (dedup/user_stats/stream_stream_join/
-#     session_window), corpus pipeline family, metrics battery (most),
-#     plans battery, validation (most).
-#   r2 (16): q18-q22, q_top_supplier, text_langid/quality/
-#     token_stats/fingerprint_groups, metrics_user_activity/
-#     _top_durations/_cost_efficiency, stream_hourly_rollup,
-#     validate_diff_drilldown, reconcile_counts_by_grain.
-#   never (48): the 46 round-7 additions that landed after the round-7
-#     window froze (TPC-DS waves 16-18, the sketch/profiler family, the
-#     stream-stream FULL/SEMI/ANTI + retraction MVs, the multimodal
-#     near-dup trio, containment/spans/bigram/cascade/split/epoch-plan,
-#     the SQL-surface trio, win_session_dynamic_gap,
-#     table_skipping_pointlookup, agg_approx_quantiles_cert,
-#     metrics_anomaly_days, table_version_diff — all green in
-#     tools/drive_contract.py full runs), plus knn_ivf (newly oracled
-#     this round — never checked WITH its oracle) and
-#     optimizer_strategy_loop (new this round).
+#   r3 (24 after this window drains 25; corpus_tfidf_top returned to
+#     the pool when knn_sq_rerank took its slot): agg_rollup/pivot, join_left_
+#     outer/anti/semi/full_outer/range_band/multiway_using,
+#     metrics_ops_summary/percentiles, event_log_json_analytics,
+#     mm_metadata_by_mime, mm_frame_stats, profile_customer,
+#     scalar_strings/dates/json, knn_bruteforce, emb_neardup_pairs,
+#     emb_label_centroids, stream_stateful_dedup, dedup_exact_stats,
+#     dedup_exact_survivors, corpus_tfidf_top — round 10's refresh block.
+#   r2: NONE after this window (the last 14 are in it).
+#   never: NONE after this window (the 8 round-8 post-freeze additions
+#     and the 2 round-9 additions are in it).
 #
-# Round-8 window (below): the 46 never-checked round-7 additions +
-# knn_ivf + optimizer_strategy_loop + the 2 oldest r2-stale TPC-H.
+# Round-9 window (below): the 8 round-8 post-freeze additions + the 3
+# round-9 additions (text_bpe_train, cdc_ann_index_deletes,
+# knn_sq_rerank) + the 14 r2-stale entries + the 25 oldest r3 greens in
+# CORRECTNESS_r03 ledger order. VERDICT r8 item 1: after this round never-checked drops to 0
+# for the first time and no entry's newest green row predates r3.
 _WINDOW_PRIORITY = [
-    # (a) never driver-checked round-7 additions — TPC-DS waves 16-18
-    "ds_quantity_band_stats",
-    "ds_excess_discount_lines",
-    "ds_active_priced_parts",
-    "ds_nation_return_refunds",
-    "ds_attribute_combo_census",
-    "ds_weekday_priority_matrix",
-    "ds_channel_union_yoy",
-    "ds_profit_rollup_channels",
-    "ds_hourly_type_share",
-    "ds_bigticket_customer_split",
-    "ds_promo_revenue_ratio",
-    "ds_multi_supplier_return_orders",
-    "ds_cumulative_priority_crossover",
-    "ds_rollup_level_share_rank",
-    "ds_brand_month_deviation",
-    "ds_type_share_in_category",
-    "ds_monthly_error_trend",
-    "ds_lapsed_customer_census",
-    # (a cont.) never driver-checked round-7 non-DS additions
-    "table_skipping_pointlookup",
-    "stream_stream_full_outer_join",
-    "corpus_pack_sequences",
-    "text_duplicate_spans",
-    "agg_approx_quantiles_cert",
-    "stream_join_then_window",
-    "agg_heavy_hitters_mg",
-    "profile_skew_advisor",
-    "stream_heavy_hitters_mv",
-    "profile_join_size",
-    "corpus_split_leakage_safe",
-    "text_bigram_commonness",
-    "corpus_filter_cascade",
-    "stream_mv_retraction",
-    "stream_stream_semi_join",
-    "stream_stream_anti_join",
-    "metrics_anomaly_days",
-    "table_version_diff",
-    "dedup_containment",
-    "profile_functional_deps",
-    "mm_image_phash_neardup",
-    "corpus_epoch_plan",
-    "sql_recursive_hierarchy",
-    "sql_lateral_topk",
-    "udtf_chunk_documents",
-    "mm_audio_fingerprint_neardup",
-    "mm_video_phash_neardup",
-    "win_session_dynamic_gap",
-    # (b) newly oracled / new this round (never checked WITH an oracle):
-    # knn_ivf folded its recall certification in (VERDICT r7 item 4 —
-    # exact top-5 rows + in_full_probe + recall3_ge_50pct flags, oracled,
-    # retiring the registry's last rows-only slot); the optimizer
-    # strategy loop is VERDICT r7 item 3.
-    "knn_ivf",
-    "optimizer_strategy_loop",
-    # (c) r2-stale refresh head (the two oldest TPC-H tail entries; the
-    # rest of the r2 tail is round 9's block — see the plan below)
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
+    # (a) never driver-checked: round-8 post-freeze additions
+    "knn_pq_rerank",
+    "dedup_semantic_clusters",
+    "mm_audio_snippet_match",
+    "mm_video_snippet_match",
+    "stream_pq_index_mv",
+    "knn_ivfpq_rerank",
+    "text_bpe_tokenize",
+    "text_bpe_pair_census",
+    # (a cont.) never driver-checked: new this round
+    "text_bpe_train",
+    "cdc_ann_index_deletes",
+    "knn_sq_rerank",
+    # (b) the 14 r2-stale entries (newest green row = round 2)
+    "q20_excess_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customer_balance",
+    "q_top_supplier",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    "text_fingerprint_groups",
+    "metrics_user_activity",
+    "metrics_top_durations",
+    "metrics_cost_efficiency",
+    "stream_hourly_rollup",
+    "validate_diff_drilldown",
+    "reconcile_counts_by_grain",
+    # (c) the 25 oldest r3 greens, CORRECTNESS_r03 ledger order
+    "stream_stateful_user_stats",
+    "metrics_error_classes",
+    "metrics_activity_heatmap",
+    "join_salted_skew",
+    "dedup_simhash",
+    "agg_grouping_sets",
+    "dedup_cluster_assign",
+    "sample_stratified",
+    "corpus_shard_pack",
+    "text_pii_scrub",
+    "text_decontaminate",
+    "corpus_vocab",
+    "stream_stream_join",
+    "stream_session_window",
+    "text_repetition_filter",
+    "dedup_incremental",
+    "corpus_pipeline",
+    "emb_quantize_stats",
+    "ds_multi_count_buckets",
+    "ds_channel_rollup",
+    "metrics_daily_trend",
+    "metrics_error_bursts",
+    "mm_block_dedup",
+    "text_html_strip",
+    "join_interval_overlap",
 ]
-# Round-9 window plan (mechanical, from the ledger): after round 8 the
-# only entries whose newest green driver row predates r3 are the 14
-# remaining r2-stale names — q20_excess_share_suppliers,
-# q21_waiting_suppliers, q22_dormant_customer_balance, q_top_supplier,
-# text_langid, text_quality, text_token_stats, text_fingerprint_groups,
-# metrics_user_activity, metrics_top_durations, metrics_cost_efficiency,
-# stream_hourly_rollup, validate_diff_drilldown,
-# reconcile_counts_by_grain — plus the round-8 additions that landed
-# after THIS window froze: knn_pq_rerank (PQ/ADC + exact re-rank,
-# self-certifying: full-shortlist exactness + measured recall floor),
-# dedup_semantic_clusters (SemDeDup-shaped cluster-bounded embedding
-# dedup, four integrity flags + exact global pair count),
-# mm_audio_snippet_match (landmark offset voting recovers every planted
-# snippet at its exact frame offset — audio containment),
-# mm_video_snippet_match (frame-sequence offset voting, full coverage =
-# verify), stream_pq_index_mv (frozen-codebook streaming ANN-index
-# maintenance under txn idempotence + replay no-op), and
-# knn_ivfpq_rerank (composed IVF-PQ: coarse lists + residual ADC +
-# exact re-rank; full-probe exactness certified), and text_bpe_tokenize
-# (fixed-merge-table BPE as a chained replace() program, fully
-# oracled), and text_bpe_pair_census (the BPE TRAINING statistic —
-# exact tie-broken adjacent-pair census). All eight are drive-green at
-# sf0.01 and sf0.1 under vanilla sessions this round. That fills 14+ of 50; top up with the oldest r3 greens
-# (aggregates battery, dedup family, streaming stateful trio, corpus
-# pipeline family, metrics battery, scalars — 49 entries at r3, take the
-# oldest by ledger order). Done when no entry's newest green row is
-# older than r5 (VERDICT r7 item 6).
+# Round-10 window plan (mechanical, from the ledger): the 23 remaining
+# r3 entries (list above) + any round-9 post-freeze additions + the
+# oldest r5 greens to fill 50 (aggregates/joins/set-ops/scalars
+# batteries, r5 ledger order). Done when no entry's newest green row is
+# older than r5.
 
 
 def _reorder_registry() -> None:

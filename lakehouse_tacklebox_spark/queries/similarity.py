@@ -674,3 +674,105 @@ def knn_ivfpq_rerank(spark, sf_dir):
             .alias("recall_ge_40pct"),
         )
     )
+
+
+@register(
+    "knn_sq_rerank",
+    tags=("similarity", "ann", "quantization"),
+    # FULLY ORACLED, pipeline and all — the step past the PQ/IVF
+    # entries' self-certification: 8-bit scalar quantization is pure
+    # floor() arithmetic (no k-means), and the approximate score is an
+    # INTEGER dot product of zero-centered codes, so DuckDB replays the
+    # ENTIRE approximate pipeline — codec, codes-only scan, shortlist,
+    # exact re-rank, and the measured recall@5 — and hash-compares
+    # every emitted value. No float-tie analysis is needed anywhere:
+    # +,−,×,/ on doubles are IEEE-correctly-rounded in both engines
+    # (bit-identical codes), and integer sums are order-free (identical
+    # shortlists). recall5_pct is an exact integer BOTH engines derive
+    # independently — an ANN entry whose recall itself is
+    # oracle-checked. Measured: 100 at sf0.001/0.01/0.1 (SQ keeps
+    # 1 byte/dim = 64 B/vector, 4× compression, vs PQ's 8 B — ordering
+    # survives on the isotropic corpus, which is exactly the tradeoff
+    # story next to knn_pq_rerank's 0.70-0.82 at 32×).
+    oracle="""
+    WITH corpus AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS MATERIALIZED (
+        SELECT i AS dim, min(v[i]) AS mn, max(v[i]) AS mx
+        FROM corpus, unnest(range(1, len(v) + 1)) AS t(i)
+        GROUP BY 1
+    ), codes AS MATERIALIZED (
+        SELECT vec_id, list(CASE WHEN mx = mn THEN 0
+            ELSE CAST(least(floor((v[dim] - mn) * 255.0 / (mx - mn)), 255.0) AS INT) END
+            ORDER BY dim) AS c
+        FROM corpus, dims
+        GROUP BY vec_id
+    ), qc AS MATERIALIZED (SELECT vec_id AS query_id, c AS q FROM codes WHERE vec_id < 10),
+    sdot AS MATERIALIZED (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               CAST(sum((2*q[i]-255) * (2*c.c[i]-255)) AS BIGINT) AS s
+        FROM qc, codes c, unnest(range(1, len(q)+1)) AS t(i)
+        WHERE c.vec_id <> query_id
+        GROUP BY 1, 2
+    ), short AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS srk
+            FROM sdot
+        ) WHERE srk <= greatest(50, (SELECT count(*) FROM corpus) // 10)
+    ), rer AS MATERIALIZED (
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT sh.query_id, sh.neighbor_id,
+                   round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+                   row_number() OVER (PARTITION BY sh.query_id ORDER BY
+                     round(list_cosine_similarity(q.v, c.v), 6) DESC, sh.neighbor_id) AS rank
+            FROM short sh
+            JOIN corpus q ON q.vec_id = sh.query_id
+            JOIN corpus c ON c.vec_id = sh.neighbor_id
+        ) WHERE rank <= 5
+    ), bf AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+            FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rank <= 5
+    ), recall AS MATERIALIZED (
+        SELECT CAST(count(*) * 100 // (SELECT count(*) FROM bf) AS BIGINT) AS recall5_pct
+        FROM bf JOIN rer USING (query_id, neighbor_id)
+    )
+    SELECT r.query_id, r.neighbor_id, r.cosine, r.rank, rc.recall5_pct
+    FROM rer r CROSS JOIN recall rc
+    ORDER BY r.query_id, r.rank
+    """,
+)
+def knn_sq_rerank(spark, sf_dir):
+    """8-bit scalar-quantized ANN with exact re-rank — the 4×-compressed
+    codes-only scan (operators/similarity.py sq_bounds/sq_encode/knn_sq):
+    per-dim min/max bounds (one scan, d rows), floor-quantized int codes,
+    integer-dot shortlist of max(50, n/10) per query, exact cosine top-5.
+    Returns the APPROXIMATE pipeline's own output rows plus the measured
+    recall@5 vs brute force as an exact integer percent — and the DuckDB
+    oracle independently replays codec, scan, shortlist, re-rank, AND
+    recall, so every value here is hash-compared, not self-certified.
+    At 100 TB: bounds are a d-row broadcast artifact, the scan reads a
+    4×-smaller column with integer arithmetic, and raw vectors surface
+    only at shortlist size — the SQ tier every vector store ships as the
+    cheap rung under PQ."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    bounds = S.sq_bounds(e).localCheckpoint(eager=True)
+    codes = S.sq_encode(e, bounds).localCheckpoint(eager=True)
+    qcodes = codes.filter(F.col("vec_id") < 10)
+    n_corpus = e.count()
+    out = S.knn_sq(
+        codes, qcodes, e, q, k=5, shortlist=max(50, n_corpus // 10)
+    ).localCheckpoint(eager=True)
+    bf = S.knn_bruteforce(e, q, k=5)
+    hits = bf.select("query_id", "neighbor_id").join(
+        out.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    total = bf.count()
+    return out.withColumn(
+        "recall5_pct", F.lit(hits * 100 // total).cast("bigint")
+    ).orderBy("query_id", "rank")
