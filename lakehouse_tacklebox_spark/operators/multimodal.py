@@ -1275,6 +1275,154 @@ def as_avi_videos_with_snippets(documents: DataFrame, id_col: str = "doc_id") ->
     )
 
 
+def as_bmp_images_with_crops(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """BMP fixture with planted CONTAINED crops — the image analogue of
+    the audio/video snippet fixtures (a cropped region reposted as its
+    own image: thumbnails, quote-crops, sprite extraction): every
+    ``id % 3 == 0`` document becomes an LCG-random-pixel BMP (dims
+    16-31 × 16-27, the pHash-safe sizing), and every ``id % 9 == 0``
+    also yields a 12×12 crop at ``id + 300000``: the TILE-ALIGNED 3×3
+    block of 4×4-pixel cells at tile offset ``ox = (id·3) mod (tw−2)``,
+    ``oy = (id·5) mod (th−2)`` where ``tw = width//4``, ``th =
+    height//4`` (tw ∈ [4,7], th ∈ [4,6], so a 3×3 crop always fits and
+    the moduli are ≥ 2). Pixels are bit-exact copies through the real
+    BMP round-trip, so per-tile hashes match exactly; the planted
+    (ox, oy) is id arithmetic an oracle can derive without decoding a
+    byte. Rows: (img_id, src_id, role, off_x, off_y, width, height)."""
+    import numpy as np
+
+    w_expr = (F.col(id_col) % 16 + 16).cast("int")
+    h_expr = (F.col(id_col) % 12 + 16).cast("int")
+    tw = F.floor(w_expr / 4).cast("int")
+    th = F.floor(h_expr / 4).cast("int")
+    base = documents.filter(F.col(id_col) % 3 == 0).select(
+        F.col(id_col).alias("img_id"),
+        F.col(id_col).alias("src_id"),
+        w_expr.alias("width"),
+        h_expr.alias("height"),
+        F.lit("image").alias("role"),
+        F.lit(-1).cast("int").alias("off_x"),
+        F.lit(-1).cast("int").alias("off_y"),
+    )
+    crops = documents.filter(F.col(id_col) % 9 == 0).select(
+        (F.col(id_col) + 300000).alias("img_id"),
+        F.col(id_col).alias("src_id"),
+        w_expr.alias("width"),
+        h_expr.alias("height"),
+        F.lit("crop").alias("role"),
+        ((F.col(id_col) * 3) % (tw - F.lit(2))).cast("int").alias("off_x"),
+        ((F.col(id_col) * 5) % (th - F.lit(2))).cast("int").alias("off_y"),
+    )
+
+    @pandas_udf("binary")
+    def _enc(srcs: pd.Series, ws: pd.Series, hs: pd.Series,
+             roles: pd.Series, oxs: pd.Series, oys: pd.Series) -> pd.Series:
+        out = []
+        for s, w, h, role, ox, oy in zip(srcs, ws, hs, roles, oxs, oys):
+            w, h = int(w), int(h)
+            pix = _lcg_bytes(int(s), 3 * w * h).astype(np.uint8).reshape(h, w * 3)
+            if role == "crop":
+                r0, c0 = int(oy) * 4, int(ox) * 4 * 3
+                pix = pix[r0 : r0 + 12, c0 : c0 + 36]
+            out.append(_bmp_encode(pix))
+        return pd.Series(out)
+
+    return base.unionByName(crops).withColumn(
+        "payload", _enc("src_id", "width", "height", "role", "off_x", "off_y")
+    )
+
+
+def image_tile_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    keys: list[str] | None = None,
+    tile: int = 4,
+) -> DataFrame:
+    """Per-tile content hashes — the 2-D index side of crop containment:
+    decode once, cut the image into ``tile×tile`` pixel cells (the grid
+    covers the top-left ``(h//tile)·(w//tile)`` cells; ragged edges are
+    ignored on BOTH sides, so alignment is preserved), and emit one row
+    per cell: (keys..., tx, ty, th) with ``th = xxhash64(cell bytes)``
+    computed JVM-side on the emitted binary. The Python side is byte
+    slicing only (one reshape/transpose per image); hashing, joining,
+    and voting stay JVM expressions. A 4×4 RGB cell is 48 random bytes,
+    so 64-bit hashes collide nowhere near voting thresholds."""
+    import numpy as np
+
+    keys = keys or ["img_id"]
+
+    def _tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key_vals, payload in zip(
+                zip(*(pdf[k] for k in keys)), pdf[payload_col]
+            ):
+                _, _, pix3 = _bmp_decode(bytes(payload))
+                h = pix3.shape[0]
+                w = pix3.shape[1] // 3
+                th_g, tw_g = h // tile, w // tile
+                if th_g == 0 or tw_g == 0:
+                    continue
+                arr = (
+                    np.ascontiguousarray(pix3[: th_g * tile, : tw_g * tile * 3])
+                    .reshape(th_g, tile, tw_g, tile * 3)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(th_g * tw_g, tile * tile * 3)
+                )
+                for idx in range(arr.shape[0]):
+                    rows.append(
+                        [*key_vals, idx % tw_g, idx // tw_g, arr[idx].tobytes()]
+                    )
+            yield pd.DataFrame(rows, columns=[*keys, "tx", "ty", "tile_bytes"])
+
+    schema = ", ".join(f"{k} long" for k in keys) + ", tx int, ty int, tile_bytes binary"
+    hashed = df.select(*keys, payload_col).mapInPandas(_tiles, schema)
+    return hashed.select(*keys, "tx", "ty", F.xxhash64("tile_bytes").alias("th"))
+
+
+def tile_offset_matches(
+    image_tiles: DataFrame,
+    crop_tiles: DataFrame,
+    hash_col: str = "th",
+    image_id: str = "image_id",
+    crop_id: str = "crop_id",
+    min_votes: int = 9,
+) -> DataFrame:
+    """2-D containment by tile-offset voting — frame_sequence_matches
+    lifted to two dimensions: join on the tile hash, histogram the
+    (dx, dy) = (tx_img − tx_crop, ty_img − ty_crop) displacement per
+    (crop, image), keep displacements where ≥ ``min_votes`` cells agree.
+    With 64-bit cell hashes a chance agreement of ``min_votes`` cells at
+    ONE displacement is ~2⁻⁶⁴·ᵛ — full coverage (min_votes = the crop's
+    cell count) IS the verify. Shuffle moves (hash, tx, ty) rows then
+    (pair, dx, dy) votes — both linear in tiles."""
+    t = image_tiles.select(
+        F.col(image_id), F.col("tx").alias("i_tx"), F.col("ty").alias("i_ty"), F.col(hash_col)
+    )
+    s = crop_tiles.select(
+        F.col(crop_id), F.col("tx").alias("c_tx"), F.col("ty").alias("c_ty"), F.col(hash_col)
+    )
+    votes = (
+        s.join(t, hash_col)
+        .groupBy(
+            crop_id,
+            image_id,
+            (F.col("i_tx") - F.col("c_tx")).alias("dx"),
+            (F.col("i_ty") - F.col("c_ty")).alias("dy"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter((F.col("votes") >= min_votes) & (F.col("dx") >= 0) & (F.col("dy") >= 0))
+    )
+    w = W.partitionBy(crop_id).orderBy(
+        F.col("votes").desc(), F.col(image_id), "dx", "dy"
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(crop_id, image_id, "dx", "dy", "votes")
+    )
+
+
 def frame_sequence_matches(
     track_frames: DataFrame,
     snippet_frames: DataFrame,

@@ -735,3 +735,86 @@ def mm_video_snippet_match(spark, sf_dir):
         )
         .orderBy("snippet_id")
     )
+
+
+@register(
+    "mm_image_crop_match",
+    tags=("multimodal", "image", "containment", "certification"),
+    # Same oracle design as the audio/video snippet entries: the planted
+    # containment is pure id arithmetic (tile grid tw = (id%16+16)//4,
+    # th = (id%12+16)//4; crop offset ox = (id*3) mod (tw-2),
+    # oy = (id*5) mod (th-2)), so the oracle derives the full expected
+    # match table — crop → source image at the exact planted (dx, dy)
+    # tile displacement — without decoding a byte. 64-bit xxhash cell
+    # hashes make a chance 9-cell agreement at one displacement
+    # ~impossible, so full coverage (votes = 9) IS the verify.
+    oracle="""
+    SELECT CAST(doc_id + 300000 AS BIGINT) AS crop_id,
+           CAST(doc_id AS BIGINT) AS image_id,
+           CAST((doc_id * 3) % ((doc_id % 16 + 16) // 4 - 2) AS INT) AS dx,
+           CAST((doc_id * 5) % ((doc_id % 12 + 16) // 4 - 2) AS INT) AS dy,
+           CAST(9 AS BIGINT) AS votes,
+           CAST(1 AS INT) AS matched_true_offset,
+           CAST(1 AS INT) AS no_false_matches
+    FROM documents
+    WHERE doc_id % 9 = 0
+    ORDER BY crop_id
+    """,
+)
+def mm_image_crop_match(spark, sf_dir):
+    """Image CONTAINMENT detection (a cropped region reposted as its own
+    image — thumbnails, quote-crops): 4×4-cell tile hashes on both
+    sides, hash join, 2-D (dx, dy) displacement voting with
+    full-coverage requirement — every ``id % 9 = 0`` document's planted
+    3×3-tile crop must match exactly its source image at exactly the
+    planted tile offset with all 9 cells voting, and nothing else may
+    reach the threshold. Completes the containment spectrum across all
+    four modalities (text: dedup_containment, audio:
+    mm_audio_snippet_match, video: mm_video_snippet_match, image: this).
+    Tile bytes are sliced in one reshape per image; hashing (xxhash64),
+    the join, and the vote census are JVM-side; shuffle is linear in
+    tiles."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    imgs = MM.as_bmp_images_with_crops(d)
+    tiles = MM.image_tile_hashes(imgs, keys=["img_id"]).localCheckpoint(eager=True)
+    full = tiles.filter(F.col("img_id") < 300000).withColumnRenamed("img_id", "image_id")
+    crop = tiles.filter(F.col("img_id") >= 300000).withColumnRenamed("img_id", "crop_id")
+    matches = MM.tile_offset_matches(full, crop, min_votes=9)
+    expected = imgs.filter(F.col("role") == "crop").select(
+        F.col("img_id").alias("crop_id"),
+        F.col("src_id").alias("exp_image"),
+        F.col("off_x").alias("exp_dx"),
+        F.col("off_y").alias("exp_dy"),
+    )
+    j = matches.join(expected, "crop_id", "full_outer")
+    flags = j.agg(
+        F.sum(
+            F.when(
+                (F.col("image_id") == F.col("exp_image"))
+                & (F.col("dx") == F.col("exp_dx"))
+                & (F.col("dy") == F.col("exp_dy")),
+                1,
+            ).otherwise(0)
+        ).alias("n_true"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("exp_image").isNull(), 1).otherwise(0)).alias("n_unexpected"),
+    )
+    return (
+        matches.crossJoin(F.broadcast(flags))
+        .select(
+            F.col("crop_id").cast("bigint"),
+            F.col("image_id").cast("bigint"),
+            F.col("dx").cast("int"),
+            F.col("dy").cast("int"),
+            F.col("votes").cast("bigint"),
+            F.when(
+                (F.col("n_true") == F.col("n_rows")) & (F.col("n_unexpected") == 0),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("int").alias("matched_true_offset"),
+            F.when(F.col("n_unexpected") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("no_false_matches"),
+        )
+        .orderBy("crop_id")
+    )

@@ -406,3 +406,30 @@ def test_phash_batch_equals_per_frame():
             for b in bits:
                 val = (val << np.uint64(1)) | np.uint64(b)
             assert int(np.int64(val)) == int(batched[i]), (h, w, i)
+
+
+def test_image_tile_hashes_and_crop_voting(spark):
+    """Tile hashes must be exact through the BMP round-trip: every
+    planted crop matches its source at exactly the planted (dx, dy)
+    with all 9 cells voting; lowering min_votes must not surface any
+    cross-image displacement reaching even 3 agreeing cells (the
+    64-bit-hash no-chance-collision claim, checked not assumed)."""
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    imgs = MM.as_bmp_images_with_crops(docs)
+    tiles = MM.image_tile_hashes(imgs, keys=["img_id"]).localCheckpoint(eager=True)
+    full = tiles.filter(F.col("img_id") < 300000).withColumnRenamed("img_id", "image_id")
+    crop = tiles.filter(F.col("img_id") >= 300000).withColumnRenamed("img_id", "crop_id")
+    expected = {
+        (r["img_id"], r["src_id"], r["off_x"], r["off_y"])
+        for r in imgs.filter(F.col("role") == "crop").collect()
+    }
+    got = {
+        (r["crop_id"], r["image_id"], r["dx"], r["dy"])
+        for r in MM.tile_offset_matches(full, crop, min_votes=9).collect()
+    }
+    assert got == expected and len(got) > 0
+    # relaxed threshold: still only true (crop, source) pairs appear
+    loose = MM.tile_offset_matches(full, crop, min_votes=3).collect()
+    assert {(r["crop_id"], r["image_id"]) for r in loose} == {
+        (c, s) for c, s, _, _ in expected
+    }

@@ -104,3 +104,57 @@ def test_ivfpq_full_probe_reproduces_bruteforce(spark):
         for r in S.knn_bruteforce(e, q, k=5).collect()
     }
     assert got == want
+
+
+def test_sq_codes_in_range_and_deterministic(spark):
+    e = _emb(spark)
+    bounds = S.sq_bounds(e)
+    brows = bounds.collect()
+    assert len(brows) == 64 and all(r["mn"] <= r["mx"] for r in brows)
+    codes = S.sq_encode(e, bounds)
+    rows = codes.collect()
+    assert len(rows) == e.count()
+    assert all(
+        len(r["codes"]) == 64 and all(0 <= c <= 255 for c in r["codes"]) for r in rows
+    )
+    # floor arithmetic: a re-run is bit-identical
+    rows2 = S.sq_encode(e, bounds).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_sq_full_shortlist_reproduces_bruteforce(spark):
+    """With the shortlist opened to the whole corpus, the SQ scan may
+    only PRE-FILTER, never alter the exact re-rank: pair-for-pair,
+    rank-for-rank equality with brute force."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    bounds = S.sq_bounds(e)
+    codes = S.sq_encode(e, bounds).localCheckpoint(eager=True)
+    qcodes = codes.filter(F.col("vec_id") < 10)
+    n = e.count()
+    got = sorted(
+        map(tuple, S.knn_sq(codes, qcodes, e, q, k=5, shortlist=n).collect())
+    )
+    exp = sorted(map(tuple, S.knn_bruteforce(e, q, k=5).collect()))
+    assert got == exp
+
+
+def test_sq_production_shortlist_recall(spark):
+    """The production shortlist (max(50, n/10)) measured 100% recall@5
+    at every gate scale — pin the floor well above the PQ tier's (the
+    4x codec preserves ordering the 32x codec cannot)."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    bounds = S.sq_bounds(e)
+    codes = S.sq_encode(e, bounds).localCheckpoint(eager=True)
+    qcodes = codes.filter(F.col("vec_id") < 10)
+    n = e.count()
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_sq(codes, qcodes, e, q, k=5, shortlist=max(50, n // 10)).collect()
+    }
+    exp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(e, q, k=5).collect()
+    }
+    assert len(got & exp) * 100 >= len(exp) * 90
