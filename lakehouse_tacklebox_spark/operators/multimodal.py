@@ -1337,6 +1337,7 @@ def image_tile_hashes(
     payload_col: str = "payload",
     keys: list[str] | None = None,
     tile: int = 4,
+    origin: tuple[int, int] = (0, 0),
 ) -> DataFrame:
     """Per-tile content hashes — the 2-D index side of crop containment:
     decode once, cut the image into ``tile×tile`` pixel cells (the grid
@@ -1346,10 +1347,19 @@ def image_tile_hashes(
     computed JVM-side on the emitted binary. The Python side is byte
     slicing only (one reshape/transpose per image); hashing, joining,
     and voting stay JVM expressions. A 4×4 RGB cell is 48 random bytes,
-    so 64-bit hashes collide nowhere near voting thresholds."""
+    so 64-bit hashes collide nowhere near voting thresholds.
+
+    ``origin = (ox, oy)`` shifts the grid's top-left inside the image
+    (pixels above/left of it are ignored) — the PHASE dial for
+    non-aligned crop matching: a crop taken at arbitrary pixel offset
+    (px, py) aligns with its source's grid only at phase
+    ``((−px) mod tile, (−py) mod tile)``, so hashing the crop at all
+    tile² phases and voting per phase recovers the exact pixel offset
+    (tests/test_multimodal.py::test_nonaligned_crop_phase_voting)."""
     import numpy as np
 
     keys = keys or ["img_id"]
+    ox_px, oy_px = origin
 
     def _tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1358,6 +1368,8 @@ def image_tile_hashes(
                 zip(*(pdf[k] for k in keys)), pdf[payload_col]
             ):
                 _, _, pix3 = _bmp_decode(bytes(payload))
+                if oy_px or ox_px:
+                    pix3 = pix3[oy_px:, ox_px * 3 :]
                 h = pix3.shape[0]
                 w = pix3.shape[1] // 3
                 th_g, tw_g = h // tile, w // tile

@@ -433,3 +433,54 @@ def test_image_tile_hashes_and_crop_voting(spark):
     assert {(r["crop_id"], r["image_id"]) for r in loose} == {
         (c, s) for c, s, _, _ in expected
     }
+
+
+def test_nonaligned_crop_phase_voting(spark):
+    """Crops at ARBITRARY pixel offsets (not tile-aligned) are matched
+    by phase voting: hash the crop's tiles at all 16 grid phases; the
+    phase ((-px) mod 4, (-py) mod 4) aligns the crop's grid with the
+    source's, full interior coverage votes at one displacement, and the
+    planted pixel offset is recovered exactly as
+    px = 4·(i_tx − c_tx) − phase_x (same for y)."""
+    import numpy as np
+
+    from lakehouse_tacklebox_spark.operators.multimodal import (
+        _bmp_encode,
+        _lcg_bytes,
+    )
+
+    # build sources + 16x16-px crops at non-aligned offsets in plain
+    # numpy, ship as payload rows
+    rows_src, rows_crop, expected = [], [], {}
+    for i, (px, py) in enumerate([(3, 5), (1, 2), (6, 7), (5, 1), (2, 3)]):
+        w, h = 28, 26
+        pix = _lcg_bytes(7000 + i, 3 * w * h).astype(np.uint8).reshape(h, w * 3)
+        rows_src.append((i, bytearray(_bmp_encode(pix))))
+        crop = pix[py : py + 16, px * 3 : (px + 16) * 3]
+        rows_crop.append((1000 + i, bytearray(_bmp_encode(np.ascontiguousarray(crop)))))
+        expected[1000 + i] = (i, px, py)
+    src = spark.createDataFrame(rows_src, "img_id long, payload binary")
+    crp = spark.createDataFrame(rows_crop, "img_id long, payload binary")
+
+    full = MM.image_tile_hashes(src, keys=["img_id"]).withColumnRenamed(
+        "img_id", "image_id"
+    ).localCheckpoint(eager=True)
+    got = {}
+    for sx in range(4):
+        for sy in range(4):
+            ct = MM.image_tile_hashes(crp, keys=["img_id"], origin=(sx, sy))
+            ct = ct.withColumnRenamed("img_id", "crop_id")
+            # interior coverage at the true phase: a 16x16 crop holds a
+            # 3x3 block of source-aligned tiles at any phase
+            for r in MM.tile_offset_matches(full, ct, min_votes=9).collect():
+                px = 4 * r["dx"] - sx
+                py = 4 * r["dy"] - sy
+                prev = got.get(r["crop_id"])
+                # keep the strongest vote (the true phase gives >= 9;
+                # other phases cannot reach 9 with 64-bit hashes)
+                if prev is None or r["votes"] > prev[3]:
+                    got[r["crop_id"]] = (r["image_id"], px, py, r["votes"])
+    assert set(got) == set(expected)
+    for cid, (img, px, py) in expected.items():
+        g = got[cid]
+        assert (g[0], g[1], g[2]) == (img, px, py), (cid, g, expected[cid])

@@ -630,3 +630,53 @@ def test_snippet_voting_joins_shuffle_on_hash(spark):
     out = MM.frame_sequence_matches(tracks, snips, hash_col="phash", min_votes=6)
     plan = _plan(out, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_containment_prefix_probe_no_full_postings_join(spark):
+    """The prefix-filtered containment plan: candidates come from the
+    PREFIX explode joined against full postings (equi hash join on the
+    shingle hash, never a cartesian), and the verify stage is a keyed
+    join back to the per-doc arrays — there must be no postings
+    self-join of two full exploded sides (the round-8 shape whose
+    candidate mass grew super-linearly)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators.dedup import containment_pairs
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    d = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    grams = F.expr(
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(3, size(w)), "
+        "i -> concat_ws(' ', w[i-3], w[i-2], w[i-1])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    sh = d.select("doc_id", toks.alias("w")).select("doc_id", grams.alias("grams"))
+    plan = _plan(containment_pairs(sh, "doc_id", "grams", 900000))
+    assert "CartesianProduct" not in plan
+    # the probe side slices the ordered array to the prefix length
+    assert "slice(" in plan and "prefix_len" in plan
+    # exact verification via array_intersect, not a second postings join
+    assert "array_intersect" in plan
+
+
+def test_knn_sq_scan_is_integer_codes_only(spark):
+    """The SQ shortlist stage must scan only the code column (posexplode
+    of codes + broadcast of the query codes) with an integer sum — raw
+    vectors may enter the plan only via the shortlist re-rank join."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import similarity as S
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    e = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    bounds = S.sq_bounds(e)
+    codes = S.sq_encode(e, bounds).localCheckpoint(eager=True)
+    qcodes = codes.filter("vec_id < 10")
+    q = e.filter("vec_id < 10")
+    plan = _plan(S.knn_sq(codes, qcodes, e, q, k=5, shortlist=50))
+    assert "CartesianProduct" not in plan
+    # query codes reach the per-dim join as a broadcast
+    assert "BroadcastHashJoin" in plan
+    # the shortlist is a rank-1..N window, not a global sort
+    assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan or "Window" in plan
