@@ -110,6 +110,18 @@ SF1_QUERIES = [
     "mm_audio_fingerprint_neardup",
     "mm_video_phash_neardup",
     "dedup_containment",
+    # round-9: the tokenizer TRAINING loop — the Sennrich reduction says
+    # cost is one corpus scan + 20 censuses over the CACHED vocab, so
+    # the decade ratio should track the scan, not the iteration count
+    # (vocab grows sub-linearly in corpus size)
+    "text_bpe_train",
+    # round-9: the scalar-quantized ANN tier — integer-dot codes-only
+    # scan; the ratio guards that the shortlist stays window-bounded
+    # and the re-rank stays shortlist-sized as n grows
+    "knn_sq_rerank",
+    # round-9: image crop containment — tile-hash census + 2-D offset
+    # voting; same near-linear banded contract as the near-dup quad
+    "mm_image_crop_match",
 ]
 # documented-quadratic exact baselines — excluded BY DESIGN, not silently:
 # brute-force knn is O(n²) on purpose (the IVF/LSH variants are the scale
