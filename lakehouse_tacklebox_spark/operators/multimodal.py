@@ -1392,6 +1392,65 @@ def image_tile_hashes(
     return hashed.select(*keys, "tx", "ty", F.xxhash64("tile_bytes").alias("th"))
 
 
+def image_tile_hashes_phased(
+    df: DataFrame,
+    payload_col: str = "payload",
+    keys: list[str] | None = None,
+    tile: int = 4,
+) -> DataFrame:
+    """Tile hashes at ALL ``tile²`` grid phases in ONE decode pass —
+    the probe side of NON-ALIGNED crop matching: a crop taken at
+    arbitrary pixel offset (px, py) aligns with its source's tile grid
+    only at phase ``((−px) mod tile, (−py) mod tile)``, which is
+    unknown at query time, so the crop is tiled at every phase and the
+    voter picks the phase the evidence supports. Output adds (sx, sy)
+    phase columns to the image_tile_hashes shape; cost is one decode +
+    tile² reshapes per image (the probe side is crops — small — while
+    the corpus side stays single-phase)."""
+    import numpy as np
+
+    keys = keys or ["img_id"]
+
+    def _tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key_vals, payload in zip(
+                zip(*(pdf[k] for k in keys)), pdf[payload_col]
+            ):
+                _, _, pix3 = _bmp_decode(bytes(payload))
+                for sy in range(tile):
+                    for sx in range(tile):
+                        sub = pix3[sy:, sx * 3 :]
+                        h = sub.shape[0]
+                        w = sub.shape[1] // 3
+                        th_g, tw_g = h // tile, w // tile
+                        if th_g == 0 or tw_g == 0:
+                            continue
+                        arr = (
+                            np.ascontiguousarray(sub[: th_g * tile, : tw_g * tile * 3])
+                            .reshape(th_g, tile, tw_g, tile * 3)
+                            .transpose(0, 2, 1, 3)
+                            .reshape(th_g * tw_g, tile * tile * 3)
+                        )
+                        for idx in range(arr.shape[0]):
+                            rows.append(
+                                [*key_vals, sx, sy, idx % tw_g, idx // tw_g,
+                                 arr[idx].tobytes()]
+                            )
+            yield pd.DataFrame(
+                rows, columns=[*keys, "sx", "sy", "tx", "ty", "tile_bytes"]
+            )
+
+    schema = (
+        ", ".join(f"{k} long" for k in keys)
+        + ", sx int, sy int, tx int, ty int, tile_bytes binary"
+    )
+    hashed = df.select(*keys, payload_col).mapInPandas(_tiles, schema)
+    return hashed.select(
+        *keys, "sx", "sy", "tx", "ty", F.xxhash64("tile_bytes").alias("th")
+    )
+
+
 def tile_offset_matches(
     image_tiles: DataFrame,
     crop_tiles: DataFrame,
@@ -1432,6 +1491,106 @@ def tile_offset_matches(
         votes.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(crop_id, image_id, "dx", "dy", "votes")
+    )
+
+
+def as_bmp_images_with_freecrops(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """BMP fixture with crops at ARBITRARY pixel offsets — the
+    non-aligned generalization of :func:`as_bmp_images_with_crops`:
+    every ``id % 3 == 0`` document becomes an LCG BMP (16-31 × 16-27),
+    and every ``id % 9 == 0`` also yields a 12×12 crop at
+    ``id + 400000`` from pixel offset ``px = (id·3) mod (w−11)``,
+    ``py = (id·5) mod (h−11)`` (so the crop always fits and the offsets
+    sweep every grid phase). A 12×12 crop holds, at ANY phase, a block
+    of source-aligned 4×4 cells: 3 per axis when the phase is 0, else
+    2 — so expected full-coverage votes are
+    ``(3 if px%4==0 else 2) · (3 if py%4==0 else 2)``, all id
+    arithmetic an oracle can derive. Rows: (img_id, src_id, role,
+    off_x, off_y, width, height)."""
+    import numpy as np
+
+    w_expr = (F.col(id_col) % 16 + 16).cast("int")
+    h_expr = (F.col(id_col) % 12 + 16).cast("int")
+    base = documents.filter(F.col(id_col) % 3 == 0).select(
+        F.col(id_col).alias("img_id"),
+        F.col(id_col).alias("src_id"),
+        w_expr.alias("width"),
+        h_expr.alias("height"),
+        F.lit("image").alias("role"),
+        F.lit(-1).cast("int").alias("off_x"),
+        F.lit(-1).cast("int").alias("off_y"),
+    )
+    crops = documents.filter(F.col(id_col) % 9 == 0).select(
+        (F.col(id_col) + 400000).alias("img_id"),
+        F.col(id_col).alias("src_id"),
+        w_expr.alias("width"),
+        h_expr.alias("height"),
+        F.lit("crop").alias("role"),
+        ((F.col(id_col) * 3) % (w_expr - F.lit(11))).cast("int").alias("off_x"),
+        ((F.col(id_col) * 5) % (h_expr - F.lit(11))).cast("int").alias("off_y"),
+    )
+
+    @pandas_udf("binary")
+    def _enc(srcs: pd.Series, ws: pd.Series, hs: pd.Series,
+             roles: pd.Series, oxs: pd.Series, oys: pd.Series) -> pd.Series:
+        out = []
+        for s, w, h, role, ox, oy in zip(srcs, ws, hs, roles, oxs, oys):
+            w, h = int(w), int(h)
+            pix = _lcg_bytes(int(s), 3 * w * h).astype(np.uint8).reshape(h, w * 3)
+            if role == "crop":
+                r0, c0 = int(oy), int(ox) * 3
+                pix = np.ascontiguousarray(pix[r0 : r0 + 12, c0 : c0 + 36])
+            out.append(_bmp_encode(pix))
+        return pd.Series(out)
+
+    return base.unionByName(crops).withColumn(
+        "payload", _enc("src_id", "width", "height", "role", "off_x", "off_y")
+    )
+
+
+def phased_offset_matches(
+    image_tiles: DataFrame,
+    crop_tiles_phased: DataFrame,
+    hash_col: str = "th",
+    image_id: str = "image_id",
+    crop_id: str = "crop_id",
+    tile: int = 4,
+    min_votes: int = 4,
+) -> DataFrame:
+    """Non-aligned crop containment: tile_offset_matches with the PHASE
+    recovered from the evidence. The crop side carries (sx, sy) phase
+    columns (image_tile_hashes_phased); votes histogram over
+    (crop, image, sx, sy, dx, dy) and the recovered PIXEL offset is
+    ``px = tile·dx − sx``, ``py = tile·dy − sy``. Only the true phase
+    aligns the crop's cells with source cells, so with 64-bit hashes
+    every other (phase, displacement) bucket stays at ~0 votes;
+    ``min_votes = 4`` is full coverage at the worst phase of a 12×12
+    crop. Top-1 per crop by (votes desc, image, px, py)."""
+    t = image_tiles.select(
+        F.col(image_id), F.col("tx").alias("i_tx"), F.col("ty").alias("i_ty"), F.col(hash_col)
+    )
+    s = crop_tiles_phased.select(
+        F.col(crop_id), "sx", "sy",
+        F.col("tx").alias("c_tx"), F.col("ty").alias("c_ty"), F.col(hash_col),
+    )
+    votes = (
+        s.join(t, hash_col)
+        .groupBy(
+            crop_id,
+            image_id,
+            (F.lit(tile) * (F.col("i_tx") - F.col("c_tx")) - F.col("sx")).alias("px"),
+            (F.lit(tile) * (F.col("i_ty") - F.col("c_ty")) - F.col("sy")).alias("py"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter((F.col("votes") >= min_votes) & (F.col("px") >= 0) & (F.col("py") >= 0))
+    )
+    w = W.partitionBy(crop_id).orderBy(
+        F.col("votes").desc(), F.col(image_id), "px", "py"
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(crop_id, image_id, "px", "py", "votes")
     )
 
 

@@ -818,3 +818,94 @@ def mm_image_crop_match(spark, sf_dir):
         )
         .orderBy("crop_id")
     )
+
+
+@register(
+    "mm_image_freecrop_match",
+    tags=("multimodal", "image", "containment", "certification"),
+    # The NON-ALIGNED generalization of mm_image_crop_match: crops are
+    # planted at arbitrary pixel offsets px = (id*3) mod (w-11),
+    # py = (id*5) mod (h-11), so the matcher must recover the tile-grid
+    # PHASE from the evidence (hash the crop at all 16 phases, vote per
+    # recovered pixel offset). Expected full-coverage votes are id
+    # arithmetic too: 3 source-aligned cells per axis when the phase is
+    # 0, else 2 — so the oracle pins crop -> source, the EXACT pixel
+    # offset, and the exact vote count, all without decoding a byte.
+    oracle="""
+    SELECT CAST(doc_id + 400000 AS BIGINT) AS crop_id,
+           CAST(doc_id AS BIGINT) AS image_id,
+           CAST((doc_id * 3) % ((doc_id % 16 + 16) - 11) AS INT) AS px,
+           CAST((doc_id * 5) % ((doc_id % 12 + 16) - 11) AS INT) AS py,
+           CAST((CASE WHEN (doc_id * 3) % ((doc_id % 16 + 16) - 11) % 4 = 0
+                      THEN 3 ELSE 2 END)
+              * (CASE WHEN (doc_id * 5) % ((doc_id % 12 + 16) - 11) % 4 = 0
+                      THEN 3 ELSE 2 END) AS BIGINT) AS votes,
+           CAST(1 AS INT) AS matched_true_offset,
+           CAST(1 AS INT) AS no_false_matches
+    FROM documents
+    WHERE doc_id % 9 = 0
+    ORDER BY crop_id
+    """,
+)
+def mm_image_freecrop_match(spark, sf_dir):
+    """Image containment at ARBITRARY (non-tile-aligned) crop offsets —
+    the realistic version of mm_image_crop_match: a reposted crop does
+    not respect anyone's tile grid, so the probe side is hashed at all
+    16 grid phases in one decode pass (image_tile_hashes_phased) and
+    the vote histogram keys directly on the recovered PIXEL offset
+    ``px = 4·dx − sx`` (the (phase, displacement) → pixel-offset map is
+    injective). Only the true phase aligns crop cells with source
+    cells, so every planted crop must surface at exactly its planted
+    pixel offset with exactly its geometry-determined vote count, and
+    nothing else may reach the threshold. Corpus side stays
+    single-phase: the 16× fan-out is confined to the (small) probe
+    side, which is how a crawl-scale dedup would deploy it."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    imgs = MM.as_bmp_images_with_freecrops(d)
+    full = (
+        MM.image_tile_hashes(imgs.filter(F.col("role") == "image"), keys=["img_id"])
+        .withColumnRenamed("img_id", "image_id")
+    )
+    crop = (
+        MM.image_tile_hashes_phased(imgs.filter(F.col("role") == "crop"), keys=["img_id"])
+        .withColumnRenamed("img_id", "crop_id")
+    )
+    matches = MM.phased_offset_matches(full, crop, min_votes=4)
+    expected = imgs.filter(F.col("role") == "crop").select(
+        F.col("img_id").alias("crop_id"),
+        F.col("src_id").alias("exp_image"),
+        F.col("off_x").alias("exp_px"),
+        F.col("off_y").alias("exp_py"),
+    )
+    j = matches.join(expected, "crop_id", "full_outer")
+    flags = j.agg(
+        F.sum(
+            F.when(
+                (F.col("image_id") == F.col("exp_image"))
+                & (F.col("px") == F.col("exp_px"))
+                & (F.col("py") == F.col("exp_py")),
+                1,
+            ).otherwise(0)
+        ).alias("n_true"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("exp_image").isNull(), 1).otherwise(0)).alias("n_unexpected"),
+    )
+    return (
+        matches.crossJoin(F.broadcast(flags))
+        .select(
+            F.col("crop_id").cast("bigint"),
+            F.col("image_id").cast("bigint"),
+            F.col("px").cast("int"),
+            F.col("py").cast("int"),
+            F.col("votes").cast("bigint"),
+            F.when(
+                (F.col("n_true") == F.col("n_rows")) & (F.col("n_unexpected") == 0),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("int").alias("matched_true_offset"),
+            F.when(F.col("n_unexpected") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("no_false_matches"),
+        )
+        .orderBy("crop_id")
+    )
