@@ -905,3 +905,114 @@ def knn_ivf_pruned_scan(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "knn_ivfpq_pruned_store",
+    tags=("similarity", "ann", "quantization", "tablestore", "data-skipping"),
+    # The ANN capstone composition — IVF-PQ THROUGH the pruned store:
+    # knn_ivf_pruned_scan proved probes become file-skipping reads of
+    # raw vectors; here the stored column is the 8-byte PQ code, so the
+    # probe reads a 32×-compressed column of only the probed lists'
+    # files. Flags: files_skipped (measured 3/4/10 of 8/8/15 files at
+    # the gate scales), pruned_equals_inmemory (ADC scoring of the
+    # pruned per-list scans == ADC over the full in-memory codes,
+    # pair/rank/cosine exact — sound because codes rows enter knn_ivfpq
+    # ONLY via the broadcast LUT keyed on (centroid_id, sub_idx, code),
+    # so non-probed rows never score), and recall_ge_20pct (measured
+    # 26.7/40/40 at nprobe=2/16 — probed-fraction-dominated, identical
+    # geometry to knn_ivf_pruned_scan; deterministic hash-seeded
+    # k-means).
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank,
+           CAST(1 AS INT) AS files_skipped,
+           CAST(1 AS INT) AS pruned_equals_inmemory,
+           CAST(1 AS INT) AS recall_ge_20pct
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_ivfpq_pruned_store(spark, sf_dir):
+    """The deployed vector-store query plan end-to-end: IVF-PQ codes
+    (vec_id, centroid_id, 8-byte code array) live in a TackleTable
+    z-ordered by centroid_id; each query's nprobe=2 probed lists become
+    per-list equality scans the log's min/max stats prune to the files
+    holding those lists; ADC scores ONLY the pruned scans' codes; raw
+    vectors surface at shortlist size for the exact cosine re-rank. At
+    100 TB the probe therefore reads a 32×-compressed column of
+    O(files per probed list) — the full composition of this round's
+    storage path (knn_ivf_pruned_scan) with the compressed-domain scan
+    (knn_ivfpq_rerank), which is what FAISS-on-object-store systems
+    actually ship."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    n = e.count()
+    coarse, books, codes = S.ivfpq_index(e, num_centroids=16, m=8, ksub=16, iters=2)
+    coarse = coarse.localCheckpoint(eager=True)
+    books = books.localCheckpoint(eager=True)
+    codes = codes.localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="pqstore_")
+    t = TackleTable.create(
+        spark, os.path.join(tmp, "t"), codes.select("vec_id", "centroid_id", "codes")
+    )
+    t.optimize(target_file_rows=max(64, n // 16), zorder_by=["centroid_id"])
+
+    q = e.filter(F.col("vec_id") < 3)
+    qu = S.unit_normalize(q.select("vec_id", "embedding"), "embedding")
+    probed = sorted(
+        {r["centroid_id"] for r in S.ivf_assign(qu, coarse, nprobe=2).collect()}
+    )
+    files_all = set(t._active_files()[0])
+    kept: set = set()
+    frames = []
+    for lst in probed:
+        k_, _ = t.prune_files(f"centroid_id = {lst}")
+        kept |= set(k_)
+        frames.append(t.scan(f"centroid_id = {lst}"))
+    n_skipped = len(files_all - kept)
+    pruned = frames[0]
+    for fr in frames[1:]:
+        pruned = pruned.unionByName(fr)
+
+    sl = max(50, n // 10)
+    a = S.knn_ivfpq(e, q, coarse, books, pruned, k=5, nprobe=2, shortlist=sl)
+    a = a.localCheckpoint(eager=True)
+    b = S.knn_ivfpq(e, q, coarse, books, codes, k=5, nprobe=2, shortlist=sl)
+    n_a, n_b = a.count(), b.count()
+    n_same = a.join(b, ["query_id", "neighbor_id", "cosine", "rank"]).count()
+    pruned_ok = (n_a == n_b) and (n_same == n_a)
+
+    bf = S.knn_bruteforce(e, q, k=5)
+    hits = bf.select("query_id", "neighbor_id").join(
+        a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    total = bf.count()
+    return (
+        bf.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "rank",
+            F.lit(1 if n_skipped > 0 else 0).cast("int").alias("files_skipped"),
+            F.lit(1 if pruned_ok else 0).cast("int").alias("pruned_equals_inmemory"),
+            F.lit(1 if hits * 100 >= total * 20 else 0).cast("int").alias("recall_ge_20pct"),
+        )
+        .orderBy("query_id", "rank")
+    )
