@@ -1016,3 +1016,127 @@ def knn_ivfpq_pruned_store(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "knn_matryoshka_rerank",
+    tags=("similarity", "ann", "quantization"),
+    # FULLY ORACLED like knn_sq_rerank — the truncation rung of the
+    # compression ladder (matryoshka/MRL deployment: shortlist on the
+    # stored PREFIX of each embedding, re-rank on full dims): DuckDB
+    # replays prefix slicing, the rounded-cosine shortlist, the exact
+    # re-rank, and the recall@5 integer, and hash-compares every value.
+    # Shortlist determinism is MEASURED, not hoped-for: the smallest
+    # unrounded prefix-cosine distance from a 6-dp rounding boundary
+    # across the gate corpora is 2.6e-10 (vs ~1e-14 cross-engine
+    # accumulation noise), and rounded ties are broken by neighbor_id
+    # identically in both engines, so the cutoff cannot flip. The gate
+    # embeddings are isotropic — NOT MRL-trained — so the first 32 of
+    # 64 dims carry only half the signal and the measured recall is the
+    # honest untrained-prefix baseline (74/76/86 at sf0.001/0.01/0.1,
+    # read back from the oracle replay itself); on MRL-trained vectors
+    # the same plan runs with recall near 1.
+    oracle="""
+    WITH corpus AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(embedding[1:32] AS DOUBLE[]) AS p
+        FROM embeddings
+    ), q AS MATERIALIZED (
+        SELECT vec_id AS query_id, v AS q_vec, p AS q_pre
+        FROM corpus WHERE vec_id < 10
+    ), short AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     round(list_cosine_similarity(q.q_pre, c.p), 6) DESC,
+                     c.vec_id) AS srk
+            FROM q JOIN corpus c ON c.vec_id <> q.query_id
+        ) WHERE srk <= greatest(50, (SELECT count(*) FROM corpus) // 10)
+    ), rer AS MATERIALIZED (
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT sh.query_id, sh.neighbor_id,
+                   round(list_cosine_similarity(q.q_vec, c.v), 6) AS cosine,
+                   row_number() OVER (PARTITION BY sh.query_id ORDER BY
+                     round(list_cosine_similarity(q.q_vec, c.v), 6) DESC,
+                     sh.neighbor_id) AS rank
+            FROM short sh
+            JOIN q ON q.query_id = sh.query_id
+            JOIN corpus c ON c.vec_id = sh.neighbor_id
+        ) WHERE rank <= 5
+    ), bf AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     round(list_cosine_similarity(q.q_vec, c.v), 6) DESC,
+                     c.vec_id) AS rank
+            FROM q JOIN corpus c ON c.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ), recall AS MATERIALIZED (
+        SELECT CAST(count(*) * 100 // (SELECT count(*) FROM bf) AS BIGINT) AS recall5_pct
+        FROM bf JOIN rer USING (query_id, neighbor_id)
+    )
+    SELECT r.query_id, r.neighbor_id, r.cosine, r.rank, rc.recall5_pct
+    FROM rer r CROSS JOIN recall rc
+    ORDER BY r.query_id, r.rank
+    """,
+)
+def knn_matryoshka_rerank(spark, sf_dir):
+    """Truncated-dimension (matryoshka) ANN with exact re-rank — the
+    zero-codebook rung of the compression ladder next to SQ (4×) and PQ
+    (32×): store the first 32 of 64 dims as their own column, shortlist
+    max(50, n/10) per query by prefix cosine over that half-width scan,
+    re-rank the shortlist on full dimensions. At 100 TB the prefix is a
+    separate (half-size) column so the shortlist scan reads half the
+    bytes with zero training, zero codebooks, and no encode step on
+    ingest — the tier MRL-trained embedding APIs are designed for.
+    Returns the approximate pipeline's own top-5 plus the measured
+    recall@5 integer, all hash-compared against a DuckDB replay of the
+    identical program (see oracle note for the measured determinism
+    margins)."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    pre = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.slice(F.col("embedding"), 1, 32).alias("p"),
+    ).localCheckpoint(eager=True)
+    n = e.count()
+    q = pre.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_vec"),
+        F.col("p").alias("q_pre"),
+    )
+    scored = (
+        pre.select(F.col("vec_id").alias("neighbor_id"), F.col("p").alias("c_pre"))
+        .join(F.broadcast(q.select("query_id", "q_pre")), how="cross", on=None)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("pcos", F.round(S.cosine_col(F.col("q_pre"), F.col("c_pre")), 6))
+    )
+    ws = W.partitionBy("query_id").orderBy(F.col("pcos").desc(), "neighbor_id")
+    short = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= max(50, n // 10))
+        .select("query_id", "neighbor_id")
+    )
+    rer = (
+        short.join(
+            pre.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_vec")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+        .withColumn("cosine", F.round(S.cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    out = (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .localCheckpoint(eager=True)
+    )
+    bf = S.knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+    hits = bf.select("query_id", "neighbor_id").join(
+        out.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    total = bf.count()
+    return out.withColumn(
+        "recall5_pct", F.lit(hits * 100 // total).cast("bigint")
+    ).orderBy("query_id", "rank")
