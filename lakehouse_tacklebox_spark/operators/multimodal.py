@@ -943,16 +943,21 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload", keys: list[st
     keys = keys or ["clip_id"]
     schema = ", ".join(f"{k} long" for k in keys) + ", afp long"
 
+    # one multiply-sum packs the 64 bits (bit j weighted 2^(63-j)) —
+    # identical to the shift-or fold, without 64 numpy scalar ops per row
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                _, samples = _wav_decode(bytes(r[payload_col]))
+            for key_vals, payload in zip(
+                zip(*(pdf[k] for k in keys)), pdf[payload_col]
+            ):
+                _, samples = _wav_decode(bytes(payload))
                 bits = _afp_bits(np.asarray(samples, dtype=np.float64))
-                val = np.uint64(0)
-                for b in bits:
-                    val = (val << np.uint64(1)) | np.uint64(b)
-                rows.append([*(r[k] for k in keys), int(np.int64(val))])
+                val = (bits.astype(np.uint64) * w).sum()
+                rows.append([*key_vals, int(np.int64(val))])
             yield pd.DataFrame(rows, columns=[*keys, "afp"])
 
     return df.select(*keys, payload_col).mapInPandas(_hash, schema)
