@@ -119,10 +119,11 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 #     knn_ivf_recall_cert, windows battery (9), cdc_scd2_late_events.
 #   r5 (50): aggregates battery, joins battery, set ops, scalars,
 #     TPC-DS waves 1-3, dedup/ANN/text family refreshes.
-#   r3 (29 after this window drains 20; corpus_tfidf_top,
+#   r3 (30 after this window drains 19; corpus_tfidf_top,
 #     join_interval_overlap, text_html_strip, mm_block_dedup,
-#     metrics_error_bursts, and metrics_daily_trend returned to the
-#     pool as round-9 additions took their slots): agg_rollup/pivot, join_left_
+#     metrics_error_bursts, metrics_daily_trend, and ds_channel_rollup
+#     returned to the pool as round-9 additions took their slots):
+#     agg_rollup/pivot, join_left_
 #     outer/anti/semi/full_outer/range_band/multiway_using,
 #     metrics_ops_summary/percentiles, event_log_json_analytics,
 #     mm_metadata_by_mime, mm_frame_stats, profile_customer,
@@ -130,17 +131,17 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 #     emb_label_centroids, stream_stateful_dedup, dedup_exact_stats,
 #     dedup_exact_survivors, corpus_tfidf_top, join_interval_overlap,
 #     text_html_strip, mm_block_dedup, metrics_error_bursts,
-#     metrics_daily_trend — round 10's refresh block.
+#     metrics_daily_trend, ds_channel_rollup — round 10's refresh block.
 #   r2: NONE after this window (the last 14 are in it).
 #   never: NONE after this window (the 8 round-8 post-freeze additions
 #     and the 2 round-9 additions are in it).
 #
-# Round-9 window (below): the 8 round-8 post-freeze additions + the 8
+# Round-9 window (below): the 8 round-8 post-freeze additions + the 9
 # round-9 additions (text_bpe_train, cdc_ann_index_deletes,
 # knn_sq_rerank, mm_image_crop_match, knn_ivf_pruned_scan,
 # mm_image_freecrop_match, knn_ivfpq_pruned_store,
-# knn_matryoshka_rerank) + the 14 r2-stale entries + the 20 oldest r3
-# greens in CORRECTNESS_r03 ledger order. VERDICT r8 item 1: after this round never-checked drops to 0
+# knn_matryoshka_rerank, text_span_excision) + the 14 r2-stale entries
+# + the 19 oldest r3 greens in CORRECTNESS_r03 ledger order. VERDICT r8 item 1: after this round never-checked drops to 0
 # for the first time and no entry's newest green row predates r3.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked: round-8 post-freeze additions
@@ -161,6 +162,7 @@ _WINDOW_PRIORITY = [
     "mm_image_freecrop_match",
     "knn_ivfpq_pruned_store",
     "knn_matryoshka_rerank",
+    "text_span_excision",
     # (b) the 14 r2-stale entries (newest green row = round 2)
     "q20_excess_share_suppliers",
     "q21_waiting_suppliers",
@@ -176,7 +178,7 @@ _WINDOW_PRIORITY = [
     "stream_hourly_rollup",
     "validate_diff_drilldown",
     "reconcile_counts_by_grain",
-    # (c) the 20 oldest r3 greens, CORRECTNESS_r03 ledger order
+    # (c) the 19 oldest r3 greens, CORRECTNESS_r03 ledger order
     "stream_stateful_user_stats",
     "metrics_error_classes",
     "metrics_activity_heatmap",
@@ -196,7 +198,6 @@ _WINDOW_PRIORITY = [
     "corpus_pipeline",
     "emb_quantize_stats",
     "ds_multi_count_buckets",
-    "ds_channel_rollup",
 ]
 # Round-10 window plan (mechanical, from the ledger): the 23 remaining
 # r3 entries (list above) + any round-9 post-freeze additions + the

@@ -1577,3 +1577,138 @@ def text_bpe_pair_census(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(10)
     )
+
+
+@register(
+    "text_span_excision",
+    tags=("text", "dedup", "corpus"),
+    # The REMOVAL transform text_duplicate_spans' docstring promises
+    # ("the per-position flags are exactly the strip mask"): every
+    # token covered by a cross-document duplicated 8-token window is
+    # excised and the doc is reassembled from the kept runs. The oracle
+    # replays the full program — window census, interval union,
+    # kept-segment count, and the md5 of the REASSEMBLED cleaned text —
+    # so the transform's actual output content is hash-compared, not
+    # just its bookkeeping. coalesce('') keeps the all-removed edge
+    # case engine-identical (string_agg over zero rows is NULL in
+    # DuckDB; concat_ws over an empty array is '' in Spark).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+               ('0x' || substr(md5(array_to_string(
+                   t[(CAST(u.i AS INT)+1):(CAST(u.i AS INT)+8)], ' ')), 1, 15)
+               )::BIGINT AS h
+        FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8
+    ), census AS (
+        SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), starts AS (
+        SELECT w.doc_id, w.i FROM wins w JOIN census USING (h)
+    ), removed AS (
+        SELECT DISTINCT doc_id, i + CAST(r.d AS BIGINT) AS pos
+        FROM starts, unnest(range(0, 8)) AS r(d)
+    ), positions AS (
+        SELECT doc_id, CAST(u.p AS BIGINT) AS pos,
+               t[CAST(u.p AS INT) + 1] AS tok
+        FROM toks, unnest(range(0, len(t))) AS u(p)
+    ), j AS (
+        SELECT p.doc_id, p.pos, p.tok,
+               (r.pos IS NOT NULL) AS rm,
+               lag(r.pos IS NOT NULL) OVER (
+                   PARTITION BY p.doc_id ORDER BY p.pos) AS prev_rm
+        FROM positions p LEFT JOIN removed r USING (doc_id, pos)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN NOT rm AND (pos = 0 OR prev_rm)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segments,
+           md5(coalesce(string_agg(CASE WHEN NOT rm THEN tok END,
+                                   ' ' ORDER BY pos), '')) AS cleaned_md5
+    FROM j
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN rm THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_span_excision(spark, sf_dir):
+    """Duplicate-span EXCISION — the transform half of the Lee et al.
+    ExactSubstr dedup (text_duplicate_spans is the census half): every
+    token covered by any cross-document duplicated 8-token window is
+    removed (interval UNION of flagged [i, i+8) spans), and each
+    affected doc reports its token mass, removed count, number of
+    surviving runs (the attention-segment boundaries a packed-sequence
+    trainer needs), and the md5 of the reassembled cleaned text — the
+    content itself is oracle-pinned. Scale: tokenize once, window
+    census shuffle (shared shape with text_duplicate_spans), flagged
+    starts explode ≤8× the flagged mass, one per-doc position frame
+    (linear in tokens) with a single per-doc window pass — no joins
+    back to raw text, and the census side is the deduplicated shingle
+    space."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    base = _spread(d.select("doc_id", toks.alias("t")))
+    base = base.localCheckpoint(eager=False)
+    wins = (
+        base.filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 8)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("i"),
+            D.md5_hash60(F.expr("concat_ws(' ', slice(t, CAST(i AS INT)+1, 8))")).alias("h"),
+        )
+    )
+    census = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    starts = wins.join(census, "h").select("doc_id", "i")
+    removed = (
+        starts.select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("pos"))
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    positions = base.select(
+        "doc_id",
+        F.posexplode("t").alias("pos", "tok"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    j = (
+        positions.join(removed, ["doc_id", "pos"], "left")
+        .withColumn("prev_rm", F.lag("rm").over(w))
+    )
+    kept_struct = F.when(F.col("rm").isNull(), F.struct("pos", "tok"))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("rm"), F.lit(0))).cast("bigint").alias("n_removed"),
+            F.sum(
+                F.when(
+                    F.col("rm").isNull()
+                    & ((F.col("pos") == 0) | (F.col("prev_rm") == 1)),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_kept_segments"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(filter(collect_list("
+                        "CASE WHEN rm IS NULL THEN struct(pos, tok) END), x -> x IS NOT NULL)), s -> s.tok)"
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+        .filter(F.col("n_removed") > 0)
+        .orderBy("doc_id")
+    )
