@@ -1542,9 +1542,11 @@ def stream_pq_index_mv(spark, sf_dir):
     # no over-deletes); replay_noop certifies the double-applied
     # retraction epoch changed nothing (txn idempotence); rebalance_
     # triggered pins that the occupancy dial BINDS on this corpus
-    # (measured max/mean list occupancy 1.21x at sf0.01, 1.07x at
-    # sf0.1, both over the 1.05x dial — a dial that never fires is the
-    # round-8 containment-cap mistake); rebuild_match certifies the
+    # (measured max/mean list occupancy 1.212x at sf0.01, 1.069x at
+    # sf0.1, both over the 1.03x dial with >=3.7% margin — a dial that
+    # never fires is the round-8 containment-cap mistake, and a dial
+    # with a hairline margin is a testdata-regeneration flake waiting
+    # to happen); rebuild_match certifies the
     # rebalance's table swap round-trips byte-identically.
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,
@@ -1672,7 +1674,7 @@ def cdc_ann_index_deletes(spark, sf_dir):
     # occupancy dial: max/mean list size in ppm (exact integer arithmetic)
     occ = [r["n"] for r in mv_now.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()]
     ratio_ppm = max(occ) * 8 * 1_000_000 // sum(occ) if occ else 0
-    rebalance_triggered = ratio_ppm > 1_050_000
+    rebalance_triggered = ratio_ppm > 1_030_000
 
     rebuild_match = False
     if rebalance_triggered:
