@@ -789,15 +789,17 @@ def neardup_pairs_arrow(
 
     spark = df.sparkSession
     proj = df.select(id_col, vec_col)
-    n = proj.count()
-    if n > max_broadcast_rows:
-        raise ValueError(
-            f"neardup_pairs_arrow broadcasts the full corpus via the driver: "
-            f"{n} rows > max_broadcast_rows={max_broadcast_rows}. "
-            "Tile both sides (block matmul) or raise the guard explicitly."
-        )
     id_type = proj.schema[id_col].dataType.simpleString()
     cpdf = proj.toPandas()
+    # Size-check AFTER the (single) driver stage instead of running a
+    # separate full count() job first — the collect was happening anyway,
+    # and a pre-count doubled the source scan just to validate (ADVICE r9).
+    if len(cpdf) > max_broadcast_rows:
+        raise ValueError(
+            f"neardup_pairs_arrow broadcasts the full corpus via the driver: "
+            f"{len(cpdf)} rows > max_broadcast_rows={max_broadcast_rows}. "
+            "Tile both sides (block matmul) or raise the guard explicitly."
+        )
     ids = cpdf[id_col].to_numpy()
     mat = np.array([list(v) for v in cpdf[vec_col]], dtype=np.float64)
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -776,9 +776,21 @@ def mm_image_crop_match(spark, sf_dir):
     tiles."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     imgs = MM.as_bmp_images_with_crops(d)
-    tiles = MM.image_tile_hashes(imgs, keys=["img_id"]).localCheckpoint(eager=True)
-    full = tiles.filter(F.col("img_id") < 300000).withColumnRenamed("img_id", "image_id")
-    crop = tiles.filter(F.col("img_id") >= 300000).withColumnRenamed("img_id", "crop_id")
+    # Split sides by the fixture's role column BEFORE hashing (NOT an
+    # img_id threshold: sf1 testdata shifts doc_ids by r*19,200,000 per
+    # replica, so any id cutoff misclassifies replica>=1 images as crops
+    # — ADVICE r9). Same shape as mm_image_freecrop_match; each row is
+    # still decoded exactly once (in its own side's pass).
+    full = (
+        MM.image_tile_hashes(imgs.filter(F.col("role") == "image"), keys=["img_id"])
+        .withColumnRenamed("img_id", "image_id")
+        .localCheckpoint(eager=True)
+    )
+    crop = (
+        MM.image_tile_hashes(imgs.filter(F.col("role") == "crop"), keys=["img_id"])
+        .withColumnRenamed("img_id", "crop_id")
+        .localCheckpoint(eager=True)
+    )
     matches = MM.tile_offset_matches(full, crop, min_votes=9)
     expected = imgs.filter(F.col("role") == "crop").select(
         F.col("img_id").alias("crop_id"),

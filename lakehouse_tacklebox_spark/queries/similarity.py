@@ -15,6 +15,14 @@ from lakehouse_tacklebox_spark.operators import similarity as S
 from lakehouse_tacklebox_spark.queries import register
 from lakehouse_tacklebox_spark.sources import load_tables
 
+# The n-INDEPENDENT re-rank shortlist (50·k at k=5) — the production
+# dial for the ANN rerank rungs: max(50, n/10) makes gate-scale recall
+# land where the oracles pin it, but "re-rank 10% of the corpus" is not
+# an index at 100 TB, so each rerank entry also measures (and, where the
+# pipeline is SQL-replayable, oracle-checks) recall at this constant
+# shortlist (VERDICT r9 item 3).
+_FIXED_SHORTLIST = 250
+
 
 @register(
     "knn_bruteforce",
@@ -715,11 +723,15 @@ def knn_ivfpq_rerank(spark, sf_dir):
         FROM qc, codes c, unnest(range(1, len(q)+1)) AS t(i)
         WHERE c.vec_id <> query_id
         GROUP BY 1, 2
+    ), ranked AS MATERIALIZED (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS srk
+        FROM sdot
     ), short AS MATERIALIZED (
-        SELECT query_id, neighbor_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS srk
-            FROM sdot
-        ) WHERE srk <= greatest(50, (SELECT count(*) FROM corpus) // 10)
+        SELECT query_id, neighbor_id FROM ranked
+        WHERE srk <= greatest(50, (SELECT count(*) FROM corpus) // 10)
+    ), short_fx AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM ranked WHERE srk <= 250
     ), rer AS MATERIALIZED (
         SELECT query_id, neighbor_id, cosine, rank FROM (
             SELECT sh.query_id, sh.neighbor_id,
@@ -727,6 +739,15 @@ def knn_ivfpq_rerank(spark, sf_dir):
                    row_number() OVER (PARTITION BY sh.query_id ORDER BY
                      round(list_cosine_similarity(q.v, c.v), 6) DESC, sh.neighbor_id) AS rank
             FROM short sh
+            JOIN corpus q ON q.vec_id = sh.query_id
+            JOIN corpus c ON c.vec_id = sh.neighbor_id
+        ) WHERE rank <= 5
+    ), rer_fx AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT sh.query_id, sh.neighbor_id,
+                   row_number() OVER (PARTITION BY sh.query_id ORDER BY
+                     round(list_cosine_similarity(q.v, c.v), 6) DESC, sh.neighbor_id) AS rank
+            FROM short_fx sh
             JOIN corpus q ON q.vec_id = sh.query_id
             JOIN corpus c ON c.vec_id = sh.neighbor_id
         ) WHERE rank <= 5
@@ -741,9 +762,13 @@ def knn_ivfpq_rerank(spark, sf_dir):
     ), recall AS MATERIALIZED (
         SELECT CAST(count(*) * 100 // (SELECT count(*) FROM bf) AS BIGINT) AS recall5_pct
         FROM bf JOIN rer USING (query_id, neighbor_id)
+    ), recall_fx AS MATERIALIZED (
+        SELECT CAST(count(*) * 100 // (SELECT count(*) FROM bf) AS BIGINT) AS recall5_fixed_pct
+        FROM bf JOIN rer_fx USING (query_id, neighbor_id)
     )
-    SELECT r.query_id, r.neighbor_id, r.cosine, r.rank, rc.recall5_pct
-    FROM rer r CROSS JOIN recall rc
+    SELECT r.query_id, r.neighbor_id, r.cosine, r.rank,
+           rc.recall5_pct, rf.recall5_fixed_pct
+    FROM rer r CROSS JOIN recall rc CROSS JOIN recall_fx rf
     ORDER BY r.query_id, r.rank
     """,
 )
@@ -756,6 +781,11 @@ def knn_sq_rerank(spark, sf_dir):
     recall@5 vs brute force as an exact integer percent — and the DuckDB
     oracle independently replays codec, scan, shortlist, re-rank, AND
     recall, so every value here is hash-compared, not self-certified.
+    recall5_fixed_pct is the same measurement at the n-INDEPENDENT
+    production shortlist (50·k = 250; measured 100/100/100 at
+    sf0.001/0.01/0.1): at 100 TB the constant-factor dial is the real
+    index — the n/10 column exists to show the gate-scale ceiling, and
+    both are oracle-replayed.
     At 100 TB: bounds are a d-row broadcast artifact, the scan reads a
     4×-smaller column with integer arithmetic, and raw vectors surface
     only at shortlist size — the SQ tier every vector store ships as the
@@ -769,14 +799,25 @@ def knn_sq_rerank(spark, sf_dir):
     out = S.knn_sq(
         codes, qcodes, e, q, k=5, shortlist=max(50, n_corpus // 10)
     ).localCheckpoint(eager=True)
-    bf = S.knn_bruteforce(e, q, k=5)
+    # The PRODUCTION dial is the n-independent one: re-ranking n/10 of
+    # the corpus is not an index at 100 TB. The fixed 50·k shortlist's
+    # recall is measured alongside (VERDICT r9) and oracle-replayed.
+    out_fx = S.knn_sq(codes, qcodes, e, q, k=5, shortlist=_FIXED_SHORTLIST)
+    bf = S.knn_bruteforce(e, q, k=5).localCheckpoint(eager=True)
     hits = bf.select("query_id", "neighbor_id").join(
         out.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
+    hits_fx = bf.select("query_id", "neighbor_id").join(
+        out_fx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
     total = bf.count()
-    return out.withColumn(
-        "recall5_pct", F.lit(hits * 100 // total).cast("bigint")
-    ).orderBy("query_id", "rank")
+    return (
+        out.withColumn("recall5_pct", F.lit(hits * 100 // total).cast("bigint"))
+        .withColumn(
+            "recall5_fixed_pct", F.lit(hits_fx * 100 // total).cast("bigint")
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 @register(
@@ -908,6 +949,155 @@ def knn_ivf_pruned_scan(spark, sf_dir):
 
 
 @register(
+    "knn_filtered_ivf",
+    tags=("similarity", "ann", "tablestore", "data-skipping"),
+    # SELF-CERTIFYING (knn_ivf_pruned_scan design) — FILTERED ANN, the
+    # vector-store query every RAG deployment actually runs ("nearest
+    # neighbors WHERE lang = 'en'"; reference anchor: the Chroma
+    # similarity_search + metadata filter in dbsys21/lakehouse-tacklebox
+    # 00-quickstarts/llm-dolly-chatbot/02-Data-preparation.py feeding the
+    # filtered retrieval in 03-Q&A-prompt-engineering): the entry emits
+    # the exact FILTERED brute-force top-5 (every value DuckDB-checkable)
+    # plus four flags computed by running the table-backed probe path —
+    # files_skipped (the (centroid_id, label)-z-ordered codes table must
+    # prune), label_prunes_files (the metadata predicate must prune
+    # STRICTLY MORE files than the probed centroid alone — i.e. BOTH
+    # z-order dimensions demonstrably skip), pruned_equals_inmemory (the
+    # pruned per-(list, label) scans' top-5 == in-memory filtered IVF of
+    # the SAME stored assignment, pair/rank/cosine exact), and
+    # recall_ge_20pct (measured vs the filtered brute force:
+    # 26/33/46 at sf0.001/0.01/0.1 — probed-fraction-dominated like the
+    # unfiltered twin; hash-seeded k-means, deterministic).
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id AND c.label = 7
+    )
+    SELECT query_id, neighbor_id, cosine, rank,
+           CAST(1 AS INT) AS files_skipped,
+           CAST(1 AS INT) AS label_prunes_files,
+           CAST(1 AS INT) AS pruned_equals_inmemory,
+           CAST(1 AS INT) AS recall_ge_20pct
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_filtered_ivf(spark, sf_dir):
+    """FILTERED ANN through the pruned store — metadata predicate + IVF
+    probe composed in ONE layout: the corpus is stored as (vec_id,
+    centroid_id, label, embedding) z-ordered by (centroid_id, label), so
+    each query's nprobe=2 probed lists become per-(list, label) equality
+    scans and the log's min/max stats prune on BOTH dimensions — the
+    probe reads only the files holding the probed list's rows WITH the
+    requested label. At 100 TB this is the difference between filtered
+    ANN and post-filtering an unfiltered index: candidates arrive
+    already predicate-true (no recall lost to filtering AFTER the
+    shortlist), and the bytes read scale with the filtered slice of the
+    probed lists, not the lists. Same store serves unfiltered probes
+    (knn_ivf_pruned_scan) and metadata point lookups
+    (table_skipping_pointlookup)."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    n = e.count()
+    cu = S.unit_normalize(e.select("vec_id", "embedding"), "embedding")
+    coarse = S.kmeans_centroids(cu, k=16, iters=2).localCheckpoint(eager=True)
+    assign = S.ivf_assign(cu, coarse, nprobe=1).drop("rank")
+    lists_df = e.join(assign, "vec_id").select(
+        "vec_id", "centroid_id", "label", "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="ivfflt_")
+    t = TackleTable.create(spark, os.path.join(tmp, "t"), lists_df)
+    # ~32 files: each centroid spans >1 file split by label, so the
+    # label predicate has distinct file envelopes to prune against.
+    t.optimize(target_file_rows=max(16, n // 32), zorder_by=["centroid_id", "label"])
+
+    pred = 7  # the metadata predicate: label = 7 ("WHERE lang = 'en'")
+    q = e.filter(F.col("vec_id") < 3)
+    qp = S.ivf_assign(q, coarse, nprobe=2).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    probed = sorted({r["centroid_id"] for r in qp.collect()})
+    files_all = set(t._active_files()[0])
+    kept_centroid: set = set()
+    kept_both: set = set()
+    frames = []
+    for lst in probed:
+        kc, _ = t.prune_files(f"centroid_id = {lst}")
+        kb, _ = t.prune_files(f"centroid_id = {lst} AND label = {pred}")
+        kept_centroid |= set(kc)
+        kept_both |= set(kb)
+        frames.append(t.scan(f"centroid_id = {lst} AND label = {pred}"))
+    n_skipped = len(files_all - kept_both)
+    label_prunes = len(kept_both) < len(kept_centroid)
+    pruned_cand = frames[0]
+    for fr in frames[1:]:
+        pruned_cand = pruned_cand.unionByName(fr)
+
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+
+    def topk(cand):
+        scored = (
+            cand.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "centroid_id",
+                F.col("embedding").alias("c_vec"),
+            )
+            .join(F.broadcast(qp), "centroid_id")
+            .join(F.broadcast(qv), "query_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cosine", F.round(S.cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+            )
+            .select("query_id", "neighbor_id", "cosine")
+            .distinct()
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= 5
+        )
+
+    a = topk(pruned_cand).localCheckpoint(eager=True)
+    b = topk(lists_df.filter(F.col("label") == pred))
+    n_a, n_b = a.count(), b.count()
+    n_same = a.join(b, ["query_id", "neighbor_id", "cosine", "rank"]).count()
+    pruned_ok = (n_a == n_b) and (n_same == n_a)
+
+    bf = S.knn_bruteforce(e.filter(F.col("label") == pred), q, k=5).localCheckpoint(
+        eager=True
+    )
+    hits = bf.select("query_id", "neighbor_id").join(
+        a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    total = bf.count()
+    return (
+        bf.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "rank",
+            F.lit(1 if n_skipped > 0 else 0).cast("int").alias("files_skipped"),
+            F.lit(1 if label_prunes else 0).cast("int").alias("label_prunes_files"),
+            F.lit(1 if pruned_ok else 0).cast("int").alias("pruned_equals_inmemory"),
+            F.lit(1 if hits * 100 >= total * 20 else 0).cast("int").alias("recall_ge_20pct"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
     "knn_ivfpq_pruned_store",
     tags=("similarity", "ann", "quantization", "tablestore", "data-skipping"),
     # The ANN capstone composition — IVF-PQ THROUGH the pruned store:
@@ -935,7 +1125,8 @@ def knn_ivf_pruned_scan(spark, sf_dir):
     SELECT query_id, neighbor_id, cosine, rank,
            CAST(1 AS INT) AS files_skipped,
            CAST(1 AS INT) AS pruned_equals_inmemory,
-           CAST(1 AS INT) AS recall_ge_20pct
+           CAST(1 AS INT) AS recall_ge_20pct,
+           CAST(1 AS INT) AS recall_fixed_ge_20pct
     FROM (
         SELECT *, row_number() OVER (
                    PARTITION BY query_id
@@ -956,7 +1147,11 @@ def knn_ivfpq_pruned_store(spark, sf_dir):
     O(files per probed list) — the full composition of this round's
     storage path (knn_ivf_pruned_scan) with the compressed-domain scan
     (knn_ivfpq_rerank), which is what FAISS-on-object-store systems
-    actually ship."""
+    actually ship. recall_fixed_ge_20pct re-measures recall through the
+    same pruned path at the n-INDEPENDENT production shortlist
+    (50·k = 250; flag 1 at all three gate scales): the constant-factor
+    dial is the deployable one — nprobe, not shortlist size, is what
+    caps recall here."""
     import os
     import tempfile
 
@@ -999,9 +1194,20 @@ def knn_ivfpq_pruned_store(spark, sf_dir):
     n_same = a.join(b, ["query_id", "neighbor_id", "cosine", "rank"]).count()
     pruned_ok = (n_a == n_b) and (n_same == n_a)
 
-    bf = S.knn_bruteforce(e, q, k=5)
+    # production dial: the n-independent 50·k shortlist (VERDICT r9) —
+    # measured through the SAME pruned store path, pinned as a >=20pct
+    # floor like the n/10 flag (nprobe caps both: probed-fraction
+    # recall dominates shortlist size on this isotropic corpus).
+    a_fx = S.knn_ivfpq(
+        e, q, coarse, books, pruned, k=5, nprobe=2, shortlist=_FIXED_SHORTLIST
+    ).localCheckpoint(eager=True)
+
+    bf = S.knn_bruteforce(e, q, k=5).localCheckpoint(eager=True)
     hits = bf.select("query_id", "neighbor_id").join(
         a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    hits_fx = bf.select("query_id", "neighbor_id").join(
+        a_fx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
     total = bf.count()
     return (
@@ -1013,6 +1219,9 @@ def knn_ivfpq_pruned_store(spark, sf_dir):
             F.lit(1 if n_skipped > 0 else 0).cast("int").alias("files_skipped"),
             F.lit(1 if pruned_ok else 0).cast("int").alias("pruned_equals_inmemory"),
             F.lit(1 if hits * 100 >= total * 20 else 0).cast("int").alias("recall_ge_20pct"),
+            F.lit(1 if hits_fx * 100 >= total * 20 else 0)
+            .cast("int")
+            .alias("recall_fixed_ge_20pct"),
         )
         .orderBy("query_id", "rank")
     )
@@ -1044,14 +1253,17 @@ def knn_ivfpq_pruned_store(spark, sf_dir):
     ), q AS MATERIALIZED (
         SELECT vec_id AS query_id, v AS q_vec, p AS q_pre
         FROM corpus WHERE vec_id < 10
+    ), ranked AS MATERIALIZED (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_cosine_similarity(q.q_pre, c.p), 6) DESC,
+                 c.vec_id) AS srk
+        FROM q JOIN corpus c ON c.vec_id <> q.query_id
     ), short AS MATERIALIZED (
-        SELECT query_id, neighbor_id FROM (
-            SELECT q.query_id, c.vec_id AS neighbor_id,
-                   row_number() OVER (PARTITION BY q.query_id ORDER BY
-                     round(list_cosine_similarity(q.q_pre, c.p), 6) DESC,
-                     c.vec_id) AS srk
-            FROM q JOIN corpus c ON c.vec_id <> q.query_id
-        ) WHERE srk <= greatest(50, (SELECT count(*) FROM corpus) // 10)
+        SELECT query_id, neighbor_id FROM ranked
+        WHERE srk <= greatest(50, (SELECT count(*) FROM corpus) // 10)
+    ), short_fx AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM ranked WHERE srk <= 250
     ), rer AS MATERIALIZED (
         SELECT query_id, neighbor_id, cosine, rank FROM (
             SELECT sh.query_id, sh.neighbor_id,
@@ -1060,6 +1272,16 @@ def knn_ivfpq_pruned_store(spark, sf_dir):
                      round(list_cosine_similarity(q.q_vec, c.v), 6) DESC,
                      sh.neighbor_id) AS rank
             FROM short sh
+            JOIN q ON q.query_id = sh.query_id
+            JOIN corpus c ON c.vec_id = sh.neighbor_id
+        ) WHERE rank <= 5
+    ), rer_fx AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT sh.query_id, sh.neighbor_id,
+                   row_number() OVER (PARTITION BY sh.query_id ORDER BY
+                     round(list_cosine_similarity(q.q_vec, c.v), 6) DESC,
+                     sh.neighbor_id) AS rank
+            FROM short_fx sh
             JOIN q ON q.query_id = sh.query_id
             JOIN corpus c ON c.vec_id = sh.neighbor_id
         ) WHERE rank <= 5
@@ -1074,9 +1296,13 @@ def knn_ivfpq_pruned_store(spark, sf_dir):
     ), recall AS MATERIALIZED (
         SELECT CAST(count(*) * 100 // (SELECT count(*) FROM bf) AS BIGINT) AS recall5_pct
         FROM bf JOIN rer USING (query_id, neighbor_id)
+    ), recall_fx AS MATERIALIZED (
+        SELECT CAST(count(*) * 100 // (SELECT count(*) FROM bf) AS BIGINT) AS recall5_fixed_pct
+        FROM bf JOIN rer_fx USING (query_id, neighbor_id)
     )
-    SELECT r.query_id, r.neighbor_id, r.cosine, r.rank, rc.recall5_pct
-    FROM rer r CROSS JOIN recall rc
+    SELECT r.query_id, r.neighbor_id, r.cosine, r.rank,
+           rc.recall5_pct, rf.recall5_fixed_pct
+    FROM rer r CROSS JOIN recall rc CROSS JOIN recall_fx rf
     ORDER BY r.query_id, r.rank
     """,
 )
@@ -1092,7 +1318,11 @@ def knn_matryoshka_rerank(spark, sf_dir):
     Returns the approximate pipeline's own top-5 plus the measured
     recall@5 integer, all hash-compared against a DuckDB replay of the
     identical program (see oracle note for the measured determinism
-    margins)."""
+    margins). recall5_fixed_pct is recall at the n-INDEPENDENT
+    production shortlist (50·k = 250; measured 100/100/90 at
+    sf0.001/0.01/0.1 — the untrained-prefix baseline again): the
+    constant-factor dial is what deploys at 100 TB, and the oracle
+    replays both."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     pre = e.select(
         "vec_id",
@@ -1112,31 +1342,46 @@ def knn_matryoshka_rerank(spark, sf_dir):
         .withColumn("pcos", F.round(S.cosine_col(F.col("q_pre"), F.col("c_pre")), 6))
     )
     ws = W.partitionBy("query_id").orderBy(F.col("pcos").desc(), "neighbor_id")
-    short = (
-        scored.withColumn("srk", F.row_number().over(ws))
-        .filter(F.col("srk") <= max(50, n // 10))
-        .select("query_id", "neighbor_id")
+    ranked = scored.withColumn("srk", F.row_number().over(ws)).localCheckpoint(
+        eager=True
     )
-    rer = (
-        short.join(
-            pre.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_vec")),
-            "neighbor_id",
-        )
-        .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
-        .withColumn("cosine", F.round(S.cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
-    )
+    cvec = pre.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_vec"))
     wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    out = (
-        rer.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-        .localCheckpoint(eager=True)
+
+    def _rerank_top5(sl: int):
+        rer = (
+            ranked.filter(F.col("srk") <= sl)
+            .select("query_id", "neighbor_id")
+            .join(cvec, "neighbor_id")
+            .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+            .withColumn(
+                "cosine", F.round(S.cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+            )
+        )
+        return (
+            rer.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+    out = _rerank_top5(max(50, n // 10)).localCheckpoint(eager=True)
+    # production dial: the n-independent 50·k shortlist (VERDICT r9);
+    # its recall is measured and oracle-replayed alongside the n/10 one.
+    out_fx = _rerank_top5(_FIXED_SHORTLIST)
+    bf = S.knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5).localCheckpoint(
+        eager=True
     )
-    bf = S.knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
     hits = bf.select("query_id", "neighbor_id").join(
         out.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     ).count()
+    hits_fx = bf.select("query_id", "neighbor_id").join(
+        out_fx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
     total = bf.count()
-    return out.withColumn(
-        "recall5_pct", F.lit(hits * 100 // total).cast("bigint")
-    ).orderBy("query_id", "rank")
+    return (
+        out.withColumn("recall5_pct", F.lit(hits * 100 // total).cast("bigint"))
+        .withColumn(
+            "recall5_fixed_pct", F.lit(hits_fx * 100 // total).cast("bigint")
+        )
+        .orderBy("query_id", "rank")
+    )

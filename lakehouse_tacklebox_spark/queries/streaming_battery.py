@@ -1531,6 +1531,14 @@ def stream_pq_index_mv(spark, sf_dir):
     )
 
 
+# cdc_ann_index_deletes dials (shared with the margin test): the coarse
+# quantizer's list count and the rebalance trigger threshold (max/mean
+# occupancy in ppm). Measured on sf0.01: 1.069x post-delete over the
+# 1.03 dial — a 3.7% margin the test pins against testdata regeneration.
+_ANN_DEL_CENTROIDS = 8
+_ANN_DEL_DIAL_PPM = 1_030_000
+
+
 @register(
     "cdc_ann_index_deletes",
     tags=("streaming", "similarity", "quantization", "cdf", "incremental"),
@@ -1592,7 +1600,8 @@ def cdc_ann_index_deletes(spark, sf_dir):
     # iters=1: the contract certifies MAINTENANCE semantics (retraction,
     # idempotence, rebuild parity), not codec quality — one Lloyd
     # iteration keeps the entry's two training passes cheap.
-    coarse, books, codes0 = S.ivfpq_index(e, num_centroids=8, m=4, ksub=8, iters=1)
+    num_centroids = _ANN_DEL_CENTROIDS
+    coarse, books, codes0 = S.ivfpq_index(e, num_centroids=num_centroids, m=4, ksub=8, iters=1)
     # freeze the trained structures driver-side (control plane: 8 + m·ksub rows)
     coarse = spark.createDataFrame(
         [(r["centroid_id"], list(r["embedding"])) for r in coarse.collect()],
@@ -1671,14 +1680,19 @@ def cdc_ann_index_deletes(spark, sf_dir):
     )
     retraction_match = (mv_now.count() == n_surv) and (n_match == n_surv)
 
-    # occupancy dial: max/mean list size in ppm (exact integer arithmetic)
+    # occupancy dial: max/mean list size in ppm (exact integer arithmetic);
+    # the mean divisor is derived from num_centroids, not a literal, so a
+    # centroid-count change can't silently skew the ratio (ADVICE r9). The
+    # >=3.7% margin between measured ratio and the dial is pinned by
+    # tests/test_streaming.py::test_ann_delete_occupancy_dial_margin so a
+    # testdata regeneration surfaces as a test failure, not a drive red.
     occ = [r["n"] for r in mv_now.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()]
-    ratio_ppm = max(occ) * 8 * 1_000_000 // sum(occ) if occ else 0
-    rebalance_triggered = ratio_ppm > 1_030_000
+    ratio_ppm = max(occ) * num_centroids * 1_000_000 // sum(occ) if occ else 0
+    rebalance_triggered = ratio_ppm > _ANN_DEL_DIAL_PPM
 
     rebuild_match = False
     if rebalance_triggered:
-        _, _, codes2 = S.ivfpq_index(survivors, num_centroids=8, m=4, ksub=8, iters=1)
+        _, _, codes2 = S.ivfpq_index(survivors, num_centroids=num_centroids, m=4, ksub=8, iters=1)
         codes2 = codes2.select(
             F.col("vec_id").cast("bigint"),
             F.col("centroid_id").cast("int"),

@@ -1287,12 +1287,62 @@ def dedup_containment(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-# Fixed BPE merge table (rank order) — text_bpe_train's output on the
-# sf0.01 gate corpus, pinned as a literal the way a production tokenizer
-# pins its trained vocab: train once on a dev corpus, apply everywhere.
-# Regenerate with `_bpe_train_oracle()` over sf0.01 documents (DuckDB,
-# <1 s) if the gate corpus ever changes; both engines replay the
-# identical merge program so the tokenize oracle stays exact.
+_BPE_TRAIN_N = 20
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
+    """Unrolled n-stage BPE-training SQL for DuckDB: v0 is the weighted
+    [a-z]{2,} vocab in the double-space symbol encoding; each stage k
+    takes the argmax adjacent pair of v_{k-1} (count desc, pair asc) and
+    applies it via replace() with scalar subqueries. MATERIALIZED is
+    load-bearing: v_k and m_k are each referenced more than once, and
+    inlining would re-expand v0 exponentially (2^n)."""
+    pair_census = (
+        "SELECT s[i] AS a, s[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n FROM ("
+        "SELECT string_split(trim(sym), '  ') AS s, cnt FROM {v}"
+        "), unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2 "
+        "ORDER BY n DESC, a, b LIMIT 1"
+    )
+    parts = [
+        "WITH v0 AS MATERIALIZED (",
+        "  SELECT concat(' ', trim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ') AS sym,",
+        "         CAST(count(*) AS BIGINT) AS cnt",
+        "  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w",
+        "        FROM documents)",
+        "  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2",
+        "  GROUP BY 1",
+        ")",
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f", m{k} AS MATERIALIZED ({pair_census.format(v=f'v{k - 1}')})"
+        )
+        if k < n_merges:
+            parts.append(
+                f", v{k} AS MATERIALIZED (SELECT replace(sym,"
+                f" (SELECT ' ' || a || '  ' || b || ' ' FROM m{k}),"
+                f" (SELECT ' ' || a || b || ' ' FROM m{k})) AS sym, cnt FROM v{k - 1})"
+            )
+    selects = [
+        f"SELECT {k} AS rank, a AS pair_a, b AS pair_b,"
+        f" a || b AS merged, n AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    parts.append(" UNION ALL ".join(selects))
+    parts.append("ORDER BY rank")
+    return "\n".join(parts)
+
+
+# BPE merge table (rank order) — text_bpe_train's output on the sf0.01
+# gate corpus, the way a production tokenizer pins its trained vocab:
+# train once on a dev corpus, apply everywhere. Derived at import time
+# from the CURRENT gate corpus via `_bpe_train_oracle()` (DuckDB, <1 s),
+# so a driver testdata regeneration retrains the table automatically and
+# the tokenize entry + its oracle (both built from _BPE_MERGES below)
+# stay exact without a manual re-pin (VERDICT r9 item 6). The literal is
+# the FALLBACK for environments without the gate corpus or DuckDB — any
+# valid merge table is a valid tokenizer, so the fallback only loses the
+# "trained on this corpus" provenance, never correctness.
 #
 # Encoding that makes a replace() chain EXACT greedy BPE: symbols are
 # joined by TWO spaces and the word is wrapped in one space each side
@@ -1305,13 +1355,42 @@ def dedup_containment(spark, sf_dir):
 # greedy-BPE reference on 5k adversarial words (tests/test_bpe.py);
 # replace() is left-to-right non-overlapping in Python, Spark, and
 # DuckDB alike.
-_BPE_MERGES = [
+_BPE_MERGES_FALLBACK = [
     ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
     ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
     ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
     ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
     ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
 ]
+
+_BPE_GATE_CORPUS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _derive_bpe_merges() -> list[tuple[str, str]] | None:
+    """Retrain the merge table on the current gate corpus (DuckDB replay
+    of the exact text_bpe_train program; certified equal to a pure-Python
+    trainer in tests/test_bpe.py). Returns None when the corpus or DuckDB
+    is unavailable — callers fall back to the pinned literal."""
+    import os
+
+    if not os.path.exists(_BPE_GATE_CORPUS):
+        return None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{_BPE_GATE_CORPUS}')"
+        )
+        rows = con.execute(_bpe_train_oracle()).fetchall()
+        con.close()
+        return [(r[1], r[2]) for r in rows] or None
+    except Exception:
+        return None
+
+
+_BPE_MERGES = _derive_bpe_merges() or _BPE_MERGES_FALLBACK
 
 
 def _bpe_expr_sql(col: str, merges=None) -> str:
@@ -1407,52 +1486,6 @@ def text_bpe_tokenize(spark, sf_dir):
     )
 
 
-_BPE_TRAIN_N = 20
-
-
-def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
-    """Unrolled n-stage BPE-training SQL for DuckDB: v0 is the weighted
-    [a-z]{2,} vocab in the double-space symbol encoding; each stage k
-    takes the argmax adjacent pair of v_{k-1} (count desc, pair asc) and
-    applies it via replace() with scalar subqueries. MATERIALIZED is
-    load-bearing: v_k and m_k are each referenced more than once, and
-    inlining would re-expand v0 exponentially (2^n)."""
-    pair_census = (
-        "SELECT s[i] AS a, s[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n FROM ("
-        "SELECT string_split(trim(sym), '  ') AS s, cnt FROM {v}"
-        "), unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2 "
-        "ORDER BY n DESC, a, b LIMIT 1"
-    )
-    parts = [
-        "WITH v0 AS MATERIALIZED (",
-        "  SELECT concat(' ', trim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ') AS sym,",
-        "         CAST(count(*) AS BIGINT) AS cnt",
-        "  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w",
-        "        FROM documents)",
-        "  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2",
-        "  GROUP BY 1",
-        ")",
-    ]
-    for k in range(1, n_merges + 1):
-        parts.append(
-            f", m{k} AS MATERIALIZED ({pair_census.format(v=f'v{k - 1}')})"
-        )
-        if k < n_merges:
-            parts.append(
-                f", v{k} AS MATERIALIZED (SELECT replace(sym,"
-                f" (SELECT ' ' || a || '  ' || b || ' ' FROM m{k}),"
-                f" (SELECT ' ' || a || b || ' ' FROM m{k})) AS sym, cnt FROM v{k - 1})"
-            )
-    selects = [
-        f"SELECT {k} AS rank, a AS pair_a, b AS pair_b,"
-        f" a || b AS merged, n AS pair_count FROM m{k}"
-        for k in range(1, n_merges + 1)
-    ]
-    parts.append(" UNION ALL ".join(selects))
-    parts.append("ORDER BY rank")
-    return "\n".join(parts)
-
-
 @register(
     "text_bpe_train",
     tags=("text", "tokenizer", "corpus"),
@@ -1515,6 +1548,11 @@ def text_bpe_train(spark, sf_dir):
                 .limit(1)
                 .collect()
             )
+            if not top:
+                # Degenerate/tiny corpus: the weighted vocab ran out of
+                # adjacent pairs before _BPE_TRAIN_N merges — emit the
+                # merges learned so far instead of IndexError (ADVICE r9).
+                break
             a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
             merges.append((rank, a, b, int(n)))
             sym_expr = f"replace({sym_expr}, ' {a}  {b} ', ' {a}{b} ')"

@@ -153,8 +153,14 @@ def test_train_spark_equals_python_trainer(spark, python_trained):
 
 
 def test_pinned_table_is_sf001_trained_output():
-    """_BPE_MERGES is documented as text_bpe_train's output on the
-    sf0.01 gate corpus — pin that provenance."""
+    """_BPE_MERGES is text_bpe_train's output on the sf0.01 gate corpus.
+
+    Since VERDICT r9 item 6 the module derives the table from the CURRENT
+    corpus at import (so a driver testdata regeneration retrains it
+    automatically instead of breaking the tokenize oracle); this test
+    certifies that the import-time derivation actually ran and equals a
+    fresh independent derivation — i.e. the provenance claim holds against
+    whatever the gate corpus is today."""
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM"

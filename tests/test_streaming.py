@@ -210,3 +210,54 @@ def test_stream_to_table_and_metrics_listener(spark, tmp_path):
     mdf = collector.to_df(spark)
     assert mdf.agg(F.sum("num_input_rows")).first()[0] >= 100
     assert collector.summary(spark).count() >= 1
+
+
+def test_ann_delete_occupancy_dial_margin(spark):
+    """Pin the cdc_ann_index_deletes rebalance dial's safety margin.
+
+    The entry's oracle hard-pins rebalance_triggered=1 from MEASURED
+    occupancy on the gate corpus; if the driver regenerates testdata and
+    the post-delete max/mean occupancy drifts under the dial, that pin
+    flips and the drive goes red with no local signal. This test measures
+    the same statistic the entry measures (coarse quantizer trained on the
+    FULL sf0.01 embeddings, occupancy counted over the forget-list
+    survivors) and asserts the documented >=3.7% margin over the dial — a
+    regeneration flake fails HERE first, with instructions (ADVICE r9)."""
+    from lakehouse_tacklebox_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+        unit_normalize,
+    )
+    from lakehouse_tacklebox_spark.queries.streaming_battery import (
+        _ANN_DEL_CENTROIDS,
+        _ANN_DEL_DIAL_PPM,
+    )
+    from lakehouse_tacklebox_spark.sources.catalog import load_tables
+
+    sf_dir = "/root/testdata/sf0.01"
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    cu = unit_normalize(e).localCheckpoint(eager=False)
+    # iters=1 mirrors the entry (maintenance-semantics certification dial)
+    coarse = kmeans_centroids(cu, k=_ANN_DEL_CENTROIDS, iters=1)
+    survivors = cu.filter(F.col("vec_id") % 7 != 3)
+    occ = [
+        r["n"]
+        for r in ivf_assign(survivors, coarse, nprobe=1)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    ratio_ppm = max(occ) * _ANN_DEL_CENTROIDS * 1_000_000 // sum(occ)
+    assert ratio_ppm > _ANN_DEL_DIAL_PPM, (
+        f"occupancy ratio {ratio_ppm} ppm no longer exceeds the "
+        f"{_ANN_DEL_DIAL_PPM} dial — cdc_ann_index_deletes' pinned "
+        "rebalance_triggered=1 would go red; re-measure and lower the dial."
+    )
+    margin = (ratio_ppm - _ANN_DEL_DIAL_PPM) / _ANN_DEL_DIAL_PPM
+    assert margin >= 0.037, (
+        f"dial margin {margin:.4f} < 0.037 — testdata regeneration has "
+        "eroded the documented safety margin; re-measure occupancy and "
+        "re-pick _ANN_DEL_DIAL_PPM before the drive flakes."
+    )
