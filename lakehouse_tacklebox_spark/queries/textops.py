@@ -1750,3 +1750,202 @@ def text_span_excision(spark, sf_dir):
         .filter(F.col("n_removed") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_span_excision_incremental",
+    tags=("text", "dedup", "corpus", "incremental", "tablestore"),
+    # The INGEST shape of ExactSubstr excision (VERDICT r9 item 4): the
+    # already-ingested corpus (doc_id % 3 != 0) has its full window
+    # census persisted in a TackleTable; the NEW batch (doc_id % 3 = 0)
+    # is excised against that store — a window is flagged iff it exists
+    # anywhere in the ingested census OR is duplicated WITHIN the batch,
+    # which is exactly the full-recompute condition restricted to batch
+    # docs (union distinct-doc count >= 2 <=> existing >= 1 OR batch
+    # >= 2, since the doc sets are disjoint). The oracle replays the
+    # two-phase program content-level (md5 of each reassembled doc);
+    # census_merge_match additionally certifies the MAINTENANCE half —
+    # the store after merging the batch's counts equals a from-scratch
+    # census of the union, read BACK from the table (disjoint doc sets
+    # => counts add; certified by recompute, pinned 1). Equivalence to
+    # the batch entry and to an independent pure-Python brute force is
+    # pinned in tests/test_span_excision.py.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+               ('0x' || substr(md5(array_to_string(
+                   t[(CAST(u.i AS INT)+1):(CAST(u.i AS INT)+8)], ' ')), 1, 15)
+               )::BIGINT AS h
+        FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8
+    ), exist_census AS (
+        SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM wins WHERE doc_id % 3 != 0 GROUP BY h
+    ), inc_wins AS (
+        SELECT * FROM wins WHERE doc_id % 3 = 0
+    ), inc_census AS (
+        SELECT h, count(DISTINCT doc_id) AS n_inc FROM inc_wins GROUP BY h
+    ), flagged AS (
+        SELECT i.h
+        FROM inc_census i LEFT JOIN exist_census e USING (h)
+        WHERE coalesce(e.n_docs, 0) >= 1 OR i.n_inc >= 2
+    ), starts AS (
+        SELECT w.doc_id, w.i FROM inc_wins w JOIN flagged USING (h)
+    ), removed AS (
+        SELECT DISTINCT doc_id, i + CAST(r.d AS BIGINT) AS pos
+        FROM starts, unnest(range(0, 8)) AS r(d)
+    ), positions AS (
+        SELECT doc_id, CAST(u.p AS BIGINT) AS pos,
+               t[CAST(u.p AS INT) + 1] AS tok
+        FROM toks, unnest(range(0, len(t))) AS u(p)
+        WHERE doc_id % 3 = 0
+    ), j AS (
+        SELECT p.doc_id, p.pos, p.tok,
+               (r.pos IS NOT NULL) AS rm,
+               lag(r.pos IS NOT NULL) OVER (
+                   PARTITION BY p.doc_id ORDER BY p.pos) AS prev_rm
+        FROM positions p LEFT JOIN removed r USING (doc_id, pos)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN NOT rm AND (pos = 0 OR prev_rm)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segments,
+           md5(coalesce(string_agg(CASE WHEN NOT rm THEN tok END,
+                                   ' ' ORDER BY pos), '')) AS cleaned_md5,
+           CAST(1 AS INT) AS census_merge_match
+    FROM j
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN rm THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_span_excision_incremental(spark, sf_dir):
+    """Incremental duplicate-span excision — text_span_excision's 100 TB
+    ingest posture (the corpus_incremental_dedup flow applied to Lee et
+    al. ExactSubstr): the ingested corpus' WINDOW CENSUS (h, n_docs) is
+    the persisted index (a TackleTable keyed on the 60-bit window hash);
+    a new batch tokenizes once, flags any window present in the store OR
+    duplicated within the batch, excises the interval union, and then
+    MERGES its own census into the store for the next batch. Cost per
+    batch: tokenize + window the batch, one equi-join on h against the
+    store, one per-doc window pass — the ingested corpus' TEXT is never
+    re-read (only its census), which is what makes excision affordable
+    as a standing ingest stage. Incremental == full recompute restricted
+    to batch docs (disjoint doc sets; proven in the register note and
+    pinned against both the batch entry and a pure-Python brute force in
+    tests). census_merge_match certifies the post-merge store, read
+    back, equals a from-scratch union census."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    base = _spread(d.select("doc_id", toks.alias("t"))).localCheckpoint(eager=False)
+    wins = (
+        base.filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 8)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("i"),
+            D.md5_hash60(F.expr("concat_ws(' ', slice(t, CAST(i AS INT)+1, 8))")).alias("h"),
+        )
+    )
+    exist_wins = wins.filter(F.col("doc_id") % 3 != 0)
+    inc_wins = wins.filter(F.col("doc_id") % 3 == 0).localCheckpoint(eager=False)
+
+    # the persisted index: FULL census of the ingested corpus (every
+    # window hash, n_docs >= 1 — a 1-doc window still dupes an incoming
+    # occurrence, so the store must hold it)
+    exist_census = exist_wins.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    tmp = tempfile.mkdtemp(prefix="spanidx_")
+    store = TackleTable.create(spark, os.path.join(tmp, "census"), exist_census)
+
+    stored = store.read()  # the batch only ever sees the STORE
+    inc_census = inc_wins.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_inc")
+    ).localCheckpoint(eager=False)
+    flagged = (
+        inc_census.join(stored.select("h", "n_docs"), "h", "left")
+        .filter((F.coalesce(F.col("n_docs"), F.lit(0)) >= 1) | (F.col("n_inc") >= 2))
+        .select("h")
+    )
+    starts = inc_wins.join(flagged, "h").select("doc_id", "i")
+    removed = (
+        starts.select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("pos")
+        )
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    positions = (
+        base.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.posexplode("t").alias("pos", "tok"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    j = (
+        positions.join(removed, ["doc_id", "pos"], "left")
+        .withColumn("prev_rm", F.lag("rm").over(w))
+    )
+
+    # maintenance: merge the batch's census into the store (disjoint doc
+    # sets => counts add), then certify the read-back against a
+    # from-scratch census of the union.
+    merged = (
+        stored.select("h", "n_docs")
+        .join(inc_census, "h", "full_outer")
+        .select(
+            "h",
+            (F.coalesce(F.col("n_docs"), F.lit(0)) + F.coalesce(F.col("n_inc"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    store.overwrite(merged, txn=("span_census_merge", 1))
+    back = TackleTable(spark, os.path.join(tmp, "census")).read()
+    union_census = wins.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    n_union = union_census.count()
+    n_match = back.join(union_census, ["h", "n_docs"]).count()
+    merge_ok = (back.count() == n_union) and (n_match == n_union)
+
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("rm"), F.lit(0))).cast("bigint").alias("n_removed"),
+            F.sum(
+                F.when(
+                    F.col("rm").isNull()
+                    & ((F.col("pos") == 0) | (F.col("prev_rm") == 1)),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_kept_segments"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(filter(collect_list("
+                        "CASE WHEN rm IS NULL THEN struct(pos, tok) END), x -> x IS NOT NULL)), s -> s.tok)"
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+        .filter(F.col("n_removed") > 0)
+        .withColumn("census_merge_match", F.lit(1 if merge_ok else 0).cast("int"))
+        .orderBy("doc_id")
+    )
