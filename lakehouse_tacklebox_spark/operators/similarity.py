@@ -925,6 +925,35 @@ def sq_encode(
     )
 
 
+def sq_dots(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """INTEGER dot products of zero-centered SQ codes — the exact,
+    summation-order-free approximate score knn_sq shortlists by (and the
+    relevance/diversity kernel knn_mmr_rerank greedily re-ranks with):
+    s = Σ (2c−255)(2q−255) over the code dims. Self-pairs are excluded.
+    Returns (query_id, neighbor_id, s). Codes-only scan, JVM codegen
+    end-to-end (posexplode + broadcast-join + sum)."""
+    cc = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("dim", "c")
+    )
+    qq = query_codes.select(
+        F.col(id_col).alias("query_id"), F.posexplode("codes").alias("dim", "qv")
+    )
+    return (
+        cc.join(F.broadcast(qq), "dim")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                (2 * F.col("qv") - 255).cast("bigint") * (2 * F.col("c") - 255)
+            ).alias("s")
+        )
+    )
+
+
 def knn_sq(
     corpus_codes: DataFrame,
     query_codes: DataFrame,
@@ -943,22 +972,7 @@ def knn_sq(
     float ADC cannot give). The ``shortlist`` best per query re-rank by
     exact cosine. Codes-only scan is JVM codegen end-to-end (explode +
     broadcast-join + sum), no Python, no HOF folds."""
-    cc = corpus_codes.select(
-        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("dim", "c")
-    )
-    qq = query_codes.select(
-        F.col(id_col).alias("query_id"), F.posexplode("codes").alias("dim", "qv")
-    )
-    sdot = (
-        cc.join(F.broadcast(qq), "dim")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum(
-                (2 * F.col("qv") - 255).cast("bigint") * (2 * F.col("c") - 255)
-            ).alias("s")
-        )
-    )
+    sdot = sq_dots(corpus_codes, query_codes, id_col)
     ws = W.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
     short = (
         sdot.withColumn("srk", F.row_number().over(ws))

@@ -61,6 +61,7 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
     metrics,
     multimodal,
     plans_battery,
+    retrieval,
     scalars,
     setops,
     similarity,

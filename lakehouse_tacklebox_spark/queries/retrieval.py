@@ -1,0 +1,402 @@
+"""Retrieval-serving entries — the query-time half of the RAG corpus the
+LLM-pipeline operators build: hybrid keyword+vector search with rank
+fusion, and diversity re-ranking over the compressed (SQ) domain.
+
+Reference anchor: dbsys21/lakehouse-tacklebox
+00-quickstarts/llm-dolly-chatbot (02-Data-preparation.py builds the
+vector store; 03-Q&A-prompt-engineering runs filtered/similarity
+retrieval). The reference retrieves with an external vector library;
+here retrieval itself is expressed Spark-first so one engine serves
+ingest AND query, and every ranking is DuckDB-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.operators import similarity as S
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+
+@register(
+    "rag_hybrid_retrieval",
+    tags=("retrieval", "text", "similarity", "rag"),
+    # Hybrid search — the retrieval pattern every production RAG stack
+    # runs (keyword BM25 + vector cosine, reciprocal-rank-fused): both
+    # legs and the fusion are INTEGER-EXACT so DuckDB hash-compares the
+    # whole ranking. BM25 is the standard k1=1.2, b=0.75 form with the
+    # two float spots made rational: idf -> the raw Robertson ratio
+    # (N-df+0.5)/(df+0.5) scaled to ppm via (2(N-df)+1)*1e6 DIV (2df+1)
+    # (monotone in the same argument as the usual log form, so ranking
+    # is preserved), and the tf-norm ratio tf*(k1+1)/(tf+k1*(1-b+b*L/avg))
+    # == 44*tf*total / (20*tf*total + 6*total + 18*L*N) exactly (avg =
+    # total/N; multiply through by 20*total), emitted in milli. Per-term
+    # contributions and their per-doc sums are BIGINTs — no float ever.
+    # RRF = 1e6 DIV (60+rank) summed over the legs (Cormack et al.'s
+    # k=60), integer again; sentinel -1 marks a doc absent from a leg.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, w FROM toks
+        WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len) AS BIGINT) AS total
+        FROM dl
+    ), dft AS (
+        SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w
+    ), tft AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w
+    ), qt AS (
+        SELECT DISTINCT doc_id AS query_id, w FROM tok WHERE doc_id < 3
+    ), bm AS (
+        SELECT qt.query_id, tft.doc_id,
+               CAST(sum(
+                 (((2*(s.n_docs - dft.df) + 1) * 1000000) // (2*dft.df + 1))
+                 * ((44000*tft.tf*s.total)
+                    // (20*tft.tf*s.total + 6*s.total + 18*dl.len*s.n_docs))
+               ) AS BIGINT) AS score
+        FROM qt
+        JOIN tft USING (w)
+        JOIN dft USING (w)
+        JOIN dl ON dl.doc_id = tft.doc_id
+        CROSS JOIN stats s
+        WHERE tft.doc_id <> qt.query_id
+        GROUP BY 1, 2
+    ), kw AS (
+        SELECT query_id, doc_id, r FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS r
+            FROM bm
+        ) WHERE r <= 10
+    ), vec AS (
+        SELECT query_id, doc_id, r FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     round(list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]),
+                        CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                     c.vec_id) AS r
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 3
+        ) WHERE r <= 10
+    ), fused AS (
+        SELECT coalesce(kw.query_id, vec.query_id) AS query_id,
+               coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+               CAST(coalesce(kw.r, -1) AS BIGINT) AS kw_rank,
+               CAST(coalesce(vec.r, -1) AS BIGINT) AS vec_rank,
+               CAST(coalesce(1000000 // (60 + kw.r), 0)
+                    + coalesce(1000000 // (60 + vec.r), 0) AS BIGINT) AS rrf_ppm
+        FROM kw FULL OUTER JOIN vec
+          ON kw.query_id = vec.query_id AND kw.doc_id = vec.doc_id
+    )
+    SELECT query_id, doc_id, kw_rank, vec_rank, rrf_ppm,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_ppm DESC, doc_id) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 5
+    ORDER BY query_id, fused_rank
+    """,
+)
+def rag_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword top-10 + exact-cosine vector
+    top-10, reciprocal-rank fusion (k=60), fused top-5 per query — the
+    two-leg serving query every RAG deployment runs, expressed as one
+    Spark plan with every ranking integer-exact (see register note for
+    the rational BM25 derivation). Plan shape at 100 TB: tf/df are
+    map-side-combining censuses (one corpus scan); the BM25 leg is a
+    posting-list join — the 3 queries' DISTINCT terms broadcast onto
+    the (doc, term) tf frame, so cost ∝ the probed terms' postings, not
+    the corpus; the vector leg here is the exact brute-force baseline
+    (the ANN entries — knn_ivf_pruned_scan, knn_filtered_ivf — are its
+    scale path, same output contract); fusion joins two k-bounded
+    lists. doc_id and vec_id are aligned in the fixture, which is what
+    lets one entry fuse both modalities."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    ).localCheckpoint(eager=False)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("total"),
+    )
+    dft = tok.groupBy("w").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    tft = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    qt = tok.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "w"
+    ).distinct()
+
+    bm = (
+        tft.join(F.broadcast(qt), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dft, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.expr(
+                "(((2*(n_docs - df) + 1) * CAST(1000000 AS BIGINT)) DIV (2*df + 1))"
+                " * ((44000*tf*total)"
+                "    DIV (20*tf*total + 6*total + 18*len*n_docs))"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score"))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    kw = (
+        bm.withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "doc_id", F.col("r").alias("kw_r"))
+    )
+    vec = (
+        S.knn_bruteforce(e, e.filter(F.col("vec_id") < 3), k=10)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("vec_r"),
+        )
+    )
+    fused = (
+        kw.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("kw_r"), F.lit(-1)).cast("bigint").alias("kw_rank"),
+            F.coalesce(F.col("vec_r"), F.lit(-1)).cast("bigint").alias("vec_rank"),
+            (
+                F.coalesce(F.expr("CAST(1000000 AS BIGINT) DIV (60 + kw_r)"), F.lit(0))
+                + F.coalesce(
+                    F.expr("CAST(1000000 AS BIGINT) DIV (60 + vec_r)"), F.lit(0)
+                )
+            ).cast("bigint").alias("rrf_ppm"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf_ppm").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("fused_rank") <= 5)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+_MMR_K = 5
+_MMR_SHORTLIST = 20
+
+
+def _mmr_oracle(k: int = _MMR_K, shortlist: int = _MMR_SHORTLIST) -> str:
+    """Unrolled k-stage MMR SQL for DuckDB (the _bpe_train_oracle
+    pattern): replay the SQ floor codec, the integer query dots, the
+    top-``shortlist`` candidate cut, the candidate-pair dots, then k
+    greedy argmax stages of mmr_score = 7*qdot - 3*max(pdot to the
+    selected set) — every value BIGINT, so the replay is exact.
+    MATERIALIZED is load-bearing (stages reference earlier CTEs more
+    than once)."""
+    parts = [
+        """WITH corpus AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS MATERIALIZED (
+        SELECT i AS dim, min(v[i]) AS mn, max(v[i]) AS mx
+        FROM corpus, unnest(range(1, len(v) + 1)) AS t(i)
+        GROUP BY 1
+    ), codes AS MATERIALIZED (
+        SELECT vec_id, list(CASE WHEN mx = mn THEN 0
+            ELSE CAST(least(floor((v[dim] - mn) * 255.0 / (mx - mn)), 255.0) AS INT) END
+            ORDER BY dim) AS c
+        FROM corpus, dims
+        GROUP BY vec_id
+    ), qc AS MATERIALIZED (SELECT vec_id AS query_id, c AS q FROM codes WHERE vec_id < 3),
+    sdot AS MATERIALIZED (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               CAST(sum((2*q[i]-255) * (2*c.c[i]-255)) AS BIGINT) AS qdot
+        FROM qc, codes c, unnest(range(1, len(q)+1)) AS t(i)
+        WHERE c.vec_id <> query_id
+        GROUP BY 1, 2
+    ), cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id, qdot FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY qdot DESC, neighbor_id) AS rk
+            FROM sdot
+        ) WHERE rk <= %(shortlist)d
+    ), pair AS MATERIALIZED (
+        SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+               CAST(sum((2*ac.c[i]-255) * (2*bc.c[i]-255)) AS BIGINT) AS pdot
+        FROM cand a
+        JOIN cand b ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+        JOIN codes ac ON ac.vec_id = a.neighbor_id
+        JOIN codes bc ON bc.vec_id = b.neighbor_id,
+        unnest(range(1, len(ac.c)+1)) AS t(i)
+        GROUP BY 1, 2, 3
+    ), s1 AS MATERIALIZED (
+        SELECT query_id, neighbor_id, qdot,
+               CAST(7*qdot AS BIGINT) AS mmr_score,
+               CAST(1 AS BIGINT) AS mmr_rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY qdot DESC, neighbor_id) AS rk
+            FROM cand
+        ) WHERE rk = 1
+    ), p1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1)"""
+        % {"shortlist": shortlist}
+    ]
+    for st in range(2, k + 1):
+        parts.append(
+            f""", s{st} AS MATERIALIZED (
+        SELECT query_id, neighbor_id, qdot, mmr_score,
+               CAST({st} AS BIGINT) AS mmr_rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY mmr_score DESC, neighbor_id) AS rk
+            FROM (
+                SELECT c.query_id, c.neighbor_id, c.qdot,
+                       CAST(7*c.qdot - 3*max(pr.pdot) AS BIGINT) AS mmr_score
+                FROM cand c
+                JOIN p{st - 1} p ON p.query_id = c.query_id
+                JOIN pair pr ON pr.query_id = c.query_id
+                            AND pr.ida = c.neighbor_id
+                            AND pr.idb = p.neighbor_id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM p{st - 1} x
+                    WHERE x.query_id = c.query_id
+                      AND x.neighbor_id = c.neighbor_id)
+                GROUP BY 1, 2, 3
+            )
+        ) WHERE rk = 1
+    ), p{st} AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM p{st - 1}
+        UNION ALL SELECT query_id, neighbor_id FROM s{st}
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    parts.append(f"\nSELECT query_id, neighbor_id, qdot, mmr_score, mmr_rank"
+                 f" FROM ({union}) ORDER BY query_id, mmr_rank")
+    return "".join(parts)
+
+
+@register(
+    "knn_mmr_rerank",
+    tags=("retrieval", "similarity", "ann", "quantization", "rag"),
+    # MMR (maximal marginal relevance, Carbonell & Goldstein 1998) — the
+    # diversity re-rank RAG retrievers run so the k passages handed to
+    # the LLM aren't k near-copies of the same chunk. Run ENTIRELY in
+    # the SQ integer-dot domain: relevance = zero-centered code dot to
+    # the query, diversity = max code dot to the already-selected set,
+    # greedy pick k=5 from a top-20 shortlist with score 7*qdot -
+    # 3*maxsel (lambda = 0.7 scaled by 10; stage 1 = pure relevance, so
+    # its score is 7*qdot). Integer dots are summation-order-free, so
+    # DuckDB replays codec, shortlist, pair dots, and all five greedy
+    # stages EXACTLY (unrolled materialized CTEs, the _bpe_train_oracle
+    # pattern) — a greedy iterative algorithm, fully hash-compared.
+    oracle=_mmr_oracle(),
+)
+def knn_mmr_rerank(spark, sf_dir):
+    """Diversity-aware re-ranking (MMR) over the SQ-compressed domain —
+    the serving-side complement of the dedup operators: instead of
+    deleting near-dups at ingest, the retriever PENALIZES redundancy at
+    query time (7*relevance - 3*max-similarity-to-picked, greedy, k=5
+    from a 20-candidate shortlist; first pick = max relevance). Staying
+    in integer code dots makes the greedy trajectory deterministic and
+    engine-exact (no float argmax ties, no summation-order risk — the
+    knn_sq property applied to an ITERATIVE algorithm). Scale: the
+    shortlist is the same codes-only scan knn_sq deploys; everything
+    after is k-bounded per query (20 candidates, 380 pair dots, 5
+    window passes over ~20 rows) — the greedy loop never touches the
+    corpus."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    bounds = S.sq_bounds(e).localCheckpoint(eager=True)
+    codes = S.sq_encode(e, bounds).localCheckpoint(eager=True)
+    qcodes = codes.filter(F.col("vec_id") < 3)
+
+    sdot = S.sq_dots(codes, qcodes).withColumnRenamed("s", "qdot")
+    wq = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), "neighbor_id")
+    cand = (
+        sdot.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _MMR_SHORTLIST)
+        .select("query_id", "neighbor_id", F.col("qdot").cast("bigint").alias("qdot"))
+        .localCheckpoint(eager=True)
+    )
+    candc = cand.join(
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes"), "neighbor_id"
+    )
+    a = candc.select("query_id", F.col("neighbor_id").alias("ida"), F.col("codes").alias("ca"))
+    b = candc.select("query_id", F.col("neighbor_id").alias("idb"), F.col("codes").alias("cb"))
+    pair = (
+        a.join(b, "query_id")
+        .filter(F.col("ida") != F.col("idb"))
+        .withColumn(
+            "pdot",
+            F.expr(
+                "aggregate(zip_with(ca, cb,"
+                " (x, y) -> CAST(2*x-255 AS BIGINT) * CAST(2*y-255 AS BIGINT)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ),
+        )
+        .select("query_id", "ida", "idb", "pdot")
+        .localCheckpoint(eager=True)
+    )
+
+    s1 = (
+        cand.withColumn("rk", F.row_number().over(wq.orderBy(F.col("qdot").desc(), "neighbor_id")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qdot",
+            (7 * F.col("qdot")).cast("bigint").alias("mmr_score"),
+            F.lit(1).cast("bigint").alias("mmr_rank"),
+        )
+    ).localCheckpoint(eager=True)
+    picked = s1.select("query_id", "neighbor_id")
+    stages = [s1]
+    for st in range(2, _MMR_K + 1):
+        rem = cand.join(picked, ["query_id", "neighbor_id"], "left_anti")
+        mx = (
+            pair.join(
+                picked.select("query_id", F.col("neighbor_id").alias("idb")),
+                ["query_id", "idb"],
+            )
+            .groupBy("query_id", "ida")
+            .agg(F.max("pdot").alias("maxp"))
+        )
+        wk = W.partitionBy("query_id").orderBy(F.col("mmr_score").desc(), "neighbor_id")
+        stage = (
+            rem.join(
+                mx,
+                (rem["query_id"] == mx["query_id"]) & (rem["neighbor_id"] == mx["ida"]),
+            )
+            .select(
+                rem["query_id"],
+                rem["neighbor_id"],
+                rem["qdot"],
+                (7 * rem["qdot"] - 3 * mx["maxp"]).cast("bigint").alias("mmr_score"),
+            )
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "qdot",
+                "mmr_score",
+                F.lit(st).cast("bigint").alias("mmr_rank"),
+            )
+        ).localCheckpoint(eager=True)
+        stages.append(stage)
+        picked = picked.unionByName(stage.select("query_id", "neighbor_id"))
+
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("query_id", "mmr_rank")
