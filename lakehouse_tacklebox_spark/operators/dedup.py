@@ -129,17 +129,17 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     sig_df: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash) buckets.
-
-    Scale path for near-dup at 100 TB: candidate generation is a
-    groupBy/join on 16-byte bucket keys — never a full cross join. Skewed
-    buckets (boilerplate docs) are bounded by AQE skew-join splitting.
-    Returns distinct (id_a, id_b) with id_a < id_b.
-    """
-    banded = sig_df.select(
+    """Band MinHash signatures into (id, band, band_hash) bucket rows —
+    the LSH INDEX representation: persiting these rows (e.g. in a
+    TackleTable keyed on (band, band_hash)) is what lets a new ingest
+    batch find its near-dup candidates against an already-indexed corpus
+    with one equi-join instead of re-banding history
+    (dedup_incremental_lsh). Bucket hash = xxhash64 of the band's
+    ``rows_per_band`` signature slots, a pure per-row projection."""
+    return sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -150,6 +150,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash) buckets.
+
+    Scale path for near-dup at 100 TB: candidate generation is a
+    groupBy/join on 16-byte bucket keys — never a full cross join. Skewed
+    buckets (boilerplate docs) are bounded by AQE skew-join splitting.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    banded = lsh_band_buckets(sig_df, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

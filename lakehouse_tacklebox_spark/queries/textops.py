@@ -1949,3 +1949,124 @@ def text_span_excision_incremental(spark, sf_dir):
         .withColumn("census_merge_match", F.lit(1 if merge_ok else 0).cast("int"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_incremental_lsh",
+    tags=("dedup", "text", "lsh", "incremental", "tablestore"),
+    # The near-dup INGEST shape (the corpus_incremental_dedup posture
+    # applied to MinHash-LSH, completing the incremental trio with
+    # dedup_incremental / text_span_excision_incremental): the ingested
+    # corpus' band-bucket rows are the persisted LSH INDEX (a
+    # TackleTable); a new batch signs itself, equi-joins its buckets
+    # against the STORE (batch x history candidates) and against itself
+    # (within-batch), and exact-verifies ONLY those candidates — history
+    # text is re-read only for the matched docs, never re-banded. The
+    # oracle is the exact-Jaccard pair set restricted to pairs touching
+    # the batch (id % 3 = 0): signatures are per-doc, so the split
+    # changes nothing about which pairs band together, and the
+    # dedup_minhash_lsh recall-1 precondition (gate pair floor j >= 0.8
+    # vs the 16x3 S-curve) carries over unchanged. index_merge_match
+    # certifies the MAINTENANCE half: the store after appending the
+    # batch's buckets, read BACK, equals a from-scratch banding of the
+    # full corpus row-for-row.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS sz FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard,
+           CAST(1 AS INT) AS index_merge_match
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+      AND (id_a % 3 = 0 OR id_b % 3 = 0)
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup — dedup_minhash_lsh's 100 TB
+    ingest posture: the already-ingested corpus (doc_id % 3 != 0) is
+    represented ONLY by its persisted band-bucket index (and its text,
+    touched per matched doc at verify time); the new batch (doc_id % 3
+    = 0) signs once, probes the bucket store with one equi-join, adds
+    its within-batch buckets, exact-verifies the candidate pairs, and
+    appends its own buckets to the index for the next batch. Cost per
+    batch ∝ batch size + matched candidates — history is never
+    re-signed. The store append is certified by read-back against a
+    from-scratch banding of the union (index_merge_match)."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=3).persist()
+    sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=48).filter(
+        F.col("sig").getItem(0).isNotNull()
+    )
+    buckets_exist = D.lsh_band_buckets(
+        sigs.filter(F.col("doc_id") % 3 != 0), "doc_id", bands=16, rows_per_band=3
+    )
+    buckets_inc = D.lsh_band_buckets(
+        sigs.filter(F.col("doc_id") % 3 == 0), "doc_id", bands=16, rows_per_band=3
+    ).localCheckpoint(eager=True)
+
+    tmp = tempfile.mkdtemp(prefix="lshidx_")
+    store = TackleTable.create(spark, os.path.join(tmp, "idx"), buckets_exist)
+
+    stored = store.read()  # the batch only ever sees the STORE
+    cross = (
+        buckets_inc.select(
+            F.col("doc_id").alias("inc_id"), "band", "band_hash"
+        )
+        .join(stored.select(F.col("doc_id").alias("ex_id"), "band", "band_hash"),
+              ["band", "band_hash"])
+        .select(
+            F.least("inc_id", "ex_id").alias("id_a"),
+            F.greatest("inc_id", "ex_id").alias("id_b"),
+        )
+    )
+    a = buckets_inc.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    b = buckets_inc.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    within = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cross.unionByName(within).distinct()
+    verified = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
+
+    # maintenance: append the batch's buckets, certify read-back against
+    # a from-scratch banding of the full corpus (row-set equality).
+    store.append(buckets_inc, txn=("lsh_index_append", 1))
+    back = TackleTable(spark, os.path.join(tmp, "idx")).read()
+    full = D.lsh_band_buckets(sigs, "doc_id", bands=16, rows_per_band=3)
+    n_full = full.count()
+    n_match = back.join(full, ["doc_id", "band", "band_hash"]).count()
+    merge_ok = (back.count() == n_full) and (n_match == n_full)
+
+    return (
+        verified.select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .withColumn("index_merge_match", F.lit(1 if merge_ok else 0).cast("int"))
+        .orderBy("id_a", "id_b")
+    )
