@@ -122,6 +122,16 @@ SF1_QUERIES = [
     # round-9: image crop containment — tile-hash census + 2-D offset
     # voting; same near-linear banded contract as the near-dup quad
     "mm_image_crop_match",
+    # round-10: hybrid retrieval — the BM25 leg is a posting-list join
+    # whose cost should track the probed terms' postings (linear in n
+    # for a fixed query set) and the vector leg a fixed-query
+    # broadcast scan; the ratio guards that fusion stays k-bounded
+    "rag_hybrid_retrieval",
+    # round-10: the incremental LSH ingest — the store probe is the
+    # same banded equi-join contract as dedup_minhash_lsh (already
+    # above), PLUS a TackleTable write/append; the ratio guards that
+    # the index round-trip stays linear in the batch
+    "dedup_incremental_lsh",
 ]
 # documented-quadratic exact baselines — excluded BY DESIGN, not silently:
 # brute-force knn is O(n²) on purpose (the IVF/LSH variants are the scale

@@ -22,15 +22,19 @@ from lakehouse_tacklebox_spark.sources import load_tables
 
 @register(
     "rag_hybrid_retrieval",
+    bench=True,
     tags=("retrieval", "text", "similarity", "rag"),
     # Hybrid search — the retrieval pattern every production RAG stack
     # runs (keyword BM25 + vector cosine, reciprocal-rank-fused): both
     # legs and the fusion are INTEGER-EXACT so DuckDB hash-compares the
-    # whole ranking. BM25 is the standard k1=1.2, b=0.75 form with the
-    # two float spots made rational: idf -> the raw Robertson ratio
+    # whole ranking. BM25 is the k1=1.2, b=0.75 form with the two float
+    # spots made rational: idf -> the raw Robertson ratio
     # (N-df+0.5)/(df+0.5) scaled to ppm via (2(N-df)+1)*1e6 DIV (2df+1)
-    # (monotone in the same argument as the usual log form, so ranking
-    # is preserved), and the tf-norm ratio tf*(k1+1)/(tf+k1*(1-b+b*L/avg))
+    # — a deliberate VARIANT: each term's weight is monotone in the same
+    # argument as the usual log idf (per-doc sums can differ from
+    # log-idf BM25, which is the price of integer exactness; the rarer
+    # term still always outweighs the commoner at equal tf) — and the
+    # tf-norm ratio tf*(k1+1)/(tf+k1*(1-b+b*L/avg))
     # == 44*tf*total / (20*tf*total + 6*total + 18*L*N) exactly (avg =
     # total/N; multiply through by 20*total), emitted in milli. Per-term
     # contributions and their per-doc sums are BIGINTs — no float ever.
@@ -288,6 +292,7 @@ def _mmr_oracle(k: int = _MMR_K, shortlist: int = _MMR_SHORTLIST) -> str:
 
 @register(
     "knn_mmr_rerank",
+    bench=True,
     tags=("retrieval", "similarity", "ann", "quantization", "rag"),
     # MMR (maximal marginal relevance, Carbonell & Goldstein 1998) — the
     # diversity re-rank RAG retrievers run so the k passages handed to

@@ -1953,6 +1953,7 @@ def text_span_excision_incremental(spark, sf_dir):
 
 @register(
     "dedup_incremental_lsh",
+    bench=True,
     tags=("dedup", "text", "lsh", "incremental", "tablestore"),
     # The near-dup INGEST shape (the corpus_incremental_dedup posture
     # applied to MinHash-LSH, completing the incremental trio with

@@ -179,3 +179,34 @@ def test_sketch_survives_dml_rewrites(spark, tmp_path):
     assert t.scan("id = 501").count() == 1
     _kept, skipped = t.prune_files("id = 501")
     assert skipped  # rewritten files carry sketches too
+
+
+def test_two_dimension_zorder_prunes_on_both_columns(spark, tmp_path):
+    """knn_filtered_ivf's layout claim: a (centroid_id, label) z-ordered
+    table must prune on BOTH dimensions — the compound predicate keeps
+    strictly fewer files than the leading column alone, and the pruned
+    scan is row-exact."""
+    df = spark.range(2048).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 16).cast("int").alias("centroid_id"),
+        (F.xxhash64("id") % 10).cast("int").alias("label"),
+        (F.col("id") * 7 % 1000).alias("payload"),
+    )
+    t = TackleTable.create(spark, str(tmp_path / "flt"), df)
+    t.optimize(target_file_rows=64, zorder_by=["centroid_id", "label"])
+    total = len(t._active_files()[0])
+    kept_lead, _ = t.prune_files("centroid_id = 3")
+    kept_both, _ = t.prune_files("centroid_id = 3 AND label = 4")
+    assert len(kept_lead) < total, "leading column must prune at all"
+    assert len(kept_both) < len(kept_lead), (
+        "the second z-order dimension must prune beyond the leading one"
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in t.scan("centroid_id = 3 AND label = 4").collect()
+    )
+    exp = sorted(
+        r["vec_id"]
+        for r in df.filter("centroid_id = 3 AND label = 4").collect()
+    )
+    assert got == exp and len(got) > 0

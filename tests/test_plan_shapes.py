@@ -680,3 +680,25 @@ def test_knn_sq_scan_is_integer_codes_only(spark):
     assert "BroadcastHashJoin" in plan
     # the shortlist is a rank-1..N window, not a global sort
     assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_hybrid_retrieval_posting_join_broadcasts_queries(spark):
+    """rag_hybrid_retrieval's BM25 leg must stay a posting-list join —
+    the 3 queries' term set broadcast onto the (doc, term) tf frame, no
+    cartesian anywhere in the fused plan."""
+    df = REGISTRY["rag_hybrid_retrieval"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mmr_stages_stay_candidate_bounded(spark):
+    """knn_mmr_rerank: after the codes-only shortlist scan, every greedy
+    stage operates on checkpointed k-bounded frames (20 candidates, 380
+    pair dots per query) — the final plan must not re-derive the corpus
+    (no parquet scan) and must not go cartesian."""
+    df = REGISTRY["knn_mmr_rerank"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    # stages read localCheckpoint scans, never the embeddings parquet
+    assert "parquet" not in plan.lower()
