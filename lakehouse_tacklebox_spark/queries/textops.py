@@ -2071,3 +2071,103 @@ def dedup_incremental_lsh(spark, sf_dir):
         .withColumn("index_merge_match", F.lit(1 if merge_ok else 0).cast("int"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "text_contamination_attribution",
+    tags=("corpus", "dedup", "decontamination", "text"),
+    # The ATTRIBUTION half of benchmark decontamination (the GPT-3
+    # appendix-C / contamination-audit report): text_decontaminate says
+    # HOW MANY training docs leak; this says WHICH eval items are
+    # compromised, BY WHICH training docs, and how badly — per eval doc
+    # the top-3 leaking train docs by distinct shared 5-grams, with the
+    # leaked share of the eval doc's gram set in integer ppm. Same
+    # 5-gram/same split as text_decontaminate so the two entries audit
+    # one contamination surface from both sides.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS shingles
+        FROM toks WHERE len(t) >= 5
+    ), ev AS (
+        SELECT doc_id AS eval_id, unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+    ), evsz AS (
+        SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_grams
+        FROM ev GROUP BY eval_id
+    ), tr AS (
+        SELECT doc_id AS train_id, unnest(shingles) AS s FROM sh WHERE doc_id % 20 != 0
+    ), shared AS (
+        SELECT ev.eval_id, tr.train_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM ev JOIN tr USING (s)
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT eval_id, train_id, n_shared, eval_grams,
+           CAST(n_shared * 1000000 // eval_grams AS BIGINT) AS share_ppm,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT sh.*, e.eval_grams,
+               row_number() OVER (PARTITION BY sh.eval_id
+                                  ORDER BY sh.n_shared DESC, sh.train_id) AS rank
+        FROM shared sh JOIN evsz e USING (eval_id)
+    ) WHERE rank <= 3
+    ORDER BY eval_id, rank
+    """,
+)
+def text_contamination_attribution(spark, sf_dir):
+    """Contamination attribution — per held-out eval doc, the top-3
+    training docs leaking it (distinct shared 5-grams >= 2) and the
+    leaked fraction of the eval doc's gram set in ppm: the report a
+    benchmark owner actually files, naming the compromised items and
+    their sources, where text_decontaminate only counts them. Scale
+    shape: the eval side is the FIXED benchmark suite, so its posting
+    list broadcasts; the training corpus is scanned once (explode to
+    distinct grams), semi-joins the broadcast postings, and the pair
+    census is keyed on (eval, train) — bounded by real overlaps, never
+    all pairs. The grams join as strings at gate scale; at 100 TB the
+    same plan runs over md5-hashed grams (the dedup-family trade,
+    documented rather than silently assumed exact)."""
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    grams = F.expr(
+        "CASE WHEN size(t) >= 5 THEN array_distinct(transform(sequence(1, size(t) - 4),"
+        " i -> concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2], t[i+3])))"
+        " ELSE CAST(array() AS array<string>) END"
+    )
+    sh = (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", grams.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    ev = sh.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.explode("shingles").alias("s")
+    )
+    evsz = ev.groupBy("eval_id").agg(F.count(F.lit(1)).cast("bigint").alias("eval_grams"))
+    tr = sh.filter(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("train_id"), F.explode("shingles").alias("s")
+    )
+    shared = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    w = W.partitionBy("eval_id").orderBy(F.col("n_shared").desc(), "train_id")
+    return (
+        shared.join(F.broadcast(evsz), "eval_id")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "eval_id",
+            "train_id",
+            "n_shared",
+            "eval_grams",
+            F.expr("CAST(n_shared * 1000000 DIV eval_grams AS BIGINT)").alias("share_ppm"),
+            "rank",
+        )
+        .orderBy("eval_id", "rank")
+    )
