@@ -1725,3 +1725,231 @@ def cdc_ann_index_deletes(spark, sf_dir):
         "n_vectors bigint, retraction_match int, replay_noop int,"
         " rebalance_triggered int, rebuild_match int",
     )
+
+
+@register(
+    "stream_bm25_index_mv",
+    tags=("streaming", "retrieval", "text", "transactions", "incremental"),
+    # Streaming maintenance of the KEYWORD index rag_hybrid_retrieval
+    # queries — the retrieval-side sibling of stream_pq_index_mv (ANN
+    # appends) and cdc_ann_index_deletes (ANN deletes): documents stream
+    # in micro-batches and three MV tables absorb each epoch under
+    # per-table Delta-txn idempotence — postings (doc, term, tf) and
+    # doclens append (each doc streams once, so batches are disjoint);
+    # the df table is a vocab-sized read-merge-overwrite (disjoint doc
+    # sets => per-term df counts ADD, the span-census-merge argument).
+    # The last epoch is replayed twice and must no-op on ALL THREE
+    # tables. Certification is CONTENT-level: the emitted rows are the
+    # integer-BM25 top-10 per query computed FROM THE MV TABLES ALONE
+    # (read back), and the oracle recomputes the same ranking from the
+    # raw corpus — a drifted df, a lost posting, or a double-applied
+    # epoch reorders the ranking or flips a flag.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, w FROM toks
+        WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len) AS BIGINT) AS total
+        FROM dl
+    ), dft AS (
+        SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w
+    ), tft AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w
+    ), qt AS (
+        SELECT DISTINCT doc_id AS query_id, w FROM tok WHERE doc_id < 3
+    ), bm AS (
+        SELECT qt.query_id, tft.doc_id,
+               CAST(sum(
+                 (((2*(s.n_docs - dft.df) + 1) * 1000000) // (2*dft.df + 1))
+                 * ((44000*tft.tf*s.total)
+                    // (20*tft.tf*s.total + 6*s.total + 18*dl.len*s.n_docs))
+               ) AS BIGINT) AS score
+        FROM qt
+        JOIN tft USING (w)
+        JOIN dft USING (w)
+        JOIN dl ON dl.doc_id = tft.doc_id
+        CROSS JOIN stats s
+        WHERE tft.doc_id <> qt.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(kw_rank AS BIGINT) AS kw_rank,
+           CAST(1 AS INT) AS df_match,
+           CAST(1 AS INT) AS replay_noop
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS kw_rank
+        FROM bm
+    ) WHERE kw_rank <= 10
+    ORDER BY query_id, kw_rank
+    """,
+)
+def stream_bm25_index_mv(spark, sf_dir):
+    """Streaming BM25 index maintenance: the postings/doclen/df tables a
+    keyword retriever serves from, maintained over micro-batched
+    document arrivals with per-table txn idempotence, then QUERIED —
+    the emitted top-10 per query is computed from the read-back MV
+    tables only, using rag_hybrid_retrieval's exact integer-rational
+    BM25, so the oracle's from-the-raw-corpus recompute hash-checks the
+    maintained index's actual serving output. Per-batch cost: one
+    batch-local token census (appends) plus a vocab-sized df merge —
+    the corpus is never rescanned; at 100 TB the df frame is the only
+    non-append state and it grows with the VOCABULARY, not the corpus.
+    Three-table epochs are individually idempotent (each table checks
+    its own txn stamp), the crash-retry contract foreachBatch needs."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tmp = tempfile.mkdtemp(prefix="bm25_mv_")
+    src_dir = os.path.join(tmp, "src")
+    post_dir = os.path.join(tmp, "postings")
+    dlen_dir = os.path.join(tmp, "doclen")
+    df_dir = os.path.join(tmp, "df")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d.select("doc_id", "text").repartition(4).write.parquet(src_dir)
+    TackleTable.create(spark, post_dir, schema="doc_id bigint, w string, tf bigint")
+    TackleTable.create(spark, dlen_dir, schema="doc_id bigint, len bigint")
+    TackleTable.create(spark, df_dir, schema="w string, df bigint")
+
+    def _tok(batch_df):
+        return (
+            batch_df.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+            )
+            .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        )
+
+    def _apply(batch_df, epoch):
+        s = batch_df.sparkSession
+        tok = _tok(batch_df).localCheckpoint(eager=True)
+        post = TackleTable(s, post_dir)
+        if post.txn_version("bm25_post") < epoch:
+            post.append(
+                tok.groupBy("doc_id", "w").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("tf")
+                ).select(F.col("doc_id").cast("bigint"), "w", "tf"),
+                txn=("bm25_post", epoch),
+            )
+        dlen = TackleTable(s, dlen_dir)
+        if dlen.txn_version("bm25_len") < epoch:
+            dlen.append(
+                tok.groupBy("doc_id").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("len")
+                ).select(F.col("doc_id").cast("bigint"), "len"),
+                txn=("bm25_len", epoch),
+            )
+        dft = TackleTable(s, df_dir)
+        if dft.txn_version("bm25_df") < epoch:
+            batch_df_counts = tok.select("doc_id", "w").distinct().groupBy("w").agg(
+                F.count(F.lit(1)).cast("bigint").alias("df_b")
+            )
+            merged = (
+                dft.read()
+                .join(batch_df_counts, "w", "full_outer")
+                .select(
+                    "w",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("df_b"), F.lit(0))
+                    ).cast("bigint").alias("df"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            dft.overwrite(merged, txn=("bm25_df", epoch))
+
+    last = {"epoch": None, "rows": None}
+
+    def _tracking(batch_df, epoch):
+        # capture ROWS, not the handle (undefined after the batch ends)
+        last["epoch"], last["rows"] = epoch, batch_df.collect()
+        _apply(batch_df, epoch)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_tracking)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
+
+    versions = tuple(
+        TackleTable(spark, p).version() for p in (post_dir, dlen_dir, df_dir)
+    )
+    if last["epoch"] is not None:
+        replay_df = spark.createDataFrame(last["rows"], raw_schema)
+        _apply(replay_df, last["epoch"])
+        _apply(replay_df, last["epoch"])
+    replay_noop = versions == tuple(
+        TackleTable(spark, p).version() for p in (post_dir, dlen_dir, df_dir)
+    )
+
+    # df MV == from-scratch census over everything streamed
+    mv_df = TackleTable(spark, df_dir).read()
+    full_df = _tok(d).select("doc_id", "w").distinct().groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_full = full_df.count()
+    n_match = mv_df.join(full_df, ["w", "df"]).count()
+    df_match = (mv_df.count() == n_full) and (n_match == n_full)
+
+    # serve the query FROM THE MVs alone (read back)
+    post = TackleTable(spark, post_dir).read()
+    dlen = TackleTable(spark, dlen_dir).read()
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("total"),
+    )
+    qt = post.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "w"
+    ).distinct()
+    bm = (
+        post.join(F.broadcast(qt), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(mv_df, "w")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.expr(
+                "(((2*(n_docs - df) + 1) * CAST(1000000 AS BIGINT)) DIV (2*df + 1))"
+                " * ((44000*tf*total)"
+                "    DIV (20*tf*total + 6*total + 18*len*n_docs))"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        bm.withColumn("kw_rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("kw_rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            "kw_rank",
+            F.lit(1 if df_match else 0).cast("int").alias("df_match"),
+            F.lit(1 if replay_noop else 0).cast("int").alias("replay_noop"),
+        )
+        .orderBy("query_id", "kw_rank")
+    )
