@@ -921,3 +921,97 @@ def mm_image_freecrop_match(spark, sf_dir):
         )
         .orderBy("crop_id")
     )
+
+
+@register(
+    "mm_image_crop_pruned_probe",
+    tags=("multimodal", "image", "dedup", "tablestore", "data-skipping"),
+    # The STORAGE half of visual containment (the knn_ivf_pruned_scan
+    # treatment applied to the image modality): the corpus' tile hashes
+    # live in a TackleTable z-ordered by the 64-bit cell hash, and a
+    # single suspect crop's 9 tile hashes become 9 point-equality scans
+    # the log's min/max stats prune to the files actually holding those
+    # hashes — "which image contains this crop" WITHOUT scanning the
+    # store. Flags: files_skipped (uniform xxhash64 keys over ~16+
+    # range-clustered files => 9 probes touch at most 9, measured
+    # skipping most of the store), pruned_equals_inmemory (voting over
+    # the pruned scans == voting over the full in-memory tile frame,
+    # row-for-row), and the match row itself is id arithmetic the
+    # oracle derives (doc 9: 25x25 img, tile offset (3,1), 9/9 votes).
+    oracle="""
+    SELECT CAST(300009 AS BIGINT) AS crop_id,
+           CAST(9 AS BIGINT) AS image_id,
+           CAST(3 AS INT) AS dx,
+           CAST(1 AS INT) AS dy,
+           CAST(9 AS BIGINT) AS votes,
+           CAST(1 AS INT) AS files_skipped,
+           CAST(1 AS INT) AS pruned_equals_inmemory
+    FROM documents WHERE doc_id = 9
+    """,
+)
+def mm_image_crop_pruned_probe(spark, sf_dir):
+    """Visual containment as a STORE LOOKUP — the deployed shape of
+    mm_image_crop_match's batch census: tile hashes of the image corpus
+    are written once to a TackleTable z-ordered by hash (the same table
+    that serves batch dedup), and a single suspect crop probes it with
+    9 point-equality scans that file-skipping prunes to O(files per
+    hash). At 100 TB this is the visual twin of the ANN probe path:
+    the corpus' pixels never move, the probe reads a handful of files,
+    and one store serves both the standing dedup census and ad-hoc
+    "find the source of this crop" forensics. The planted-crop fixture
+    makes the expected match pure id arithmetic, so the oracle pins the
+    full answer, not just bookkeeping."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    imgs = MM.as_bmp_images_with_crops(d)
+    full = (
+        MM.image_tile_hashes(imgs.filter(F.col("role") == "image"), keys=["img_id"])
+        .withColumnRenamed("img_id", "image_id")
+        .localCheckpoint(eager=True)
+    )
+    tmp = tempfile.mkdtemp(prefix="tilestore_")
+    t = TackleTable.create(spark, os.path.join(tmp, "tiles"), full)
+    n = full.count()
+    t.optimize(target_file_rows=max(64, n // 16), zorder_by=["th"])
+
+    probe_crop = 300009  # doc 9's planted crop — exists at every gate SF
+    crop = (
+        MM.image_tile_hashes(imgs.filter(F.col("img_id") == probe_crop), keys=["img_id"])
+        .withColumnRenamed("img_id", "crop_id")
+        .localCheckpoint(eager=True)
+    )
+    hashes = sorted({r["th"] for r in crop.select("th").collect()})  # 9 rows
+    files_all = set(t._active_files()[0])
+    kept: set = set()
+    frames = []
+    for h in hashes:
+        k_, _ = t.prune_files(f"th = {h}")
+        kept |= set(k_)
+        frames.append(t.scan(f"th = {h}"))
+    n_skipped = len(files_all - kept)
+    pruned = frames[0]
+    for fr in frames[1:]:
+        pruned = pruned.unionByName(fr)
+
+    a = MM.tile_offset_matches(pruned, crop, min_votes=9).localCheckpoint(eager=True)
+    b = MM.tile_offset_matches(full, crop, min_votes=9)
+    n_a, n_b = a.count(), b.count()
+    n_same = a.join(b, ["crop_id", "image_id", "dx", "dy", "votes"]).count()
+    pruned_ok = (n_a == n_b) and (n_same == n_a)
+
+    return (
+        a.select(
+            F.col("crop_id").cast("bigint"),
+            F.col("image_id").cast("bigint"),
+            F.col("dx").cast("int"),
+            F.col("dy").cast("int"),
+            F.col("votes").cast("bigint"),
+            F.lit(1 if n_skipped > 0 else 0).cast("int").alias("files_skipped"),
+            F.lit(1 if pruned_ok else 0).cast("int").alias("pruned_equals_inmemory"),
+        )
+        .orderBy("crop_id")
+    )
