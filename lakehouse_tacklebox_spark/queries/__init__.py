@@ -115,17 +115,19 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 #   r5 (50): aggregates battery, joins battery, set ops, scalars,
 #     TPC-DS waves 1-3, dedup/ANN/text family refreshes.
 #   r3: NONE after this window (the last 30 are in it).
-#   never: NONE after this window (the 8 round-10 additions are in it).
+#   never: NONE after this window (the 10 round-10 additions are in it).
 #
-# Round-10 window (below): the 8 round-10 additions (knn_filtered_ivf,
+# Round-10 window (below): the 10 round-10 additions (knn_filtered_ivf,
 # text_span_excision_incremental, rag_hybrid_retrieval, knn_mmr_rerank,
 # dedup_incremental_lsh, text_contamination_attribution,
-# stream_bm25_index_mv, mm_image_crop_pruned_probe) + the 4 entries MODIFIED this round
-# (knn_sq_rerank / knn_matryoshka_rerank / knn_ivfpq_pruned_store got
-# fixed-shortlist recall readouts; mm_image_crop_match got the
-# role-based side split) + the 30 remaining r3-stale entries +
-# the 8 oldest r5 greens in CORRECTNESS_r05 ledger order. VERDICT r9
-# item 1: after this round nothing predates r5 (42 r5 entries remain =
+# stream_bm25_index_mv, mm_image_crop_pruned_probe,
+# cdc_span_census_deletes, mm_audio_snippet_pruned_probe) + the 6
+# entries MODIFIED this round (knn_sq_rerank / knn_matryoshka_rerank /
+# knn_ivfpq_pruned_store got fixed-shortlist recall readouts;
+# mm_image_crop_match / mm_audio_snippet_match / mm_video_snippet_match
+# got role-based side splits) + the 30 remaining r3-stale entries +
+# the 4 oldest r5 greens in CORRECTNESS_r05 ledger order. VERDICT r9
+# item 1: after this round nothing predates r5 (46 r5 entries remain =
 # round-11's refresh block, then r6).
 _WINDOW_PRIORITY = [
     # (a) never driver-checked: new this round
@@ -137,12 +139,16 @@ _WINDOW_PRIORITY = [
     "text_contamination_attribution",
     "stream_bm25_index_mv",
     "mm_image_crop_pruned_probe",
+    "cdc_span_census_deletes",
+    "mm_audio_snippet_pruned_probe",
     # (b) modified this round (new columns / changed side-split) —
     # re-verify even though their r9 rows were green
     "knn_sq_rerank",
     "knn_matryoshka_rerank",
     "knn_ivfpq_pruned_store",
     "mm_image_crop_match",
+    "mm_audio_snippet_match",
+    "mm_video_snippet_match",
     # (c) the 30 r3-stale entries (newest green row = round 3),
     # CORRECTNESS_r03 ledger order
     "agg_rollup",
@@ -175,18 +181,14 @@ _WINDOW_PRIORITY = [
     "text_html_strip",
     "join_interval_overlap",
     "corpus_tfidf_top",
-    # (d) the 8 oldest r5 greens, CORRECTNESS_r05 ledger order
+    # (d) the 4 oldest r5 greens, CORRECTNESS_r05 ledger order
     "agg_global",
     "agg_count_distinct",
     "agg_conditional",
     "agg_stats",
-    "agg_minmax_scaled",
-    "agg_time_bucket",
-    "agg_collect_sorted",
-    "agg_histogram",
 ]
 # Round-11 window plan (mechanical, from the ledger): any round-10
-# post-freeze additions + the 42 remaining r5 entries (aggregates/joins/
+# post-freeze additions + the 46 remaining r5 entries (aggregates/joins/
 # set-ops/scalars batteries and TPC-DS waves 1-3, r5 ledger order) +
 # oldest r6 greens to fill 50. Done when nothing predates r6.
 

@@ -619,9 +619,20 @@ def mm_audio_snippet_match(spark, sf_dir):
     modalities (text: dedup_containment)."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     clips = MM.as_wav_audio_with_snippets(d)
-    hashes = MM.audio_frame_hashes(clips, keys=["clip_id"]).localCheckpoint(eager=True)
-    tracks = hashes.filter(F.col("clip_id") < 200000).withColumnRenamed("clip_id", "track_id")
-    snips = hashes.filter(F.col("clip_id") >= 200000).withColumnRenamed("clip_id", "snippet_id")
+    # role-based side split (NOT a clip_id threshold: replica id shifts
+    # in scaled testdata would misclassify — the ADVICE r9 crop lesson
+    # applied to the whole snippet family); each row decodes once in
+    # its own side's pass.
+    tracks = (
+        MM.audio_frame_hashes(clips.filter(F.col("role") == "track"), keys=["clip_id"])
+        .withColumnRenamed("clip_id", "track_id")
+        .localCheckpoint(eager=True)
+    )
+    snips = (
+        MM.audio_frame_hashes(clips.filter(F.col("role") == "snippet"), keys=["clip_id"])
+        .withColumnRenamed("clip_id", "snippet_id")
+        .localCheckpoint(eager=True)
+    )
     matches = MM.audio_snippet_matches(tracks, snips, min_votes=5)
     expected = clips.filter(F.col("role") == "snippet").select(
         F.col("clip_id").alias("snippet_id"),
@@ -694,9 +705,17 @@ def mm_video_snippet_match(spark, sf_dir):
     batches; shuffle only (hash, idx) rows then (pair, delta) votes."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     clips = MM.as_avi_videos_with_snippets(d)
-    hashes = MM.video_frame_phash(clips, keys=["vid_id"]).localCheckpoint(eager=True)
-    tracks = hashes.filter(F.col("vid_id") < 200000).withColumnRenamed("vid_id", "track_id")
-    snips = hashes.filter(F.col("vid_id") >= 200000).withColumnRenamed("vid_id", "snippet_id")
+    # role-based side split (see mm_audio_snippet_match note)
+    tracks = (
+        MM.video_frame_phash(clips.filter(F.col("role") == "track"), keys=["vid_id"])
+        .withColumnRenamed("vid_id", "track_id")
+        .localCheckpoint(eager=True)
+    )
+    snips = (
+        MM.video_frame_phash(clips.filter(F.col("role") == "snippet"), keys=["vid_id"])
+        .withColumnRenamed("vid_id", "snippet_id")
+        .localCheckpoint(eager=True)
+    )
     matches = MM.frame_sequence_matches(
         tracks, snips, hash_col="phash", min_votes=6
     )
@@ -1014,4 +1033,132 @@ def mm_image_crop_pruned_probe(spark, sf_dir):
             F.lit(1 if pruned_ok else 0).cast("int").alias("pruned_equals_inmemory"),
         )
         .orderBy("crop_id")
+    )
+
+
+@register(
+    "mm_audio_snippet_pruned_probe",
+    tags=("multimodal", "audio", "containment", "tablestore", "data-skipping"),
+    # Audio search through the DEPLOYED index pair — inverted + forward,
+    # the Shazam-at-rest layout: the corpus' landmark rows live TWICE,
+    # once z-ordered by the landmark hash (the inverted index: a
+    # suspect snippet's 8 hashes become point-equality scans) and once
+    # z-ordered by track_id (the forward index: the vote stage's
+    # candidate tracks are read back whole for the exact gain-ratio
+    # verify, which needs ALL overlapped positions' energies, not just
+    # hash-matching rows). Pruning is sound end-to-end: inverted scans
+    # keep every row matching a probe hash (stats pruning never loses),
+    # so candidate (track, delta) vote counts equal the global counts;
+    # forward scans then hand the verifier complete candidate tracks.
+    # The expected match is id arithmetic (doc 1: 33 frames, offset
+    # 7 % 10 = 7, all 8 snippet positions vote); pruned result ==
+    # in-memory result is flag-certified on top.
+    oracle="""
+    SELECT CAST(200001 AS BIGINT) AS snippet_id,
+           CAST(1 AS BIGINT) AS track_id,
+           CAST(7 AS INT) AS offset_frames,
+           CAST(8 AS BIGINT) AS votes,
+           CAST(1 AS INT) AS inv_files_skipped,
+           CAST(1 AS INT) AS fwd_files_skipped,
+           CAST(1 AS INT) AS pruned_equals_inmemory
+    FROM documents WHERE doc_id = 1
+    """,
+)
+def mm_audio_snippet_pruned_probe(spark, sf_dir):
+    """"Which track contains this clip" as a STORE LOOKUP — the audio
+    twin of mm_image_crop_pruned_probe, with the extra structure real
+    audio search deploys: an INVERTED landmark table (z-ordered by
+    hash) answers the vote stage from a handful of point-pruned files,
+    and a FORWARD table (z-ordered by track_id) serves the candidate
+    tracks' complete energy rows to the exact gain-invariant verify.
+    At 100 TB the probe cost is O(files per landmark hash) + O(files
+    per candidate track); the corpus' samples never move and the same
+    two tables serve the standing batch dedup
+    (mm_audio_snippet_match)."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    clips = MM.as_wav_audio_with_snippets(d)
+    tracks = (
+        MM.audio_frame_hashes(clips.filter(F.col("role") == "track"), keys=["clip_id"])
+        .withColumnRenamed("clip_id", "track_id")
+        .localCheckpoint(eager=True)
+    )
+    n = tracks.count()
+    tmp = tempfile.mkdtemp(prefix="audioidx_")
+    inv = TackleTable.create(spark, os.path.join(tmp, "inv"), tracks)
+    inv.optimize(target_file_rows=max(64, n // 16), zorder_by=["fh"])
+    fwd = TackleTable.create(spark, os.path.join(tmp, "fwd"), tracks)
+    fwd.optimize(target_file_rows=max(64, n // 16), zorder_by=["track_id"])
+
+    probe_id = 200001  # doc 1's planted snippet — exists at every gate SF
+    probe = (
+        MM.audio_frame_hashes(
+            clips.filter(F.col("clip_id") == probe_id), keys=["clip_id"]
+        )
+        .withColumnRenamed("clip_id", "snippet_id")
+        .localCheckpoint(eager=True)
+    )
+    hashes = sorted({r["fh"] for r in probe.select("fh").collect()})
+
+    inv_all = set(inv._active_files()[0])
+    inv_kept: set = set()
+    inv_frames = []
+    for h in hashes:
+        k_, _ = inv.prune_files(f"fh = {h}")
+        inv_kept |= set(k_)
+        inv_frames.append(inv.scan(f"fh = {h}"))
+    inv_rows = inv_frames[0]
+    for fr in inv_frames[1:]:
+        inv_rows = inv_rows.unionByName(fr)
+    inv_skipped = len(inv_all - inv_kept)
+
+    # vote stage over the pruned inverted scans nominates candidates
+    cand = sorted(
+        r["track_id"]
+        for r in (
+            probe.select(F.col("pos").alias("s_pos"), "fh")
+            .join(inv_rows.select("track_id", F.col("pos").alias("t_pos"), "fh"), "fh")
+            .groupBy("track_id", (F.col("t_pos") - F.col("s_pos")).alias("d"))
+            .agg(F.count(F.lit(1)).alias("v"))
+            .filter((F.col("v") >= 5) & (F.col("d") >= 0))
+            .select("track_id")
+            .distinct()
+            .collect()
+        )
+    )
+    fwd_all = set(fwd._active_files()[0])
+    fwd_kept: set = set()
+    fwd_frames = []
+    for tid in cand:
+        k_, _ = fwd.prune_files(f"track_id = {tid}")
+        fwd_kept |= set(k_)
+        fwd_frames.append(fwd.scan(f"track_id = {tid}"))
+    fwd_rows = fwd_frames[0]
+    for fr in fwd_frames[1:]:
+        fwd_rows = fwd_rows.unionByName(fr)
+    fwd_skipped = len(fwd_all - fwd_kept)
+
+    a = MM.audio_snippet_matches(fwd_rows, probe, min_votes=5).localCheckpoint(
+        eager=True
+    )
+    b = MM.audio_snippet_matches(tracks, probe, min_votes=5)
+    n_a, n_b = a.count(), b.count()
+    n_same = a.join(b, ["snippet_id", "track_id", "offset_frames", "votes"]).count()
+    pruned_ok = (n_a == n_b) and (n_same == n_a)
+
+    return (
+        a.select(
+            F.col("snippet_id").cast("bigint"),
+            F.col("track_id").cast("bigint"),
+            F.col("offset_frames").cast("int"),
+            F.col("votes").cast("bigint"),
+            F.lit(1 if inv_skipped > 0 else 0).cast("int").alias("inv_files_skipped"),
+            F.lit(1 if fwd_skipped > 0 else 0).cast("int").alias("fwd_files_skipped"),
+            F.lit(1 if pruned_ok else 0).cast("int").alias("pruned_equals_inmemory"),
+        )
+        .orderBy("snippet_id")
     )

@@ -2171,3 +2171,139 @@ def text_contamination_attribution(spark, sf_dir):
         )
         .orderBy("eval_id", "rank")
     )
+
+
+@register(
+    "cdc_span_census_deletes",
+    tags=("text", "dedup", "cdf", "incremental", "tablestore"),
+    # The DELETE half of the span-census index lifecycle (the
+    # cdc_ann_index_deletes posture applied to ExactSubstr):
+    # text_span_excision_incremental proved the census MERGES under
+    # appends; a GDPR forget-list is the other direction — the
+    # forgotten docs' window counts must LEAVE the store (decrement
+    # per-h by the forgotten docs' distinct-doc counts, drop rows
+    # hitting zero; doc sets partition, so store − forgotten ==
+    # survivors exactly). The decrement is txn-stamped and replayed
+    # twice (a crashed-and-retried forget epoch cannot double-subtract
+    # — double-subtraction would UNDER-excise future batches, a silent
+    # compliance hole). n_hashes_before/after are SQL-derivable;
+    # decrement_match certifies the read-back store == a from-scratch
+    # census of the survivors; replay_noop pins idempotence.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                   t[(CAST(u.i AS INT)+1):(CAST(u.i AS INT)+8)], ' ')), 1, 15)
+               )::BIGINT AS h
+        FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8
+    ), before_c AS (
+        SELECT CAST(count(DISTINCT h) AS BIGINT) AS n FROM wins
+    ), after_c AS (
+        SELECT CAST(count(DISTINCT h) AS BIGINT) AS n
+        FROM wins WHERE doc_id % 11 != 5
+    )
+    SELECT b.n AS n_hashes_before,
+           a.n AS n_hashes_after,
+           CAST(b.n - a.n AS BIGINT) AS n_hashes_removed,
+           CAST(1 AS INT) AS decrement_match,
+           CAST(1 AS INT) AS replay_noop
+    FROM before_c b CROSS JOIN after_c a
+    """,
+)
+def cdc_span_census_deletes(spark, sf_dir):
+    """GDPR deletes against the persisted ExactSubstr window census: the
+    forget-list's window counts are DECREMENTED out of the store (never
+    a recompute of the surviving corpus — cost ∝ the forgotten docs),
+    rows hitting zero are dropped, the epoch is Delta-txn stamped and a
+    deliberate double-replay must no-op, and the post-delete store is
+    read BACK and certified equal to a from-scratch census of the
+    survivors. Completes the census index lifecycle: build
+    (text_span_excision), merge-on-ingest (the incremental entry), and
+    now forget — the three operations a standing 100 TB dedup index
+    actually serves."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    base = _spread(d.select("doc_id", toks.alias("t"))).localCheckpoint(eager=False)
+    wins = (
+        base.filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 8)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            D.md5_hash60(F.expr("concat_ws(' ', slice(t, CAST(i AS INT)+1, 8))")).alias("h"),
+        )
+    ).localCheckpoint(eager=False)
+
+    census_all = wins.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    tmp = tempfile.mkdtemp(prefix="spanforget_")
+    store = TackleTable.create(spark, os.path.join(tmp, "census"), census_all)
+    n_before = store.read().count()
+
+    # the forget-list's own census (cost ∝ deleted docs, not the corpus)
+    del_census = (
+        wins.filter(F.col("doc_id") % 11 == 5)
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("n_del"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _apply_forget(epoch: int) -> None:
+        t = TackleTable(spark, os.path.join(tmp, "census"))
+        if t.txn_version("census_forget") >= epoch:
+            return  # retried epoch already committed
+        merged = (
+            t.read()
+            .join(del_census, "h", "left")
+            .select(
+                "h",
+                (F.col("n_docs") - F.coalesce(F.col("n_del"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_docs"),
+            )
+            .filter(F.col("n_docs") > 0)
+            .localCheckpoint(eager=True)
+        )
+        t.overwrite(merged, txn=("census_forget", epoch))
+
+    _apply_forget(1)
+    v_after = TackleTable(spark, os.path.join(tmp, "census")).version()
+    _apply_forget(1)
+    _apply_forget(1)
+    replay_noop = TackleTable(spark, os.path.join(tmp, "census")).version() == v_after
+
+    back = TackleTable(spark, os.path.join(tmp, "census")).read()
+    surv = (
+        wins.filter(F.col("doc_id") % 11 != 5)
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    n_surv = surv.count()
+    n_match = back.join(surv, ["h", "n_docs"]).count()
+    n_after = back.count()
+    decrement_match = (n_after == n_surv) and (n_match == n_surv)
+
+    return spark.createDataFrame(
+        [(
+            n_before,
+            n_after,
+            n_before - n_after,
+            1 if decrement_match else 0,
+            1 if replay_noop else 0,
+        )],
+        "n_hashes_before bigint, n_hashes_after bigint, n_hashes_removed bigint,"
+        " decrement_match int, replay_noop int",
+    )
