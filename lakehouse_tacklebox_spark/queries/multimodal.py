@@ -1162,3 +1162,96 @@ def mm_audio_snippet_pruned_probe(spark, sf_dir):
         )
         .orderBy("snippet_id")
     )
+
+
+@register(
+    "mm_video_snippet_pruned_probe",
+    tags=("multimodal", "video", "containment", "tablestore", "data-skipping"),
+    # Video clip lookup through the pruned store — completing the probe
+    # family across modalities (image: mm_image_crop_pruned_probe,
+    # audio: mm_audio_snippet_pruned_probe): the corpus' per-frame
+    # pHashes live in a TackleTable z-ordered by the 64-bit hash, and a
+    # suspect 6-frame clip's hashes become point-equality scans the
+    # log's stats prune. Unlike audio, 64-bit frame hashes need NO
+    # verify stage (chance 6-frame agreement at one delta ~2^-384), so
+    # the single inverted store IS the whole query — offset voting over
+    # only hash-matching rows, which pruning provably preserves. The
+    # expected match is id arithmetic (doc 2: 14-frame track, offset
+    # 10 % 9 = 1, all 6 frames vote); pruned == in-memory is
+    # flag-certified on top.
+    oracle="""
+    SELECT CAST(200002 AS BIGINT) AS snippet_id,
+           CAST(2 AS BIGINT) AS track_id,
+           CAST(1 AS INT) AS offset_frames,
+           CAST(6 AS BIGINT) AS votes,
+           CAST(1 AS INT) AS files_skipped,
+           CAST(1 AS INT) AS pruned_equals_inmemory
+    FROM documents WHERE doc_id = 2
+    """,
+)
+def mm_video_snippet_pruned_probe(spark, sf_dir):
+    """"Which compilation contains this clip" as a STORE LOOKUP — the
+    video member of the pruned-probe family: per-frame pHashes z-ordered
+    by hash, a 6-frame suspect clip probes with 6 point-equality scans,
+    and frame-offset voting over the pruned rows returns the source
+    track at the exact planted offset. At 100 TB the probe reads
+    O(files per frame hash); pixels never move; the same table serves
+    the standing near-dup census (mm_video_snippet_match) and ad-hoc
+    clip forensics."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    clips = MM.as_avi_videos_with_snippets(d)
+    tracks = (
+        MM.video_frame_phash(clips.filter(F.col("role") == "track"), keys=["vid_id"])
+        .withColumnRenamed("vid_id", "track_id")
+        .localCheckpoint(eager=True)
+    )
+    n = tracks.count()
+    tmp = tempfile.mkdtemp(prefix="videoidx_")
+    t = TackleTable.create(spark, os.path.join(tmp, "frames"), tracks)
+    t.optimize(target_file_rows=max(64, n // 16), zorder_by=["phash"])
+
+    probe_id = 200002  # doc 2's planted clip — exists at every gate SF
+    probe = (
+        MM.video_frame_phash(
+            clips.filter(F.col("vid_id") == probe_id), keys=["vid_id"]
+        )
+        .withColumnRenamed("vid_id", "snippet_id")
+        .localCheckpoint(eager=True)
+    )
+    hashes = sorted({r["phash"] for r in probe.select("phash").collect()})
+    files_all = set(t._active_files()[0])
+    kept: set = set()
+    frames = []
+    for h in hashes:
+        k_, _ = t.prune_files(f"phash = {h}")
+        kept |= set(k_)
+        frames.append(t.scan(f"phash = {h}"))
+    pruned = frames[0]
+    for fr in frames[1:]:
+        pruned = pruned.unionByName(fr)
+    n_skipped = len(files_all - kept)
+
+    a = MM.frame_sequence_matches(pruned, probe, "phash", min_votes=6).localCheckpoint(
+        eager=True
+    )
+    b = MM.frame_sequence_matches(tracks, probe, "phash", min_votes=6)
+    n_a, n_b = a.count(), b.count()
+    n_same = a.join(b, ["snippet_id", "track_id", "offset_frames", "votes"]).count()
+    pruned_ok = (n_a == n_b) and (n_same == n_a)
+
+    return (
+        a.select(
+            F.col("snippet_id").cast("bigint"),
+            F.col("track_id").cast("bigint"),
+            F.col("offset_frames").cast("int"),
+            F.col("votes").cast("bigint"),
+            F.lit(1 if n_skipped > 0 else 0).cast("int").alias("files_skipped"),
+            F.lit(1 if pruned_ok else 0).cast("int").alias("pruned_equals_inmemory"),
+        )
+        .orderBy("snippet_id")
+    )
