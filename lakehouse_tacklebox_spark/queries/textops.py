@@ -2307,3 +2307,129 @@ def cdc_span_census_deletes(spark, sf_dir):
         "n_hashes_before bigint, n_hashes_after bigint, n_hashes_removed bigint,"
         " decrement_match int, replay_noop int",
     )
+
+
+@register(
+    "dedup_incremental_simhash",
+    tags=("dedup", "text", "simhash", "incremental", "tablestore"),
+    # Completes the incremental-ingest family across all four dedup
+    # flavors (exact: dedup_incremental, banded MinHash:
+    # dedup_incremental_lsh, ExactSubstr census:
+    # text_span_excision_incremental, and now SimHash): the ingested
+    # corpus' PIGEONHOLE BLOCK rows (doc, simhash, blk, blk_val) are the
+    # persisted index — distance <= 3 over 4 blocks guarantees >= 1
+    # identical block, so a new batch finds every qualifying pair with
+    # one equi-join against the store plus its own within-batch join,
+    # then verifies exact Hamming on candidates only. Signatures are
+    # per-doc, so the split provably changes nothing about which pairs
+    # block together; the oracle is the brute-force signature recompute
+    # restricted to pairs touching the batch. index_merge_match
+    # certifies the appended store, read back, equals a from-scratch
+    # banding of the union.
+    oracle=(
+        "SELECT id_a, id_b, hamming, CAST(1 AS INT) AS index_merge_match FROM ("
+        + _SIMHASH_ORACLE
+        + ") WHERE id_a % 3 = 0 OR id_b % 3 = 0 ORDER BY id_a, id_b"
+    ),
+)
+def dedup_incremental_simhash(spark, sf_dir):
+    """Incremental SimHash near-dup — the ingest posture for the
+    Hamming-ball dedup tier: history exists only as its block-key index
+    (a TackleTable of (doc_id, simhash, blk, blk_val) rows); the new
+    batch (doc_id % 3 == 0) signs once, probes the store and itself on
+    (blk, blk_val), exact-verifies bit_count(xor) <= 3 on candidates,
+    and appends its own block rows for the next batch. Cost per batch
+    ∝ batch size + bucket collisions; history text is never re-read at
+    all (the signature index is self-sufficient for the verify — unlike
+    MinHash, SimHash's exact check needs only the stored 64-bit
+    signatures). Store append read-back certified against from-scratch
+    banding of the union."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    sims = D.simhash(
+        d.select("doc_id", "text"), "doc_id", "text",
+        bits=_SIMHASH_BITS, token_hash=D.md5_hash60,
+    ).localCheckpoint(eager=True)
+
+    blocks, width = 4, 64 // 4
+    block_cols = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(blocks)
+        ]
+    )
+    banded = sims.select(
+        "doc_id", "simhash", F.posexplode(block_cols).alias("blk", "blk_val")
+    )
+    banded_exist = banded.filter(F.col("doc_id") % 3 != 0)
+    banded_inc = banded.filter(F.col("doc_id") % 3 == 0).localCheckpoint(eager=True)
+
+    tmp = tempfile.mkdtemp(prefix="simhashidx_")
+    store = TackleTable.create(spark, os.path.join(tmp, "idx"), banded_exist)
+
+    stored = store.read()  # the batch only ever sees the STORE
+    cross = (
+        banded_inc.select(
+            F.col("doc_id").alias("inc_id"),
+            F.col("simhash").alias("sh_inc"),
+            "blk",
+            "blk_val",
+        )
+        .join(
+            stored.select(
+                F.col("doc_id").alias("ex_id"),
+                F.col("simhash").alias("sh_ex"),
+                "blk",
+                "blk_val",
+            ),
+            ["blk", "blk_val"],
+        )
+        .select(
+            F.least("inc_id", "ex_id").alias("id_a"),
+            F.greatest("inc_id", "ex_id").alias("id_b"),
+            F.bit_count(F.col("sh_inc").bitwiseXOR(F.col("sh_ex"))).alias("hamming"),
+        )
+    )
+    a = banded_inc.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "blk_val"
+    )
+    b = banded_inc.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blk_val"
+    )
+    within = (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+    )
+    pairs = (
+        cross.unionByName(within)
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+    # maintenance: append the batch's block rows, certify read-back
+    store.append(banded_inc, txn=("simhash_index_append", 1))
+    back = TackleTable(spark, os.path.join(tmp, "idx")).read()
+    n_full = banded.count()
+    n_match = back.join(banded, ["doc_id", "simhash", "blk", "blk_val"]).count()
+    merge_ok = (back.count() == n_full) and (n_match == n_full)
+
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .withColumn("index_merge_match", F.lit(1 if merge_ok else 0).cast("int"))
+        .orderBy("id_a", "id_b")
+    )
