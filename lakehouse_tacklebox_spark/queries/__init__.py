@@ -115,20 +115,21 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 #   r5 (50): aggregates battery, joins battery, set ops, scalars,
 #     TPC-DS waves 1-3, dedup/ANN/text family refreshes.
 #   r3: NONE after this window (the last 30 are in it).
-#   never: NONE after this window (the 12 round-10 additions are in it).
+#   never: NONE after this window (the 13 round-10 additions are in it).
 #
-# Round-10 window (below): the 12 round-10 additions (knn_filtered_ivf,
+# Round-10 window (below): the 13 round-10 additions (knn_filtered_ivf,
 # text_span_excision_incremental, rag_hybrid_retrieval, knn_mmr_rerank,
 # dedup_incremental_lsh, text_contamination_attribution,
 # stream_bm25_index_mv, mm_image_crop_pruned_probe,
 # cdc_span_census_deletes, mm_audio_snippet_pruned_probe,
-# mm_video_snippet_pruned_probe, dedup_incremental_simhash) + the 6
+# mm_video_snippet_pruned_probe, dedup_incremental_simhash,
+# knn_filtered_ivfpq) + the 6
 # entries MODIFIED this round (knn_sq_rerank / knn_matryoshka_rerank /
 # knn_ivfpq_pruned_store got fixed-shortlist recall readouts;
 # mm_image_crop_match / mm_audio_snippet_match / mm_video_snippet_match
 # got role-based side splits) + the 30 remaining r3-stale entries +
-# the 2 oldest r5 greens in CORRECTNESS_r05 ledger order. VERDICT r9
-# item 1: after this round nothing predates r5 (48 r5 entries remain =
+# the oldest r5 green in CORRECTNESS_r05 ledger order. VERDICT r9
+# item 1: after this round nothing predates r5 (49 r5 entries remain =
 # round-11's refresh block, then r6).
 _WINDOW_PRIORITY = [
     # (a) never driver-checked: new this round
@@ -144,6 +145,7 @@ _WINDOW_PRIORITY = [
     "mm_audio_snippet_pruned_probe",
     "mm_video_snippet_pruned_probe",
     "dedup_incremental_simhash",
+    "knn_filtered_ivfpq",
     # (b) modified this round (new columns / changed side-split) —
     # re-verify even though their r9 rows were green
     "knn_sq_rerank",
@@ -184,12 +186,11 @@ _WINDOW_PRIORITY = [
     "text_html_strip",
     "join_interval_overlap",
     "corpus_tfidf_top",
-    # (d) the 2 oldest r5 greens, CORRECTNESS_r05 ledger order
+    # (d) the oldest r5 green, CORRECTNESS_r05 ledger order
     "agg_global",
-    "agg_count_distinct",
 ]
 # Round-11 window plan (mechanical, from the ledger): any round-10
-# post-freeze additions + the 48 remaining r5 entries (aggregates/joins/
+# post-freeze additions + the 49 remaining r5 entries (aggregates/joins/
 # set-ops/scalars batteries and TPC-DS waves 1-3, r5 ledger order) +
 # oldest r6 greens to fill 50. Done when nothing predates r6.
 

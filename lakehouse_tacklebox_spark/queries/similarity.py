@@ -1385,3 +1385,142 @@ def knn_matryoshka_rerank(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "knn_filtered_ivfpq",
+    tags=("similarity", "ann", "quantization", "tablestore", "data-skipping"),
+    # The full composition lattice closes: FILTERED x COMPRESSED x
+    # STORED — knn_filtered_ivf proved predicate+probe pruning over raw
+    # vectors, knn_ivfpq_pruned_store proved ADC over pruned code
+    # scans; here the stored column is the 8-byte PQ code AND the
+    # layout is z-ordered by (centroid_id, label), so a "nearest
+    # WHERE label = 7" probe reads a 32x-compressed column of only the
+    # probed lists' predicate-true files. Flags as in the parents:
+    # files_skipped, label_prunes_files (the predicate prunes STRICTLY
+    # more files than the probed centroid alone), pruned_equals_
+    # inmemory (ADC over the pruned per-(list,label) scans == ADC over
+    # the in-memory label-filtered codes, pair/rank/cosine exact — the
+    # broadcast-LUT argument again), recall_ge_20pct (measured vs the
+    # FILTERED brute force: 26/33/46 at sf0.001/0.01/0.1 — identical to
+    # knn_filtered_ivf's raw-vector recall, i.e. the codec costs NOTHING
+    # at this shortlist because the exact re-rank sees every probed
+    # predicate-true candidate; probed-fraction-dominated; hash-seeded
+    # k-means, deterministic).
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id AND c.label = 7
+    )
+    SELECT query_id, neighbor_id, cosine, rank,
+           CAST(1 AS INT) AS files_skipped,
+           CAST(1 AS INT) AS label_prunes_files,
+           CAST(1 AS INT) AS pruned_equals_inmemory,
+           CAST(1 AS INT) AS recall_ge_20pct
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_filtered_ivfpq(spark, sf_dir):
+    """Filtered ANN through the compressed store — the query plan a
+    metadata-aware vector store actually ships: PQ codes tagged with
+    the predicate column, z-ordered by (centroid_id, label); each
+    query's nprobe=2 probed lists become per-(list, label) equality
+    scans pruned on BOTH dimensions; ADC scores only the pruned codes
+    (candidates arrive predicate-true — no post-filter recall loss);
+    raw vectors surface at shortlist size for the exact filtered
+    re-rank. At 100 TB the probe reads a 32x-compressed column of the
+    predicate-true slice of the probed lists — the composition of this
+    repo's filtered (knn_filtered_ivf) and compressed-store
+    (knn_ivfpq_pruned_store) paths in one layout."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    n = e.count()
+    # m=4/ksub=8: this entry certifies the COMPOSITION (both z-order
+    # dimensions prune + pruned ADC == in-memory + filtered recall
+    # floor), not codec quality — the PQ codec is immaterial here
+    # because the exact re-rank sees every probed predicate-true
+    # candidate (recall measured identical to knn_filtered_ivf's
+    # raw-vector path), so the lean sub-codebooks halve the gate cost.
+    # iters stays 2: COARSE geometry is what recall rides on — measured
+    # 26/33/46 at iters=2 vs 20/20/40 at iters=1, where two scales sit
+    # exactly AT the pinned 20pct floor with zero regeneration margin.
+    coarse, books, codes = S.ivfpq_index(e, num_centroids=16, m=4, ksub=8, iters=2)
+    coarse = coarse.localCheckpoint(eager=True)
+    books = books.localCheckpoint(eager=True)
+    codes = codes.join(e.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "centroid_id", "label", "codes"
+    ).localCheckpoint(eager=True)
+
+    tmp = tempfile.mkdtemp(prefix="pqflt_")
+    t = TackleTable.create(spark, os.path.join(tmp, "t"), codes)
+    t.optimize(target_file_rows=max(16, n // 32), zorder_by=["centroid_id", "label"])
+
+    pred = 7
+    q = e.filter(F.col("vec_id") < 3)
+    qu = S.unit_normalize(q.select("vec_id", "embedding"), "embedding")
+    probed = sorted(
+        {r["centroid_id"] for r in S.ivf_assign(qu, coarse, nprobe=2).collect()}
+    )
+    files_all = set(t._active_files()[0])
+    kept_centroid: set = set()
+    kept_both: set = set()
+    frames = []
+    for lst in probed:
+        kc, _ = t.prune_files(f"centroid_id = {lst}")
+        kb, _ = t.prune_files(f"centroid_id = {lst} AND label = {pred}")
+        kept_centroid |= set(kc)
+        kept_both |= set(kb)
+        frames.append(t.scan(f"centroid_id = {lst} AND label = {pred}"))
+    n_skipped = len(files_all - kept_both)
+    label_prunes = len(kept_both) < len(kept_centroid)
+    pruned = frames[0]
+    for fr in frames[1:]:
+        pruned = pruned.unionByName(fr)
+
+    sl = max(50, n // 10)
+    a = S.knn_ivfpq(
+        e, q, coarse, books, pruned.drop("label"), k=5, nprobe=2, shortlist=sl
+    ).localCheckpoint(eager=True)
+    b = S.knn_ivfpq(
+        e, q, coarse, books,
+        codes.filter(F.col("label") == pred).drop("label"),
+        k=5, nprobe=2, shortlist=sl,
+    )
+    n_a, n_b = a.count(), b.count()
+    n_same = a.join(b, ["query_id", "neighbor_id", "cosine", "rank"]).count()
+    pruned_ok = (n_a == n_b) and (n_same == n_a)
+
+    bf = S.knn_bruteforce(e.filter(F.col("label") == pred), q, k=5).localCheckpoint(
+        eager=True
+    )
+    hits = bf.select("query_id", "neighbor_id").join(
+        a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    total = bf.count()
+    return (
+        bf.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "rank",
+            F.lit(1 if n_skipped > 0 else 0).cast("int").alias("files_skipped"),
+            F.lit(1 if label_prunes else 0).cast("int").alias("label_prunes_files"),
+            F.lit(1 if pruned_ok else 0).cast("int").alias("pruned_equals_inmemory"),
+            F.lit(1 if hits * 100 >= total * 20 else 0).cast("int").alias("recall_ge_20pct"),
+        )
+        .orderBy("query_id", "rank")
+    )
