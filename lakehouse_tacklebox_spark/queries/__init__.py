@@ -128,9 +128,12 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 # knn_ivfpq_pruned_store got fixed-shortlist recall readouts;
 # mm_image_crop_match / mm_audio_snippet_match / mm_video_snippet_match
 # got role-based side splits) + the 30 remaining r3-stale entries +
-# the oldest r5 green in CORRECTNESS_r05 ledger order. VERDICT r9
-# item 1: after this round nothing predates r5 (49 r5 entries remain =
-# round-11's refresh block, then r6).
+# rag_late_interaction (added after the round-10 freeze — a new entry
+# must never be the never-checked row, so it takes the one flexible
+# slot; agg_global, the oldest r5 green that briefly held it, returns
+# to round-11's r5 refresh block). VERDICT r9 item 1: after this round
+# nothing predates r5 (50 r5 entries remain = round-11's refresh
+# block, then r6).
 _WINDOW_PRIORITY = [
     # (a) never driver-checked: new this round
     "knn_filtered_ivf",
@@ -186,8 +189,8 @@ _WINDOW_PRIORITY = [
     "text_html_strip",
     "join_interval_overlap",
     "corpus_tfidf_top",
-    # (d) the oldest r5 green, CORRECTNESS_r05 ledger order
-    "agg_global",
+    # (d) never driver-checked: added after the round-10 freeze
+    "rag_late_interaction",
 ]
 # Round-11 window plan (mechanical, from the ledger): any round-10
 # post-freeze additions + the 49 remaining r5 entries (aggregates/joins/

@@ -405,3 +405,161 @@ def knn_mmr_rerank(spark, sf_dir):
     for s in stages[1:]:
         out = out.unionByName(s)
     return out.orderBy("query_id", "mmr_rank")
+
+
+_LI_WIN = 8         # tokens per late-interaction unit (window)
+_LI_BUCKETS = 64    # feature-hash dimensionality
+_LI_SHORTLIST = 20  # coarse candidates re-ranked per query
+_LI_K = 5
+
+
+@register(
+    "rag_late_interaction",
+    bench=True,
+    tags=("retrieval", "text", "similarity", "rag"),
+    # Late-interaction re-ranking (the ColBERT MaxSim idea, Khattab &
+    # Zaharia SIGIR'20): a document is MANY vectors, not one; score(q,d)
+    # = sum over q's units of the MAX dot to any of d's units — matching
+    # is deferred ("late") so a candidate scores on its best-matching
+    # region per query region instead of one blurred whole-doc vector.
+    # Without a trained encoder in the env, units are 8-token windows
+    # and unit vectors are 64-bucket feature-hash count vectors (md5
+    # hashing trick — engine-portable, integer); the SERVING ALGEBRA —
+    # coarse single-vector shortlist, then sum-of-max late interaction
+    # over unit pairs — is the real thing, and every dot is a BIGINT so
+    # DuckDB replays shortlist, unit pairs, and both rankings exactly.
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> regexp_matches(x, '^[a-z]+$') AND length(x) >= 2) AS w
+        FROM documents
+    ), tok AS MATERIALIZED (
+        SELECT doc_id, CAST((i - 1) // {_LI_WIN} AS INT) AS win,
+               ('0x' || substr(md5(w[i]), 1, 15))::BIGINT % {_LI_BUCKETS} AS b
+        FROM base, unnest(range(1, len(w) + 1)) AS t(i)
+    ), wvec AS MATERIALIZED (
+        SELECT doc_id, win, b, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2, 3
+    ), dvec AS MATERIALIZED (
+        SELECT doc_id, b, CAST(sum(c) AS BIGINT) AS c FROM wvec GROUP BY 1, 2
+    ), coarse AS MATERIALIZED (
+        SELECT q.doc_id AS query_id, d.doc_id,
+               CAST(sum(q.c * d.c) AS BIGINT) AS coarse_dot
+        FROM dvec q JOIN dvec d USING (b)
+        WHERE q.doc_id < 3 AND d.doc_id <> q.doc_id
+        GROUP BY 1, 2
+    ), short AS MATERIALIZED (
+        SELECT query_id, doc_id, coarse_dot FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY coarse_dot DESC, doc_id) AS rk
+            FROM coarse
+        ) WHERE rk <= {_LI_SHORTLIST}
+    ), pair AS MATERIALIZED (
+        SELECT s.query_id, s.doc_id, q.win AS qwin, d.win AS dwin,
+               CAST(sum(q.c * d.c) AS BIGINT) AS dot
+        FROM short s
+        JOIN wvec q ON q.doc_id = s.query_id
+        JOIN wvec d ON d.doc_id = s.doc_id AND d.b = q.b
+        GROUP BY 1, 2, 3, 4
+    ), maxsim AS MATERIALIZED (
+        SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim
+        FROM (SELECT query_id, doc_id, qwin, max(dot) AS mx
+              FROM pair GROUP BY 1, 2, 3)
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, coarse_dot, maxsim,
+           CAST(li_rank AS BIGINT) AS li_rank
+    FROM (
+        SELECT s.query_id, s.doc_id, s.coarse_dot, m.maxsim,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY m.maxsim DESC, s.doc_id) AS li_rank
+        FROM short s
+        JOIN maxsim m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+    )
+    WHERE li_rank <= {_LI_K}
+    ORDER BY query_id, li_rank
+    """,
+)
+def rag_late_interaction(spark, sf_dir):
+    """Late-interaction (MaxSim) retrieval: coarse single-vector top-20
+    shortlist, then per-query-window best-match scoring over the
+    shortlist — the third rung of the serving ladder (BM25 keyword →
+    single-vector dense → multi-vector late interaction), completing the
+    retrieval family next to rag_hybrid_retrieval (fusion) and
+    knn_mmr_rerank (diversity).
+
+    Unit vectors are md5 feature-hash count vectors over 8-token
+    windows (the trained-encoder stand-in; the serving algebra is the
+    part being built). The coarse stage uses the window vectors' SUM —
+    the whole-doc count vector — so shortlist and re-rank share one
+    census. Plan shape at 100 TB: the window census is one corpus scan
+    with map-side combine; the coarse stage joins on the 64-value
+    bucket key with the 3 query vectors BROADCAST, so cost ~ corpus
+    bucket rows, not corpus x queries; the MaxSim stage touches only
+    shortlist docs' window rows (20 per query) joined to broadcast
+    query windows — the expensive sum-of-max interaction never sees the
+    corpus, exactly how a deployed ColBERT tier bounds its FLOPs. Every
+    dot is a BIGINT (count vectors), so shortlist boundary, max ties,
+    and final ranks are engine-exact with no float argmax risk.
+    """
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    from lakehouse_tacklebox_spark.operators.corpus import hash_bucket
+
+    toks = F.expr(
+        "filter(split(lower(trim(text)), '\\\\s+'),"
+        " x -> x RLIKE '^[a-z]+$' AND length(x) >= 2)"
+    )
+    tok = d.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    wtok = tok.select(
+        "doc_id",
+        F.floor(F.col("pos") / _LI_WIN).cast("int").alias("win"),
+        hash_bucket(F.col("w"), _LI_BUCKETS).alias("b"),
+    )
+    wvec = (
+        wtok.groupBy("doc_id", "win", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    dvec = wvec.groupBy("doc_id", "b").agg(F.sum("c").cast("bigint").alias("c"))
+    qdoc = dvec.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "b", F.col("c").alias("cq")
+    )
+    coarse = (
+        dvec.join(F.broadcast(qdoc), "b")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("c") * F.col("cq")).cast("bigint").alias("coarse_dot"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("coarse_dot").desc(), "doc_id")
+    short = (
+        coarse.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _LI_SHORTLIST)
+        .select("query_id", "doc_id", "coarse_dot")
+        .localCheckpoint(eager=True)
+    )
+    qwin = wvec.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("win").alias("qwin"),
+        "b",
+        F.col("c").alias("cq"),
+    )
+    cwin = wvec.join(F.broadcast(short.select("query_id", "doc_id")), "doc_id").select(
+        "query_id", "doc_id", F.col("win").alias("dwin"), "b", F.col("c").alias("cd")
+    )
+    pair = (
+        cwin.join(F.broadcast(qwin), ["query_id", "b"])
+        .groupBy("query_id", "doc_id", "qwin", "dwin")
+        .agg(F.sum(F.col("cq") * F.col("cd")).cast("bigint").alias("dot"))
+    )
+    best = pair.groupBy("query_id", "doc_id", "qwin").agg(F.max("dot").alias("mx"))
+    maxsim = best.groupBy("query_id", "doc_id").agg(
+        F.sum("mx").cast("bigint").alias("maxsim")
+    )
+    wl = W.partitionBy("query_id").orderBy(F.col("maxsim").desc(), "doc_id")
+    return (
+        short.join(maxsim, ["query_id", "doc_id"])
+        .withColumn("li_rank", F.row_number().over(wl).cast("bigint"))
+        .filter(F.col("li_rank") <= _LI_K)
+        .orderBy("query_id", "li_rank")
+    )

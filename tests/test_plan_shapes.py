@@ -702,3 +702,14 @@ def test_mmr_stages_stay_candidate_bounded(spark):
     assert "CartesianProduct" not in plan
     # stages read localCheckpoint scans, never the embeddings parquet
     assert "parquet" not in plan.lower()
+
+
+def test_late_interaction_fine_stage_broadcasts_both_small_sides(spark):
+    """rag_late_interaction: the MaxSim stage must keep BOTH small
+    frames (the 20-doc shortlist and the 3 queries' window vectors) on
+    the broadcast side of their joins — the corpus-wide window census
+    is never shuffled for the fine stage — and nothing goes cartesian."""
+    df = REGISTRY["rag_late_interaction"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

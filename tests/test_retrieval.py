@@ -200,3 +200,109 @@ def test_incremental_lsh_equals_full_restricted_to_batch(spark):
     assert all(r["index_merge_match"] == 1 for r in inc_rows)
     inc = {(r["id_a"], r["id_b"], r["jaccard"]) for r in inc_rows}
     assert inc == full and len(inc) > 0
+
+
+# ------------------------------------------------------- late interaction
+
+
+def _py_late_interaction(
+    docs: dict[int, str], n_q: int = 3, win: int = 8, buckets: int = 64,
+    shortlist: int = 20, k: int = 5,
+):
+    """Pure-Python replay of the rag_late_interaction spec: md5
+    feature-hash count vectors over 8-token windows, whole-doc coarse
+    shortlist, then sum-over-query-windows of max-over-doc-windows
+    integer dots."""
+    import hashlib
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % buckets
+
+    wvecs: dict[int, list[Counter]] = {}
+    dvecs: dict[int, Counter] = {}
+    for d, t in docs.items():
+        toks = [
+            w for w in re.split(r"\s+", t.lower().strip())
+            if re.fullmatch("[a-z]+", w) and len(w) >= 2
+        ]
+        wins = [Counter(bucket(w) for w in toks[i : i + win])
+                for i in range(0, len(toks), win)]
+        if wins:
+            wvecs[d] = wins
+            dvecs[d] = sum(wins, Counter())
+
+    def dot(a: Counter, b: Counter) -> int:
+        return sum(c * b[x] for x, c in a.items() if x in b)
+
+    out = []
+    for q in range(n_q):
+        coarse = {
+            d: dot(dvecs[q], v) for d, v in dvecs.items()
+            if d != q and dot(dvecs[q], v) > 0
+        }
+        short = sorted(coarse.items(), key=lambda kv: (-kv[1], kv[0]))[:shortlist]
+        scored = []
+        for d, cd in short:
+            ms = sum(
+                max((dot(qw, dw) for dw in wvecs[d]), default=0)
+                for qw in wvecs[q]
+            )
+            scored.append((d, cd, ms))
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        for r, (d, cd, ms) in enumerate(scored[:k], 1):
+            out.append((q, d, cd, ms, r))
+    return out
+
+
+def test_late_interaction_matches_python_reference_on_gate_sample(spark):
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    )
+    from lakehouse_tacklebox_spark.queries.retrieval import rag_late_interaction
+
+    got = [
+        (r["query_id"], r["doc_id"], r["coarse_dot"], r["maxsim"], r["li_rank"])
+        for r in rag_late_interaction(spark, SF_DIR).collect()
+    ]
+    exp = _py_late_interaction({int(kk): v for kk, v in docs.items()})
+    assert got == exp and len(got) == 15
+
+
+def test_late_interaction_maxsim_rewards_local_match(spark, tmp_path):
+    """MaxSim semantics pin: a doc that matches the query's two windows
+    in two DIFFERENT regions outscores a doc that concentrates the same
+    matched tokens in one region — the property single-vector scoring
+    cannot express (both have identical whole-doc count vectors)."""
+    import pandas as pd
+
+    qa = "alpha beta gamma delta epsilon zeta eta theta"      # window 1
+    qb = "iota kappa lam mu nu xi omi pi"                     # window 2
+    spread = qa + " " + qb                                    # matches both windows
+    clumped = qa + " " + qa                                   # same tokens, one region doubled
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 10, 11],
+            "text": [qa + " " + qb, spread, clumped],
+            "source": ["t"] * 3,
+            "lang": ["en"] * 3,
+        }
+    )
+    d = str(tmp_path / "li")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+
+    from lakehouse_tacklebox_spark.queries.retrieval import rag_late_interaction
+
+    rows = {
+        (r["query_id"], r["doc_id"]): (r["maxsim"], r["li_rank"])
+        for r in rag_late_interaction(spark, d).collect()
+        if r["query_id"] == 0
+    }
+    ms_spread, rk_spread = rows[(0, 10)]
+    ms_clump, rk_clump = rows[(0, 11)]
+    assert ms_spread > ms_clump and rk_spread < rk_clump
