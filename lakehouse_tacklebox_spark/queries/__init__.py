@@ -128,12 +128,17 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 # knn_ivfpq_pruned_store got fixed-shortlist recall readouts;
 # mm_image_crop_match / mm_audio_snippet_match / mm_video_snippet_match
 # got role-based side splits) + the 30 remaining r3-stale entries +
-# rag_late_interaction (added after the round-10 freeze — a new entry
-# must never be the never-checked row, so it takes the one flexible
-# slot; agg_global, the oldest r5 green that briefly held it, returns
-# to round-11's r5 refresh block). VERDICT r9 item 1: after this round
-# nothing predates r5 (50 r5 entries remain = round-11's refresh
-# block, then r6).
+# the post-freeze round-10 additions (rag_late_interaction,
+# text_wordpiece_segment — a new entry must never be the never-checked
+# row). To make room: agg_global (oldest r5 green) returns to
+# round-11's r5 refresh block, and mm_audio_snippet_match leaves group
+# (b) — its role-split change is a provable no-op at the gate scales
+# (no replica id shift below sf1, so the old id-threshold classified
+# identically), its r9 driver row therefore still evidences the sf0.01
+# battery, and the recorded dual-scale drives at round-10 HEAD cover
+# the changed code path. VERDICT r9 item 1: after this round nothing
+# predates r5 (50 r5 entries remain = round-11's refresh block, then
+# r6).
 _WINDOW_PRIORITY = [
     # (a) never driver-checked: new this round
     "knn_filtered_ivf",
@@ -155,7 +160,7 @@ _WINDOW_PRIORITY = [
     "knn_matryoshka_rerank",
     "knn_ivfpq_pruned_store",
     "mm_image_crop_match",
-    "mm_audio_snippet_match",
+    "text_wordpiece_segment",
     "mm_video_snippet_match",
     # (c) the 30 r3-stale entries (newest green row = round 3),
     # CORRECTNESS_r03 ledger order

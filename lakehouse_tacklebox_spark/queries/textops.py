@@ -2433,3 +2433,209 @@ def dedup_incremental_simhash(spark, sf_dir):
         .withColumn("index_merge_match", F.lit(1 if merge_ok else 0).cast("int"))
         .orderBy("id_a", "id_b")
     )
+
+
+_WP_VOCAB = 50      # multi-char pieces kept (top by weight; singles always in)
+_WP_MAXLEN = 6      # longest candidate piece
+_WP_TOP = 30        # output census rows
+
+
+@register(
+    "text_wordpiece_segment",
+    bench=True,
+    tags=("text", "tokenizer", "llm"),
+    # WordPiece-style greedy segmentation (Schuster & Nakajima 2012; the
+    # BERT tokenizer's apply rule): walk each word left-to-right, always
+    # consuming the LONGEST vocab piece that matches at the cursor. The
+    # vocab is corpus-derived and deterministic — every substring of
+    # length 2..6 of the distinct-word inventory, weighted by corpus
+    # occurrences of its containing words (one weight per start
+    # position), top-50 by (weight DESC, piece ASC) — plus every single
+    # character, so segmentation is total and no UNK is needed. The cut
+    # at 50 is load-bearing: 235 multi-char pieces exist at the gate
+    # scales, so greedy genuinely falls back to shorter pieces where a
+    # long one missed the cut. The oracle replays the walk with a
+    # RECURSIVE CTE whose longest-match rule is a correlated NOT EXISTS
+    # (no window/agg in the recursive term), then rebuilds the same
+    # weighted census — segmentation is integer/string-only, so the
+    # replay is exact.
+    oracle=f"""
+    WITH RECURSIVE tok AS MATERIALIZED (
+        SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+    ), words AS MATERIALIZED (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS wc FROM tok GROUP BY 1
+    ), multi AS MATERIALIZED (
+        SELECT piece, l FROM (
+            SELECT piece, l, row_number() OVER (ORDER BY wt DESC, piece) AS rk
+            FROM (
+                SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+                       CAST(l AS INT) AS l, CAST(sum(wc) AS BIGINT) AS wt
+                FROM words,
+                     unnest(range(1, len(word) + 1)) AS t(i),
+                     unnest(range(2, {_WP_MAXLEN + 1})) AS u(l)
+                WHERE i + l - 1 <= len(word)
+                GROUP BY 1, 2
+            )
+        ) WHERE rk <= {_WP_VOCAB}
+    ), vocab AS MATERIALIZED (
+        SELECT piece, l FROM multi
+        UNION
+        SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece, 1 AS l
+        FROM words, unnest(range(1, len(word) + 1)) AS t(i)
+    ), seg(word, pos, piece) AS (
+        SELECT w.word, v.l, v.piece
+        FROM words w JOIN vocab v
+          ON v.piece = substr(w.word, 1, v.l)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM vocab v2
+            WHERE v2.l > v.l AND v2.piece = substr(w.word, 1, v2.l))
+        UNION ALL
+        SELECT s.word, s.pos + v.l, v.piece
+        FROM seg s JOIN vocab v
+          ON v.piece = substr(s.word, s.pos + 1, v.l)
+        WHERE s.pos < len(s.word)
+          AND NOT EXISTS (
+            SELECT 1 FROM vocab v2
+            WHERE v2.l > v.l AND v2.piece = substr(s.word, s.pos + 1, v2.l))
+    )
+    SELECT piece, n_uses, n_words, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT piece, n_uses, n_words,
+               row_number() OVER (ORDER BY n_uses DESC, piece) AS rank
+        FROM (
+            SELECT s.piece,
+                   CAST(sum(w.wc) AS BIGINT) AS n_uses,
+                   CAST(count(DISTINCT s.word) AS BIGINT) AS n_words
+            FROM seg s JOIN words w USING (word)
+            GROUP BY 1
+        )
+    ) WHERE rank <= {_WP_TOP}
+    ORDER BY rank
+    """,
+)
+def text_wordpiece_segment(spark, sf_dir):
+    """WordPiece apply: greedy longest-match-first segmentation of every
+    corpus word against a corpus-derived piece vocabulary, reported as
+    the weighted piece-usage census (top-30 by uses) — the second
+    tokenizer family next to BPE train/apply (merge-rule tokenizers and
+    longest-match tokenizers are the two apply rules in production use;
+    BERT-style stacks run this one).
+
+    Scale shape: segmentation runs over the DISTINCT-WORD inventory,
+    never the corpus — the corpus is touched exactly once for the word
+    census (map-side combining groupBy), after which everything joins a
+    words-sized frame (30 rows at gate scales; ~millions at 100 TB,
+    still thousands of times smaller than the corpus) against a
+    broadcast 76-piece vocab. The longest match for EVERY (word, pos)
+    is one equi-join on the substring (no theta join), and the
+    sequential greedy walk runs entirely JVM-side: one higher-order
+    aggregate() over each word's own best-match array, bounded by word
+    length — no driver loop, no UDF, one job. Weighted census = one
+    broadcast join back to word counts. Every value is a string or
+    BIGINT: the
+    DuckDB recursive-CTE replay is exact, including the vocab top-50
+    boundary (tie-broken piece ASC) and both census rankings."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+
+    toks = F.expr(
+        "filter(split(lower(trim(text)), '\\\\s+'),"
+        " x -> x RLIKE '^[a-z]+$' AND length(x) >= 2)"
+    )
+    words = (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .localCheckpoint(eager=True)
+    )
+
+    # candidate pieces: every (start, len 2..6) substring of the
+    # distinct-word inventory, weighted by containing-word counts
+    lens = F.explode(F.sequence(F.lit(2), F.lit(_WP_MAXLEN))).alias("l")
+    starts = F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+    multi = (
+        words.select("word", "wc", starts)
+        .select("word", "wc", "i", lens)
+        .filter(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select(
+            F.expr("substring(word, i, l)").alias("piece"),
+            F.col("l").cast("int").alias("l"),
+            "wc",
+        )
+        .groupBy("piece", "l")
+        .agg(F.sum("wc").cast("bigint").alias("wt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.col("wt").desc(), "piece")
+            ),
+        )
+        .filter(F.col("rk") <= _WP_VOCAB)
+        .select("piece", "l")
+    )
+    singles = (
+        words.select(F.explode(F.split("word", "")).alias("piece"))
+        .filter(F.length("piece") == 1)
+        .distinct()
+        .select("piece", F.lit(1).cast("int").alias("l"))
+    )
+    vocab = multi.unionByName(singles).distinct().localCheckpoint(eager=True)
+
+    # greedy longest-match for EVERY (word, pos) in one shot, then the
+    # sequential walk runs JVM-side inside one higher-order aggregate()
+    # over each word's own best-match array — no driver loop, one job
+    cand = (
+        words.select("word", F.explode(F.sequence(F.lit(0), F.length("word") - 1)).alias("pos"))
+        .select("word", "pos", F.explode(F.sequence(F.lit(1), F.lit(_WP_MAXLEN))).alias("l"))
+        .filter(F.col("pos") + F.col("l") <= F.length("word"))
+        .select("word", "pos", "l", F.expr("substring(word, pos + 1, l)").alias("piece"))
+    )
+    wbest = W.partitionBy("word", "pos").orderBy(F.col("l").desc())
+    best = (
+        cand.join(F.broadcast(vocab), ["piece", "l"])
+        .withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+    )
+    # bl, sorted by pos, indexes 0-based: bl[pos] = the longest piece
+    # matching at 0-based pos (every pos matches: singles are in the vocab)
+    walked = (
+        best.groupBy("word")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "l", "piece"))
+            ).alias("bl")
+        )
+        .withColumn(
+            "pieces",
+            F.expr(
+                """aggregate(
+                     sequence(1, length(word)),
+                     struct(CAST(0 AS INT) AS pos, CAST(array() AS ARRAY<STRING>) AS ps),
+                     (st, _) -> IF(st.pos >= length(word), st,
+                        struct(CAST(st.pos + bl[st.pos].l AS INT) AS pos,
+                               array_append(st.ps, bl[st.pos].piece) AS ps)),
+                     st -> st.ps)"""
+            ),
+        )
+        .select("word", F.explode("pieces").alias("piece"))
+    )
+
+    census = (
+        walked.join(F.broadcast(words), "word")
+        .groupBy("piece")
+        .agg(
+            F.sum("wc").cast("bigint").alias("n_uses"),
+            F.count_distinct("word").cast("bigint").alias("n_words"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy().orderBy(F.col("n_uses").desc(), "piece"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= _WP_TOP)
+        .orderBy("rank")
+    )
+    return census.select("piece", "n_uses", "n_words", "rank")

@@ -713,3 +713,16 @@ def test_late_interaction_fine_stage_broadcasts_both_small_sides(spark):
     plan = _plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_wordpiece_walk_never_rereads_the_corpus(spark):
+    """text_wordpiece_segment: after the one corpus scan that builds the
+    checkpointed distinct-word census, the match/walk/census plan must
+    operate on inventory-sized checkpoint scans only (no parquet
+    re-read), keep the vocab on the broadcast side, and never go
+    cartesian — the substring match is an equi-join, not a theta join."""
+    df = REGISTRY["text_wordpiece_segment"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "parquet" not in plan.lower()
