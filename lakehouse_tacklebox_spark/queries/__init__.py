@@ -131,12 +131,12 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 # the post-freeze round-10 additions (rag_late_interaction,
 # text_wordpiece_segment — a new entry must never be the never-checked
 # row). To make room: agg_global (oldest r5 green) returns to
-# round-11's r5 refresh block, and mm_audio_snippet_match leaves group
-# (b) — its role-split change is a provable no-op at the gate scales
-# (no replica id shift below sf1, so the old id-threshold classified
-# identically), its r9 driver row therefore still evidences the sf0.01
-# battery, and the recorded dual-scale drives at round-10 HEAD cover
-# the changed code path. VERDICT r9 item 1: after this round nothing
+# round-11's r5 refresh block, and mm_audio_snippet_match /
+# mm_video_snippet_match leave group (b) — their role-split change is
+# a provable no-op at the gate scales (no replica id shift below sf1,
+# so the old id-threshold classified identically), their r9 driver
+# rows therefore still evidence the sf0.01 battery, and the recorded
+# dual-scale drives at round-10 HEAD cover the changed code path. VERDICT r9 item 1: after this round nothing
 # predates r5 (50 r5 entries remain = round-11's refresh block, then
 # r6).
 _WINDOW_PRIORITY = [
@@ -160,8 +160,10 @@ _WINDOW_PRIORITY = [
     "knn_matryoshka_rerank",
     "knn_ivfpq_pruned_store",
     "mm_image_crop_match",
+    # (b2) never driver-checked: added after the round-10 freeze (took
+    # the two mm snippet-match slots — see the note above)
     "text_wordpiece_segment",
-    "mm_video_snippet_match",
+    "dedup_incremental_containment",
     # (c) the 30 r3-stale entries (newest green row = round 3),
     # CORRECTNESS_r03 ledger order
     "agg_rollup",

@@ -2639,3 +2639,174 @@ def text_wordpiece_segment(spark, sf_dir):
         .orderBy("rank")
     )
     return census.select("piece", "n_uses", "n_words", "rank")
+
+
+@register(
+    "dedup_incremental_containment",
+    tags=("dedup", "text", "containment", "incremental", "tablestore"),
+    # The DIRECTED flavor joins the incremental-ingest family (exact /
+    # MinHash-LSH / SimHash already have entries): history exists only
+    # as its persisted containment index — a full-postings table plus
+    # the per-doc rarest-first hash arrays with their frozen prefix
+    # lengths. Soundness under growth is the point worth writing down:
+    # prefix filtering's pigeonhole argument (|prefix| + ceil(t*sz) =
+    # sz + 1 > sz) holds for ANY (sz - ceil(t*sz) + 1)-subset, so the
+    # rarest-first order frozen at ingest time stays a VALID prefix
+    # forever — df drift degrades pruning efficiency only, never
+    # recall. No max_doc_freq cap here (the cap's drops depend on
+    # global df, which WOULD make incremental diverge from full
+    # recompute). The oracle is exact directed containment over the
+    # same augmented corpus restricted to batch-touching pairs.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    aug AS (
+        SELECT doc_id, w FROM t
+        UNION ALL
+        SELECT doc_id + 10000, w[1:25] FROM t WHERE len(w) >= 40
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(3, len(w) + 1),
+                                         i -> w[i-2] || ' ' || w[i-1] || ' ' || w[i])) AS g
+            FROM aug WHERE len(w) >= 3) x
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a,
+           inter * 1000000 // sa.sz AS containment_ppm,
+           CAST(1 AS INT) AS index_merge_match
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE inter * 1000000 // sa.sz >= 900000
+      AND (id_a % 3 = 0 OR id_b % 3 = 0)
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_incremental_containment(spark, sf_dir):
+    """Incremental subset-duplicate ingest — dedup_containment's 100 TB
+    posture: the ingested corpus (doc_id % 3 != 0 over the augmented id
+    space) is represented ONLY by its persisted index (full postings +
+    per-doc ordered hash arrays with frozen prefix lengths); the new
+    batch shingles itself once and generates candidates with THREE
+    prefix-filtered equi-joins — batch prefixes x store postings
+    (batch-contained-in-history), stored prefixes x batch postings
+    (history-contained-in-batch; the stored rarest-first order stays a
+    valid prefix under df drift — see register note), and batch
+    prefixes x batch postings (within-batch). Exact verify touches only
+    the STORED arrays of matched docs; history text is never re-read,
+    never re-shingled. Maintenance appends the batch's postings and
+    arrays, read-back-certified against a from-scratch index of the
+    union (postings row-set equality; arrays compared as content SETS,
+    since prefix order is a performance choice, not a semantic one)."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.operators.dedup import _containment_docs
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("w"))
+    chunks = base.filter(F.size("w") >= 40).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), F.slice("w", 1, 25).alias("w")
+    )
+    aug = base.unionByName(chunks)
+    grams = F.expr(
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(3, size(w)), "
+        "i -> concat_ws(' ', w[i-3], w[i-2], w[i-1])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    shingled = aug.select("doc_id", grams.alias("grams")).persist()
+
+    T = 900000
+    docs_ex, post_ex = _containment_docs(
+        shingled.filter(F.col("doc_id") % 3 != 0), "doc_id", "grams", T, None
+    )
+    docs_inc, post_inc = _containment_docs(
+        shingled.filter(F.col("doc_id") % 3 == 0), "doc_id", "grams", T, None
+    )
+    docs_inc = docs_inc.localCheckpoint(eager=True)
+    post_inc = post_inc.localCheckpoint(eager=True)
+
+    tmp = tempfile.mkdtemp(prefix="containidx_")
+    store_post = TackleTable.create(spark, os.path.join(tmp, "post"), post_ex)
+    store_docs = TackleTable.create(spark, os.path.join(tmp, "docs"), docs_ex)
+    sp = store_post.read()  # the batch only ever sees the stores
+    sd = store_docs.read()
+
+    def prefixes(docs):
+        return docs.select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(F.expr("slice(arr, 1, greatest(prefix_len, 0))")).alias("sh"),
+        )
+
+    pre_inc = prefixes(docs_inc)
+    pre_ex = prefixes(sd)
+    post_inc_b = post_inc.select(F.col("doc_id").alias("id_b"), "sh")
+    sp_b = sp.select(F.col("doc_id").alias("id_b"), "sh")
+    cand = (
+        pre_inc.join(sp_b, "sh").select("id_a", "id_b")
+        .unionByName(pre_ex.join(post_inc_b, "sh").select("id_a", "id_b"))
+        .unionByName(
+            pre_inc.join(post_inc_b, "sh")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        .distinct()
+    )
+
+    arrays = docs_inc.select("doc_id", "arr", "sz").unionByName(
+        sd.select("doc_id", "arr", "sz")
+    )
+    a = arrays.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("arr").alias("__sa"),
+        F.col("sz").cast("bigint").alias("sz_a"),
+    )
+    b = arrays.select(F.col("doc_id").alias("id_b"), F.col("arr").alias("__sb"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")).cast("bigint"))
+        .withColumn(
+            "containment_ppm",
+            F.expr("CAST((inter * CAST(1000000 AS BIGINT)) div sz_a AS BIGINT)"),
+        )
+        .filter(F.col("containment_ppm") >= T)
+        .select("id_a", "id_b", "inter", "sz_a", "containment_ppm")
+    )
+
+    # maintenance: append the batch's postings + arrays, certify the
+    # read-back against a from-scratch index of the full corpus
+    store_post.append(post_inc, txn=("containment_post_append", 1))
+    store_docs.append(docs_inc, txn=("containment_docs_append", 1))
+    back_post = TackleTable(spark, os.path.join(tmp, "post")).read()
+    back_docs = TackleTable(spark, os.path.join(tmp, "docs")).read()
+    full_docs, full_post = _containment_docs(shingled, "doc_id", "grams", T, None)
+    n_post = full_post.count()
+    post_ok = (back_post.count() == n_post) and (
+        back_post.join(full_post, ["doc_id", "sh"]).count() == n_post
+    )
+    canon = lambda fr: fr.select(
+        "doc_id", F.array_sort("arr").alias("sarr"), "sz", "prefix_len"
+    )
+    n_docs = full_docs.count()
+    docs_ok = (back_docs.count() == n_docs) and (
+        canon(back_docs).join(canon(full_docs), ["doc_id", "sarr", "sz", "prefix_len"]).count()
+        == n_docs
+    )
+    merge_ok = post_ok and docs_ok
+
+    return (
+        verified.withColumn(
+            "index_merge_match", F.lit(1 if merge_ok else 0).cast("int")
+        )
+        .orderBy("id_a", "id_b")
+    )
