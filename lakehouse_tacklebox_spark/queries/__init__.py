@@ -132,7 +132,8 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 # text_wordpiece_segment — a new entry must never be the never-checked
 # row). To make room: agg_global (oldest r5 green) returns to
 # round-11's r5 refresh block, and mm_audio_snippet_match /
-# mm_video_snippet_match leave group (b) — their role-split change is
+# mm_video_snippet_match / mm_image_crop_match leave group (b) — their
+# role-split change is
 # a provable no-op at the gate scales (no replica id shift below sf1,
 # so the old id-threshold classified identically), their r9 driver
 # rows therefore still evidence the sf0.01 battery, and the recorded
@@ -154,16 +155,16 @@ _WINDOW_PRIORITY = [
     "mm_video_snippet_pruned_probe",
     "dedup_incremental_simhash",
     "knn_filtered_ivfpq",
-    # (b) modified this round (new columns / changed side-split) —
-    # re-verify even though their r9 rows were green
+    # (b) modified this round (new flag columns) — re-verify even
+    # though their r9 rows were green
     "knn_sq_rerank",
     "knn_matryoshka_rerank",
     "knn_ivfpq_pruned_store",
-    "mm_image_crop_match",
     # (b2) never driver-checked: added after the round-10 freeze (took
-    # the two mm snippet-match slots — see the note above)
+    # the three mm match slots — see the note above)
     "text_wordpiece_segment",
     "dedup_incremental_containment",
+    "stream_phash_index_mv",
     # (c) the 30 r3-stale entries (newest green row = round 3),
     # CORRECTNESS_r03 ledger order
     "agg_rollup",

@@ -1953,3 +1953,214 @@ def stream_bm25_index_mv(spark, sf_dir):
         )
         .orderBy("query_id", "kw_rank")
     )
+
+
+@register(
+    "stream_phash_index_mv",
+    tags=("streaming", "multimodal", "image", "dedup", "transactions", "incremental"),
+    # Streaming maintenance of the MEDIA near-dup index — the image
+    # sibling of stream_bm25_index_mv (keyword postings) and
+    # stream_pq_index_mv (vector codes), completing index-lifecycle
+    # coverage across all three retrieval modalities: raw BMP payloads
+    # stream in micro-batches; each epoch decodes+hashes ONLY its own
+    # batch (Arrow pHash) and absorbs it into two MV tables under
+    # per-table Delta-txn idempotence — the banded inverted index
+    # (img_id, phash, band_idx, band_key; appends, images stream once
+    # so batches are disjoint) and a band-occupancy census
+    # (read-merge-overwrite; disjoint batches => counts add — the skew
+    # readout a deployment watches to decide salting). The last epoch
+    # replays twice and must no-op on BOTH tables. SELF-CERTIFYING
+    # oracle (mm_image_phash_neardup precedent): pHashes aren't DuckDB-
+    # recomputable, but the planted-duplicate structure is id
+    # arithmetic, and serving runs FROM THE READ-BACK MV ALONE — a
+    # lost band row, drifted occupancy, or double-applied epoch flips
+    # a flag or moves n_pairs.
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_images,
+           CAST(count(*) FILTER (WHERE doc_id % 9 = 0) AS BIGINT) AS n_copies,
+           CAST(count(*) FILTER (WHERE doc_id % 9 = 0) AS BIGINT) AS n_pairs,
+           CAST(1 AS INT) AS copies_all_matched,
+           CAST(1 AS INT) AS no_false_pairs,
+           CAST(1 AS INT) AS index_merge_match,
+           CAST(1 AS INT) AS occupancy_match,
+           CAST(1 AS INT) AS replay_noop
+    FROM documents
+    """,
+)
+def stream_phash_index_mv(spark, sf_dir):
+    """Streaming pHash index maintenance: micro-batched image arrivals
+    are decoded and hashed per-batch, banded into the persisted
+    inverted index, and the band-occupancy census is merged — then the
+    near-dup query (band-bucket self-join + exact Hamming <= 6 on the
+    STORED hashes) is served from the read-back tables only, and its
+    planted-copy structure is certified by id arithmetic. Per-batch
+    cost ∝ batch size (decode, hash, band, merge a band-cardinality-
+    sized census); already-ingested images are never re-decoded — at
+    100 TB of media the index and census are the only state, and
+    serving never touches payload bytes. Idempotence: both tables
+    check their own txn stamp, so a crash-retried epoch (replayed
+    twice here) is a version-stable no-op."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.operators import multimodal as MM
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tmp = tempfile.mkdtemp(prefix="phash_mv_")
+    src_dir = os.path.join(tmp, "src")
+    band_dir = os.path.join(tmp, "bands")
+    occ_dir = os.path.join(tmp, "occ")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    imgs = MM.as_bmp_images_with_neardups(d).select("img_id", "payload")
+    imgs.repartition(4).write.parquet(src_dir)
+    TackleTable.create(
+        spark, band_dir,
+        schema="img_id bigint, phash bigint, band_idx int, band_key bigint",
+    )
+    TackleTable.create(spark, occ_dir, schema="band_idx int, band_key bigint, n bigint")
+
+    def _bands(hashed):
+        return hashed.select(
+            "img_id",
+            "phash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("band_idx"),
+                            F.shiftrightunsigned(F.col("phash"), 16 * i)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .cast("bigint")
+                            .alias("band_key"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("b"),
+        ).select("img_id", "phash", "b.band_idx", "b.band_key")
+
+    def _apply(batch_df, epoch):
+        s = batch_df.sparkSession
+        hashed = MM.image_phash(batch_df, keys=["img_id"]).localCheckpoint(eager=True)
+        bands = _bands(hashed).localCheckpoint(eager=True)
+        bt = TackleTable(s, band_dir)
+        if bt.txn_version("phash_bands") < epoch:
+            bt.append(bands, txn=("phash_bands", epoch))
+        ot = TackleTable(s, occ_dir)
+        if ot.txn_version("phash_occ") < epoch:
+            census = bands.groupBy("band_idx", "band_key").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_b")
+            )
+            merged = (
+                ot.read()
+                .join(census, ["band_idx", "band_key"], "full_outer")
+                .select(
+                    "band_idx",
+                    "band_key",
+                    (
+                        F.coalesce(F.col("n"), F.lit(0))
+                        + F.coalesce(F.col("n_b"), F.lit(0))
+                    ).cast("bigint").alias("n"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ot.overwrite(merged, txn=("phash_occ", epoch))
+
+    last = {"epoch": None, "rows": None}
+
+    def _tracking(batch_df, epoch):
+        last["epoch"], last["rows"] = epoch, batch_df.collect()
+        _apply(batch_df, epoch)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_tracking)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
+
+    versions = tuple(TackleTable(spark, p).version() for p in (band_dir, occ_dir))
+    if last["epoch"] is not None:
+        replay_df = spark.createDataFrame(last["rows"], raw_schema)
+        _apply(replay_df, last["epoch"])
+        _apply(replay_df, last["epoch"])
+    replay_noop = versions == tuple(
+        TackleTable(spark, p).version() for p in (band_dir, occ_dir)
+    )
+
+    # index MV == from-scratch banding of everything streamed
+    back = TackleTable(spark, band_dir).read().localCheckpoint(eager=True)
+    full = _bands(
+        MM.image_phash(spark.read.parquet(src_dir), keys=["img_id"])
+    ).localCheckpoint(eager=True)
+    n_full = full.count()
+    index_match = (back.count() == n_full) and (
+        back.join(full, ["img_id", "phash", "band_idx", "band_key"]).count() == n_full
+    )
+    occ_back = TackleTable(spark, occ_dir).read()
+    occ_full = full.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n_occ = occ_full.count()
+    occ_match = (occ_back.count() == n_occ) and (
+        occ_back.join(occ_full, ["band_idx", "band_key", "n"]).count() == n_occ
+    )
+
+    # serve the near-dup query FROM THE MV alone
+    a = back.alias("a")
+    b = back.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("id_a"),
+            F.col("b.img_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b")
+    )
+    n_images = back.filter(F.col("img_id") < 100000).select("img_id").distinct().count()
+    n_copies = back.filter(F.col("img_id") >= 100000).select("img_id").distinct().count()
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
+        ).alias("n_copy_source_pairs"),
+    ).collect()[0]
+    n_pairs = int(stats["n_pairs"] or 0)
+    n_cs = int(stats["n_copy_source_pairs"] or 0)
+    return spark.createDataFrame(
+        [
+            (
+                n_images,
+                n_copies,
+                n_pairs,
+                1 if n_cs == n_copies else 0,
+                1 if n_pairs == n_copies else 0,
+                1 if index_match else 0,
+                1 if occ_match else 0,
+                1 if replay_noop else 0,
+            )
+        ],
+        "n_images bigint, n_copies bigint, n_pairs bigint, copies_all_matched int,"
+        " no_false_pairs int, index_merge_match int, occupancy_match int, replay_noop int",
+    )
