@@ -132,6 +132,20 @@ SF1_QUERIES = [
     # above), PLUS a TackleTable write/append; the ratio guards that
     # the index round-trip stays linear in the batch
     "dedup_incremental_lsh",
+    # round-10 post-freeze: late interaction — the coarse stage is a
+    # 64-bucket census join with the 3 query vectors broadcast (cost ∝
+    # corpus bucket rows) and MaxSim touches only the 20-doc shortlist;
+    # the ratio guards that the fine stage stays shortlist-bounded
+    "rag_late_interaction",
+    # round-10 post-freeze: WordPiece segmentation — one corpus scan for
+    # the word census, then everything is distinct-word-inventory-sized;
+    # the ratio should track the scan (vocab grows sub-linearly)
+    "text_wordpiece_segment",
+    # round-10 post-freeze: incremental containment — dedup_containment's
+    # prefix-filtered candidate contract (already above) plus the
+    # two-table store round-trip; the ratio guards that probe cost stays
+    # ∝ batch prefixes, not corpus²
+    "dedup_incremental_containment",
 ]
 # documented-quadratic exact baselines — excluded BY DESIGN, not silently:
 # brute-force knn is O(n²) on purpose (the IVF/LSH variants are the scale
