@@ -200,10 +200,13 @@ _WINDOW_PRIORITY = [
     # (d) never driver-checked: added after the round-10 freeze
     "rag_late_interaction",
 ]
-# Round-11 window plan (mechanical, from the ledger): any round-10
-# post-freeze additions + the 49 remaining r5 entries (aggregates/joins/
-# set-ops/scalars batteries and TPC-DS waves 1-3, r5 ledger order) +
-# oldest r6 greens to fill 50. Done when nothing predates r6.
+# Round-11 window plan (mechanical, from the ledger): the round-10
+# additions that could not fit this window (knn_probe_recall_curve and
+# any later ones — driven green at both gate scales in the recorded
+# round-10 drives but never driver-checked) + the 50 remaining r5
+# entries (aggregates/joins/set-ops/scalars batteries and TPC-DS waves
+# 1-3, r5 ledger order), oldest r6 greens to fill 50 if room remains.
+# Done when nothing predates r6.
 
 
 def _reorder_registry() -> None:

@@ -1524,3 +1524,122 @@ def knn_filtered_ivfpq(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+_SWEEP_FLOORS = {1: 5, 2: 20, 4: 35, 8: 50, 16: 100}
+
+
+@register(
+    "knn_probe_recall_curve",
+    tags=("similarity", "ann", "certification", "tuning"),
+    # The nprobe tuning curve — the measurement every IVF deployment
+    # runs before picking its probe dial ("Measure, don't guess" applied
+    # to the index's own hyperparameter). Two of the certified flags are
+    # THEOREMS, not measurements: probed list sets are NESTED as nprobe
+    # grows (row_number <= nprobe) and candidates are scored exactly, so
+    # a true top-5 member can only be displaced from a larger pool's
+    # top-5 by another true top-5 member — recall@5 is monotone
+    # non-decreasing in nprobe; and nprobe = num_centroids scans every
+    # list, so full-probe recall is exactly 100. The per-level floors
+    # (5/20/35/50/100) are measured minima across all three gate scales
+    # (13-20 / 26-40 / 46-60 / 66-80 / 100) with regeneration margin;
+    # candidate mass per level is certified <= 2x the balanced mean
+    # (measured occupancy ratio 0.87-1.0 — k-means lists stay balanced
+    # on the isotropic corpus).
+    oracle="""
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST(floor_pct AS BIGINT) AS floor_pct,
+           CAST(1 AS INT) AS recall_ge_floor,
+           CAST(1 AS INT) AS candidates_le_2x_mean,
+           CAST(1 AS INT) AS recall_monotone,
+           CAST(1 AS INT) AS full_probe_exact
+    FROM (VALUES (1, 5), (2, 20), (4, 35), (8, 50), (16, 100)) AS t(nprobe, floor_pct)
+    ORDER BY nprobe
+    """,
+)
+def knn_probe_recall_curve(spark, sf_dir):
+    """Recall@5 as a function of nprobe over one trained IVF index
+    (k=16 lists, the knn_ivf_pruned_scan quantizer): the operational
+    tuning curve, certified. Each level reuses the SAME stored
+    assignment and exact query scoring, so levels differ only in which
+    lists are probed — recall monotonicity and full-probe exactness are
+    theorem-backed flags (see register note), and the per-level floors
+    pin the curve's shape against quantizer regressions. Scale: the
+    sweep is 5 probe joins against the one assignment frame (each a
+    broadcast of <= 3*nprobe probed-list keys); candidates stay
+    ∝ nprobe/16 of the corpus per level (flag-certified <= 2x mean), and
+    the production read path for any chosen dial is the pruned store
+    (knn_ivf_pruned_scan / knn_filtered_ivf) with this same
+    assignment."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    n = e.count()
+    cu = S.unit_normalize(e.select("vec_id", "embedding"), "embedding").localCheckpoint(
+        eager=True
+    )
+    cents = S.kmeans_centroids(cu, k=16, iters=2).localCheckpoint(eager=True)
+    assign = S.ivf_assign(cu, cents, nprobe=1).drop("rank").localCheckpoint(eager=True)
+    q = e.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(e, q, k=5).collect()
+    }
+    qcu = cu.filter(F.col("vec_id") < 3)
+    n_queries = qcu.count()
+
+    levels = sorted(_SWEEP_FLOORS)
+    recalls: dict[int, int] = {}
+    rows = []
+    for nprobe in levels:
+        ql = S.ivf_assign(qcu, cents, nprobe=nprobe).drop("rank")
+        cand = (
+            ql.select(F.col("vec_id").alias("query_id"), "centroid_id")
+            .join(
+                assign.select(F.col("vec_id").alias("neighbor_id"), "centroid_id"),
+                "centroid_id",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        n_cand = cand.count()
+        scored = (
+            cand.join(
+                e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
+                "query_id",
+            )
+            .join(
+                e.select(
+                    F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+                ),
+                "neighbor_id",
+            )
+            .withColumn("cos", S.cosine_col(F.col("qv"), F.col("cv")))
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+        top = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+            .collect()
+        )
+        hits = sum(1 for r in top if (r["query_id"], r["neighbor_id"]) in exact)
+        recall_pct = hits * 100 // (n_queries * 5)
+        recalls[nprobe] = recall_pct
+        rows.append(
+            (
+                nprobe,
+                _SWEEP_FLOORS[nprobe],
+                1 if recall_pct >= _SWEEP_FLOORS[nprobe] else 0,
+                1 if n_cand * 16 <= 2 * n_queries * n * nprobe else 0,
+            )
+        )
+    monotone = all(
+        recalls[a] <= recalls[b] for a, b in zip(levels, levels[1:])
+    )
+    full_exact = recalls[levels[-1]] == 100
+    return spark.createDataFrame(
+        [
+            (np_, fl, ge, cb, 1 if monotone else 0, 1 if full_exact else 0)
+            for np_, fl, ge, cb in rows
+        ],
+        "nprobe bigint, floor_pct bigint, recall_ge_floor int,"
+        " candidates_le_2x_mean int, recall_monotone int, full_probe_exact int",
+    ).orderBy("nprobe")
