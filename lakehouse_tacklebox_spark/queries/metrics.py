@@ -639,3 +639,135 @@ def metrics_anomaly_days(spark, sf_dir):
         .select("event_type", "day", "n_events", "n_days")
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_funnel_ordered",
+    bench=True,
+    tags=("events", "funnel", "analytics"),
+    # The BATCH ordered funnel (first-occurrence semantics, the
+    # product-analytics standard): a user is at step k when their
+    # earliest step-k event STRICTLY AFTER their step-(k-1) completion
+    # time exists — ordering is part of the predicate, which plain
+    # per-type EXISTS counting (and symmetric join entries) cannot
+    # express. Completes the funnel pair with stream_funnel_stages (the
+    # stateful streaming formulation): same view->click->purchase
+    # ladder, batch semantics made exact and engine-replayable —
+    # integer second gaps, DIV means, ppm conversions, no floats.
+    oracle="""
+    WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n0 FROM events),
+    v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT 1 AS step, 'view' AS event_type,
+               CAST(count(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS sum_gap
+        FROM v
+        UNION ALL
+        SELECT 2, 'click', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(date_diff('second', t1, t2)), 0) AS BIGINT)
+        FROM c
+        UNION ALL
+        SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(date_diff('second', t2, t3)), 0) AS BIGINT)
+        FROM p
+    )
+    SELECT CAST(step AS BIGINT) AS step, event_type, n_users,
+           CAST(CASE WHEN n_users > 0 THEN sum_gap // n_users ELSE 0 END AS BIGINT)
+               AS mean_gap_s,
+           CAST(n_users * 1000000 //
+                coalesce(lag(n_users) OVER (ORDER BY step), (SELECT n0 FROM u))
+               AS BIGINT) AS conv_ppm
+    FROM s ORDER BY step
+    """,
+)
+def events_funnel_ordered(spark, sf_dir):
+    """Strictly-ordered view→click→purchase funnel over the event log:
+    per step, users reached (earliest qualifying progression), mean
+    seconds from the previous step (integer DIV), and conversion from
+    the previous step in ppm (step 1 converts from all active users).
+    Scale shape: one min-per-user aggregate for step 1, then each later
+    step is one type-filtered scan joined to the (user, completion-time)
+    frame of the step before — all shuffles key on user_id with
+    map-side combine, frames shrink monotonically down the funnel, and
+    the final 3-row union + lag window is constant work. At 100 TB
+    this is k scans of the type-partitioned log, never a per-user
+    collect or a cross join — the batch complement of
+    stream_funnel_stages' monotone-stage state machine."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    n0 = ev.agg(F.count_distinct("user_id").cast("bigint").alias("n0"))
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    s1 = v.agg(
+        F.lit(1).cast("bigint").alias("step"),
+        F.lit("view").alias("event_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.lit(0).cast("bigint").alias("sum_gap"),
+    )
+    s2 = c.agg(
+        F.lit(2).cast("bigint").alias("step"),
+        F.lit("click").alias("event_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.coalesce(
+            F.sum(F.unix_timestamp("t2") - F.unix_timestamp("t1")), F.lit(0)
+        ).cast("bigint").alias("sum_gap"),
+    )
+    s3 = p.agg(
+        F.lit(3).cast("bigint").alias("step"),
+        F.lit("purchase").alias("event_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.coalesce(
+            F.sum(F.unix_timestamp("t3") - F.unix_timestamp("t2")), F.lit(0)
+        ).cast("bigint").alias("sum_gap"),
+    )
+    s = s1.unionByName(s2).unionByName(s3).crossJoin(F.broadcast(n0))
+    w = Window.orderBy("step")
+    return (
+        s.withColumn(
+            "mean_gap_s",
+            F.when(
+                F.col("n_users") > 0, F.expr("sum_gap DIV n_users")
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "conv_ppm",
+            F.expr(
+                "CAST(n_users * CAST(1000000 AS BIGINT) DIV"
+                " coalesce(lag(n_users) OVER (ORDER BY step), n0) AS BIGINT)"
+            ),
+        )
+        .select("step", "event_type", "n_users", "mean_gap_s", "conv_ppm")
+        .orderBy("step")
+    )
