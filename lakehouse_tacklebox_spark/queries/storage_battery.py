@@ -358,3 +358,91 @@ def table_version_diff(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "table_optimize_compaction",
+    tags=("tablestore", "storage", "maintenance", "time-travel"),
+    # The small-file lifecycle, driver-checked end-to-end (it was
+    # pytest-only through round 9): 8 micro-appends fragment the table
+    # into many small files — the shape every streaming ingest produces
+    # — then OPTIMIZE compacts, time-travel still serves the
+    # pre-compaction version (a rewrite adds a version, it must not
+    # destroy history), and VACUUM physically reclaims the orphaned
+    # small files. Content certification is the driver's hash compare:
+    # the census below is computed THROUGH the compacted table and the
+    # oracle recomputes it from raw parquet — compaction must lose or
+    # invent nothing, to the cent. Flags pin the mechanics: fewer
+    # files after OPTIMIZE, history intact before VACUUM, files
+    # physically removed by it.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                    AS BIGINT)) AS BIGINT) AS cents,
+           CAST(1 AS INT) AS compacted_fewer_files,
+           CAST(1 AS INT) AS history_preserved,
+           CAST(1 AS INT) AS vacuum_reclaimed
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_optimize_compaction(spark, sf_dir):
+    """OPTIMIZE + VACUUM lifecycle under fragmented ingest: orders
+    arrives as 8 micro-appends (2 files each — the streaming small-file
+    problem), OPTIMIZE rewrites the ~16 small files into a handful of
+    right-sized ones, the pre-compaction snapshot stays readable
+    (row-count-identical) until VACUUM reclaims the orphans. The
+    returned census runs through the compacted table and the oracle
+    recomputes it from raw parquet, so the rewrite is certified
+    content-preserving to the cent. Scale: OPTIMIZE cost ∝ rewritten
+    bytes and is scoped by `where` in production (compact today's
+    partition, not the years-deep table); VACUUM is a log-vs-disk
+    set difference, no data reads."""
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.mkdtemp(prefix=f"compact_{tag}_")
+    path = os.path.join(tmp, "ord")
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+
+    first = orders.filter(F.col("o_orderkey") % 8 == 0).repartition(2)
+    t = TackleTable.create(spark, path, first)
+    for m in range(1, 8):
+        t.append(orders.filter(F.col("o_orderkey") % 8 == m).repartition(2))
+
+    files_before = len(t._active_files()[0])
+    v_pre = t.version()
+    n_pre = t.read().count()
+
+    target = max(64, orders.count() // 4)
+    t.optimize(target_file_rows=target)
+    files_after = len(t._active_files()[0])
+    compacted = files_after < files_before
+
+    # history: the pre-compaction snapshot must still serve
+    history_ok = t.read(version=v_pre).count() == n_pre
+
+    # vacuum: the orphaned small files must physically disappear
+    removed = t.vacuum(keep_versions=1)
+    vacuumed = removed > 0
+
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                    "bigint"
+                )
+            ).cast("bigint").alias("cents"),
+        )
+        .withColumn(
+            "compacted_fewer_files", F.lit(1 if compacted else 0).cast("int")
+        )
+        .withColumn("history_preserved", F.lit(1 if history_ok else 0).cast("int"))
+        .withColumn("vacuum_reclaimed", F.lit(1 if vacuumed else 0).cast("int"))
+        .orderBy("o_orderpriority")
+    )
