@@ -458,6 +458,17 @@ def main() -> None:
         timings[name] = round(min(reps), 3)
     total = round(sum(timings.values()), 3)
 
+    # Phase boundary hygiene: the serial phase just executed each entry
+    # 2-3x, and the checkpoint-heavy entries (the dedup/ANN/retrieval
+    # pipelines) each leave eager localCheckpoint RDDs persisted at
+    # MEMORY_AND_DISK. Left to the async ContextCleaner, ~200 runs of
+    # debris drains during the concurrent phase and the makespan measures
+    # GC/eviction, not queries (observed: 41 s clean vs 75-210 s dirty).
+    # Unpersist everything explicitly so QPM starts from a quiet heap.
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+    spark.catalog.clearCache()
+
     # concurrent phase: N threads, `REPETITIONS` timed runs per query, no
     # result reuse (each run rebuilds and re-executes the DataFrame) —
     # QPM over the concurrent makespan, the reference's headline metric.
