@@ -819,3 +819,205 @@ def corpus_epoch_plan(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_dedup_cascade",
+    tags=("corpus", "dedup", "text", "ablation"),
+    # The dedup ablation table (the corpus_filter_cascade idea applied
+    # to DEDUP flavors): run exact → Jaccard>=0.8 → containment>=0.9 as
+    # a CASCADE over the augmented corpus (docs + their 25-token prefix
+    # chunks), each stage killing only among the previous stage's
+    # survivors with the deterministic keep-first rule — so the report
+    # shows each flavor's MARGINAL kill, the number every dedup-recipe
+    # decision actually needs (how much does the expensive flavor add
+    # on top of the cheap one?). Thresholds are integer-exact on both
+    # sides (5*inter >= 4*union; inter*1e6 DIV |A| >= 900000) — no
+    # float boundary can disagree between engines. Containment kills
+    # the CONTAINED side (the chunk, not the parent); symmetric
+    # near-equal pairs tie-break by id.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    aug AS (
+        SELECT doc_id, text, w FROM t
+        UNION ALL
+        SELECT doc_id + 10000, array_to_string(w[1:25], ' '), w[1:25]
+        FROM t WHERE len(w) >= 40
+    ),
+    fp AS (
+        SELECT doc_id, w,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+        FROM aug
+    ),
+    s1 AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, w, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+            FROM fp
+        ) WHERE rn = 1
+    ),
+    sh1 AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(3, len(w) + 1),
+                                         i -> w[i-2] || ' ' || w[i-1] || ' ' || w[i])) AS g
+            FROM s1 WHERE len(w) >= 3) x
+    ),
+    sz1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh1 GROUP BY 1),
+    jpair AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM sh1 a JOIN sh1 b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    kill2 AS (
+        SELECT DISTINCT j.id_b AS doc_id
+        FROM jpair j JOIN sz1 sa ON sa.doc_id = j.id_a
+                     JOIN sz1 sb ON sb.doc_id = j.id_b
+        WHERE 5 * j.inter >= 4 * (sa.sz + sb.sz - j.inter)
+    ),
+    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM kill2)),
+    sh2 AS (SELECT sh1.doc_id, g FROM sh1 JOIN s2 USING (doc_id)),
+    sz2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh2 GROUP BY 1),
+    cpair AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM sh2 a JOIN sh2 b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    cont AS (
+        SELECT c.id_a, c.id_b
+        FROM cpair c JOIN sz2 sa ON sa.doc_id = c.id_a
+        WHERE c.inter * 1000000 // sa.sz >= 900000
+    ),
+    kill3 AS (
+        SELECT DISTINCT x.id_a AS doc_id
+        FROM cont x LEFT JOIN cont y ON y.id_a = x.id_b AND y.id_b = x.id_a
+        WHERE y.id_a IS NULL OR x.id_a > x.id_b
+    ),
+    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM kill3)),
+    n AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM aug) AS n0,
+               (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3
+    )
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'input' AS rule,
+               CAST(0 AS BIGINT) AS n_killed, n0 AS n_survivors FROM n
+        UNION ALL
+        SELECT 1, 'exact', n0 - n1, n1 FROM n
+        UNION ALL
+        SELECT 2, 'jaccard_ge_0.8', n1 - n2, n2 FROM n
+        UNION ALL
+        SELECT 3, 'containment_ge_0.9', n2 - n3, n3 FROM n
+    ) ORDER BY stage
+    """,
+)
+def corpus_dedup_cascade(spark, sf_dir):
+    """Dedup-flavor ablation: exact → symmetric Jaccard → directed
+    containment run as a cascade over the augmented corpus, reporting
+    each flavor's MARGINAL kill count over the previous stage's
+    survivors (keep-first rule; containment kills the contained side,
+    id tie-break for symmetric near-equals). This is the recipe-design
+    readout: standalone kill counts overstate every flavor, the
+    cascade shows what each one adds. Gate-scale uses the exact
+    all-pairs verify joins (the report is an ablation, not the kill
+    path); at 100 TB each stage substitutes its banded candidate
+    generator (dedup_minhash_lsh's bands, containment_pairs' prefix
+    postings) with the SAME integer verify rules, so the marginal
+    counts are identical — candidate generation is recall-lossless for
+    these thresholds (band pigeonhole at j >= 0.8, prefix pigeonhole
+    at c >= 0.9). All thresholds integer-exact on both engines."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    base = d.select("doc_id", "text", toks.alias("w"))
+    chunks = base.filter(F.size("w") >= 40).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice("w", 1, 25)).alias("text"),
+        F.slice("w", 1, 25).alias("w"),
+    )
+    aug = base.unionByName(chunks).localCheckpoint(eager=False)
+    n0 = aug.count()
+
+    # stage 1: exact (normalized md5 fingerprint, keep lowest id)
+    fp = aug.select(
+        "doc_id",
+        "w",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("f"),
+    )
+    wf = W.partitionBy("f").orderBy("doc_id")
+    s1 = (
+        fp.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "w")
+        .localCheckpoint(eager=True)
+    )
+    n1 = s1.count()
+
+    # stage 2: exact symmetric Jaccard >= 0.8 over 3-gram shingles
+    grams = F.expr(
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(3, size(w)), "
+        "i -> concat_ws(' ', w[i-3], w[i-2], w[i-1])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    sh1 = (
+        s1.select("doc_id", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", F.xxhash64("g").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz1 = sh1.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sh1.alias("a")
+    b = sh1.alias("b")
+    jpair = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    kill2 = (
+        jpair.join(sz1.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz1.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .filter(5 * F.col("inter") >= 4 * (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(kill2, "doc_id", "left_anti").localCheckpoint(eager=True)
+    n2 = s2.count()
+
+    # stage 3: directed containment >= 0.9, kill the contained side
+    sh2 = sh1.join(s2.select("doc_id"), "doc_id")
+    sz2 = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a2 = sh2.alias("a")
+    b2 = sh2.alias("b")
+    cpair = (
+        a2.join(b2, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    cont = (
+        cpair.join(sz2.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .filter(F.expr("inter * CAST(1000000 AS BIGINT) DIV sz_a >= 900000"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    rev = cont.select(F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a"), F.lit(1).alias("mutual"))
+    kill3 = (
+        cont.join(rev, ["id_a", "id_b"], "left")
+        .filter(F.col("mutual").isNull() | (F.col("id_a") > F.col("id_b")))
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(kill3, "doc_id", "left_anti")
+    n3 = s3.count()
+
+    return spark.createDataFrame(
+        [
+            (0, "input", 0, n0),
+            (1, "exact", n0 - n1, n1),
+            (2, "jaccard_ge_0.8", n1 - n2, n2),
+            (3, "containment_ge_0.9", n2 - n3, n3),
+        ],
+        "stage bigint, rule string, n_killed bigint, n_survivors bigint",
+    ).orderBy("stage")
