@@ -2810,3 +2810,224 @@ def dedup_incremental_containment(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+_UG_BIG = 1_000_000_000_000  # per-piece penalty >> any corpus weight sum
+
+
+@register(
+    "text_unigram_segment",
+    tags=("text", "tokenizer", "llm"),
+    # The THIRD tokenizer apply rule: global max-score segmentation
+    # (the SentencePiece-unigram Viterbi shape) over the SAME
+    # corpus-derived vocab as text_wordpiece_segment, so the two
+    # entries differ only in the rule — greedy longest-match vs global
+    # optimum. (On a weight-RANKED vocab the two piece counts provably
+    # coincide — such a vocab is factor-closed, where greedy is
+    # count-optimal; the DP's power appears on pruned/learned vocabs
+    # that break closure, and here its value is the exact weight and
+    # tie-break refinement — tests/test_wordpiece.py records the
+    # exchange argument.) The unigram log-prob objective is
+    # integerized as the
+    # lexicographic pair (fewest pieces, then max summed census
+    # weight), encoded in one BIGINT: score(parse) = -1e12 * n_pieces
+    # + sum(weight) — exact, no float log. Ties break canonically by
+    # the reverse piece-length sequence (longest last piece, then
+    # recursively), which is exactly what the DP's prefer-longer-l
+    # cell rule produces. The oracle does NOT replay the DP: it
+    # ENUMERATES every parse (words are <= 8 chars at the gate scales,
+    # so <= 2^7 cut masks per word), scores them all, and picks the
+    # same (score DESC, reverse-lengths DESC) argmax — an independent
+    # exhaustive check that the DP finds the true global optimum.
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+    ), words AS MATERIALIZED (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS wc FROM tok GROUP BY 1
+    ), pw AS MATERIALIZED (
+        SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+               CAST(l AS INT) AS l, CAST(sum(wc) AS BIGINT) AS wt
+        FROM words,
+             unnest(range(1, len(word) + 1)) AS t(i),
+             unnest(range(1, {_WP_MAXLEN + 1})) AS u(l)
+        WHERE i + l - 1 <= len(word)
+        GROUP BY 1, 2
+    ), vocab AS MATERIALIZED (
+        SELECT piece, wt FROM (
+            SELECT piece, wt, row_number() OVER (ORDER BY wt DESC, piece) AS rk
+            FROM pw WHERE l >= 2
+        ) WHERE rk <= {_WP_VOCAB}
+        UNION ALL
+        SELECT piece, wt FROM pw WHERE l = 1
+    ), parses AS MATERIALIZED (
+        SELECT word, wc, m,
+               list_concat(
+                   list_filter(range(1, len(word)),
+                               i -> ((m >> CAST(i - 1 AS INT)) & 1) = 1),
+                   [CAST(len(word) AS BIGINT)]) AS cuts
+        FROM words, unnest(range(0, 1 << (len(word) - 1))) AS mm(m)
+    ), pl AS MATERIALIZED (
+        SELECT word, wc, m, k,
+               CASE WHEN k = 1 THEN word[1:CAST(cuts[1] AS INT)]
+                    ELSE word[CAST(cuts[k-1] + 1 AS INT):CAST(cuts[k] AS INT)]
+               END AS piece
+        FROM parses, unnest(range(1, len(cuts) + 1)) AS t(k)
+    ), scored AS MATERIALIZED (
+        SELECT pl.word, pl.wc, pl.m,
+               CAST(-{_UG_BIG} AS BIGINT) * count(*) + sum(v.wt) AS score,
+               list(length(pl.piece) ORDER BY pl.k DESC) AS rev_lens
+        FROM pl LEFT JOIN vocab v ON v.piece = pl.piece
+        GROUP BY 1, 2, 3
+        HAVING bool_and(v.piece IS NOT NULL)
+    ), best AS MATERIALIZED (
+        SELECT word, wc, m FROM (
+            SELECT *, row_number() OVER (PARTITION BY word
+                       ORDER BY score DESC, rev_lens DESC) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    ), used AS (
+        SELECT pl.word, pl.wc, pl.piece
+        FROM pl JOIN best USING (word, m)
+    )
+    SELECT piece, n_uses, n_words, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT piece, n_uses, n_words,
+               row_number() OVER (ORDER BY n_uses DESC, piece) AS rank
+        FROM (
+            SELECT piece, CAST(sum(wc) AS BIGINT) AS n_uses,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_words
+            FROM used GROUP BY 1
+        )
+    ) WHERE rank <= {_WP_TOP}
+    ORDER BY rank
+    """,
+)
+def text_unigram_segment(spark, sf_dir):
+    """Unigram-style GLOBAL max-score segmentation (Viterbi DP) over
+    the same corpus-derived vocab as text_wordpiece_segment: each word
+    is parsed into the segmentation minimizing piece count and, among
+    those, maximizing summed census weight (one BIGINT objective,
+    -1e12 per piece + weights), reported as the same weighted piece
+    census — so the greedy-vs-global difference between the two apply
+    rules is directly readable from the two entries' outputs.
+
+    The DP runs entirely JVM-side with no driver loop: per distinct
+    word, one candidates equi-join tags every (pos, len) whose
+    substring is in the broadcast vocab with its weight, then a single
+    higher-order aggregate() folds positions 1..len(word), each step
+    maximizing (score, piece-length) over the <= 6 incoming
+    transitions read from a per-word candidate MAP — and a second
+    aggregate walks the stored backpointers to emit the canonical
+    parse. Cost is distinct-word-inventory-sized: the corpus is
+    scanned once for the word census, exactly as the WordPiece entry.
+    The oracle independently ENUMERATES all <= 2^7 parses per word and
+    must land on the identical argmax — the DP is checked against
+    exhaustive search, not against a replay of itself."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+
+    toks = F.expr(
+        "filter(split(lower(trim(text)), '\\\\s+'),"
+        " x -> x RLIKE '^[a-z]+$' AND length(x) >= 2)"
+    )
+    words = (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .localCheckpoint(eager=True)
+    )
+
+    # weighted piece census, lengths 1..6; multi-char cut at top-50
+    lens = F.explode(F.sequence(F.lit(1), F.lit(_WP_MAXLEN))).alias("l")
+    starts = F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+    pw = (
+        words.select("word", "wc", starts)
+        .select("word", "wc", "i", lens)
+        .filter(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select(
+            F.expr("substring(word, i, l)").alias("piece"),
+            F.col("l").cast("int").alias("l"),
+            "wc",
+        )
+        .groupBy("piece", "l")
+        .agg(F.sum("wc").cast("bigint").alias("wt"))
+    )
+    multi = (
+        pw.filter(F.col("l") >= 2)
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy().orderBy(F.col("wt").desc(), "piece")),
+        )
+        .filter(F.col("rk") <= _WP_VOCAB)
+        .select("piece", "l", "wt")
+    )
+    vocab = (
+        multi.unionByName(pw.filter(F.col("l") == 1).select("piece", "l", "wt"))
+        .localCheckpoint(eager=True)
+    )
+
+    # candidate map per word: (pos0 * 10 + len) -> weight
+    cand = (
+        words.select("word", F.explode(F.sequence(F.lit(0), F.length("word") - 1)).alias("pos"))
+        .select("word", "pos", F.explode(F.sequence(F.lit(1), F.lit(_WP_MAXLEN))).alias("l"))
+        .filter(F.col("pos") + F.col("l") <= F.length("word"))
+        .select("word", "pos", "l", F.expr("substring(word, pos + 1, l)").alias("piece"))
+        .join(F.broadcast(vocab), ["piece", "l"])
+    )
+    cmapped = cand.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(F.expr("struct(pos * 10 + l AS k, wt AS v)"))
+        ).alias("cmap")
+    )
+
+    big = _UG_BIG
+    dp_expr = f"""aggregate(
+        sequence(1, length(word)),
+        array(struct(CAST(0 AS BIGINT) AS sc, CAST(0 AS INT) AS l)),
+        (acc, i) -> array_append(acc,
+            aggregate(sequence(1, least({_WP_MAXLEN}, i)),
+                struct(CAST(-{big} AS BIGINT) * 1000 AS sc, CAST(0 AS INT) AS l),
+                (b, l) -> IF(cmap[(i - l) * 10 + l] IS NOT NULL
+                             AND element_at(acc, i - l + 1).sc
+                                 + cmap[(i - l) * 10 + l]
+                                 - CAST({big} AS BIGINT) >= b.sc,
+                             struct(element_at(acc, i - l + 1).sc
+                                    + cmap[(i - l) * 10 + l]
+                                    - CAST({big} AS BIGINT) AS sc,
+                                    CAST(l AS INT) AS l),
+                             b))),
+        acc -> acc)"""
+    walk_expr = """aggregate(
+        sequence(1, length(word)),
+        struct(CAST(length(word) AS INT) AS pos, CAST(array() AS ARRAY<STRING>) AS ps),
+        (st, _) -> IF(st.pos <= 0, st,
+            struct(CAST(st.pos - element_at(dp, st.pos + 1).l AS INT) AS pos,
+                   concat(array(substring(word,
+                                st.pos - element_at(dp, st.pos + 1).l + 1,
+                                element_at(dp, st.pos + 1).l)), st.ps) AS ps)),
+        st -> st.ps)"""
+    parsed = (
+        words.join(cmapped, "word")
+        .withColumn("dp", F.expr(dp_expr))
+        .withColumn("pieces", F.expr(walk_expr))
+        .select("word", "wc", F.explode("pieces").alias("piece"))
+    )
+
+    return (
+        parsed.groupBy("piece")
+        .agg(
+            F.sum("wc").cast("bigint").alias("n_uses"),
+            F.count_distinct("word").cast("bigint").alias("n_words"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy().orderBy(F.col("n_uses").desc(), "piece"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= _WP_TOP)
+        .orderBy("rank")
+        .select("piece", "n_uses", "n_words", "rank")
+    )

@@ -191,3 +191,127 @@ def test_wordpiece_spark_equals_reference_on_random_corpora(spark, tmp_path_fact
             parts.append(w[pos : pos + length])
             pos += length
         assert "".join(parts) == w
+
+
+# --- unigram (global) vs wordpiece (greedy): same vocab, two rules ---------
+
+
+def _py_unigram(docs: dict[int, str], vocab_n: int = _VOCAB, maxlen: int = _MAXLEN,
+                top: int = _TOP, big: int = 1_000_000_000_000):
+    """Pure-Python exhaustive replay of the text_unigram_segment spec
+    (a THIRD code path next to the Spark DP and the SQL enumeration)."""
+    from itertools import product
+
+    words: Counter = Counter()
+    for t in docs.values():
+        for w in re.split(r"\s+", t.lower().strip()):
+            if re.fullmatch("[a-z]+", w) and len(w) >= 2:
+                words[w] += 1
+    wt: Counter = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for l in range(1, maxlen + 1):
+                if i + l <= len(w):
+                    wt[w[i : i + l]] += c
+    multi = {
+        p for p, _ in sorted(((p, x) for p, x in wt.items() if len(p) >= 2),
+                             key=lambda kv: (-kv[1], kv[0]))[:vocab_n]
+    }
+    vocab = multi | {p for p in wt if len(p) == 1}
+
+    uses: Counter = Counter()
+    n_words: Counter = Counter()
+    parses: dict[str, list[str]] = {}
+    for w, c in words.items():
+        best = None
+        for mask in product([0, 1], repeat=len(w) - 1):
+            cuts = [i + 1 for i, b in enumerate(mask) if b] + [len(w)]
+            pieces, prev = [], 0
+            for cut in cuts:
+                pieces.append(w[prev:cut])
+                prev = cut
+            if any(p not in vocab for p in pieces):
+                continue
+            score = -big * len(pieces) + sum(wt[p] for p in pieces)
+            rev_lens = [len(p) for p in reversed(pieces)]
+            key = (score, rev_lens)
+            if best is None or key > best[0]:
+                best = (key, pieces)
+        assert best is not None
+        parses[w] = best[1]
+        for p in best[1]:
+            uses[p] += c
+        for p in set(best[1]):
+            n_words[p] += 1
+    ranked = sorted(uses.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return [(p, u, n_words[p], r) for r, (p, u) in enumerate(ranked, 1)], parses
+
+
+def test_unigram_matches_python_exhaustive_on_gate_sample(spark):
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    )
+    from lakehouse_tacklebox_spark.queries.textops import text_unigram_segment
+
+    got = [
+        (r["piece"], r["n_uses"], r["n_words"], r["rank"])
+        for r in text_unigram_segment(spark, SF_DIR).collect()
+    ]
+    exp, _ = _py_unigram({int(k): v for k, v in docs.items()})
+    assert got == exp and len(got) == min(_TOP, len(exp))
+
+
+def test_unigram_global_never_uses_more_pieces_than_wordpiece_greedy():
+    """Cross-rule theorem on the shared vocab: the global optimum
+    minimizes piece count, and the greedy longest-match parse is one
+    valid parse, so per word n_pieces(unigram) <= n_pieces(wordpiece).
+
+    Strictness is NOT asserted, for a reason worth recording: a
+    weight-ranked vocab is factor-closed up to boundary ties (every
+    substring of a kept piece occurs at least wherever the piece does,
+    so its census weight is >= and it ranks above the same cut), and
+    for factor-closed dictionaries greedy longest-match is provably
+    count-optimal — the exchange argument: greedy's longer first piece
+    covers any optimal first piece, and the optimal second piece's
+    uncovered remainder is a substring, hence still in the vocab. The
+    global DP's extra power appears exactly when a vocab is NOT
+    weight-ranked (learned unigram vocabs prune aggressively and break
+    closure); with THIS vocab its value is the weight/tie-break
+    refinement, which the enumeration oracle pins."""
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    )
+    _, parses = _py_unigram(docs)
+
+    words: Counter = Counter()
+    for t in docs.values():
+        for w in re.split(r"\s+", t.lower().strip()):
+            if re.fullmatch("[a-z]+", w) and len(w) >= 2:
+                words[w] += 1
+    wt: Counter = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for l in range(2, _MAXLEN + 1):
+                if i + l <= len(w):
+                    wt[w[i : i + l]] += c
+    multi = {
+        p for p, _ in sorted(wt.items(), key=lambda kv: (-kv[1], kv[0]))[:_VOCAB]
+    }
+    vocab = multi | {ch for w in words for ch in w}
+
+    for w in words:
+        pos, greedy = 0, []
+        while pos < len(w):
+            length = max(
+                l for l in range(1, min(_MAXLEN, len(w) - pos) + 1)
+                if w[pos : pos + l] in vocab
+            )
+            greedy.append(w[pos : pos + length])
+            pos += length
+        assert len(parses[w]) <= len(greedy), w
