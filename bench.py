@@ -146,6 +146,16 @@ SF1_QUERIES = [
     # two-table store round-trip; the ratio guards that probe cost stays
     # ∝ batch prefixes, not corpus²
     "dedup_incremental_containment",
+    # round-10 post-freeze: unigram DP segmentation — everything after
+    # the one corpus scan is distinct-word-inventory-sized (same
+    # contract as text_wordpiece_segment above), so the ratio tracks
+    # the scan; the DP itself is per-word constant work
+    "text_unigram_segment",
+    # round-10 post-freeze: ordered funnel — per-step type-filtered
+    # scans joined to shrinking per-user frames, all user_id-keyed
+    # with map-side combine; the ratio guards that no step degenerates
+    # to a per-user window or cross join
+    "events_funnel_ordered",
 ]
 # documented-quadratic exact baselines — excluded BY DESIGN, not silently:
 # brute-force knn is O(n²) on purpose (the IVF/LSH variants are the scale

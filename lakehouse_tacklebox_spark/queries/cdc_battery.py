@@ -101,3 +101,140 @@ def cdc_scd2_late_events(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "cdc_scd3_prev_value",
+    tags=("cdc", "scd3", "transactions"),
+    # SCD Type 3 — current + immediately-previous value as COLUMNS (the
+    # "show me what changed" dimension shape), completing the SCD pair
+    # with cdc_scd2_late_events, and sharing its hard case: batch 2 is
+    # entirely LATE events, and a late middle change must replace the
+    # PREVIOUS column without touching current (seq 1 < 2 < 3 arriving
+    # as [1,3] then [2]: prev flips CREATED→PAID, current stays).
+    # Maintenance is the real MERGE path: each batch's source rows are
+    # resolved against the stored state (top-2 by sequence over stored
+    # current/previous + batch changes — correct under ANY arrival
+    # order), then whenMatchedUpdateAll / whenNotMatchedInsertAll
+    # rewrites only touched files. The oracle ranks the full change set
+    # per key and reads off seq-max and second-max.
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    changes AS (
+        SELECT o_orderkey, 1 AS seq, 'CREATED' AS status, price FROM base
+        UNION ALL SELECT o_orderkey, 2, 'PAID',    price + 5 FROM base
+        UNION ALL SELECT o_orderkey, 3, 'SHIPPED', price + 10 FROM base
+        UNION ALL SELECT o_orderkey, 4, 'GONE', price FROM base WHERE o_orderkey % 194 = 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM changes
+    )
+    SELECT c.o_orderkey,
+           c.status AS cur_status, CAST(c.seq AS BIGINT) AS cur_seq,
+           round(c.price, 2) AS cur_price,
+           p.status AS prev_status, CAST(p.seq AS BIGINT) AS prev_seq
+    FROM ranked c JOIN ranked p
+      ON p.o_orderkey = c.o_orderkey AND p.rn = 2
+    WHERE c.rn = 1
+    ORDER BY c.o_orderkey
+    """,
+)
+def cdc_scd3_prev_value(spark, sf_dir):
+    """SCD3 apply-changes across two batches where batch 2 is all late
+    events: the dimension keeps (current, previous) as columns, and
+    each batch is folded in with an arrival-order-independent rule —
+    new state = top-2 changes by sequence over {stored current, stored
+    previous, batch} — resolved per key BEFORE the MERGE so the write
+    is a plain whenMatchedUpdateAll / whenNotMatchedInsertAll
+    touched-file rewrite. At scale the resolve is one key-partitioned
+    top-2 window over (2 stored rows + batch rows) per touched key and
+    the MERGE rewrites only files holding touched keys; untouched
+    dimension files never move."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window as W
+
+    batch1, batch2 = _change_feed(spark, sf_dir)
+    # SCD3 treats the tombstone as a regular change to a terminal status
+    batch1 = batch1.drop("is_delete")
+    batch2 = batch2.drop("is_delete")
+
+    tmp = _tempfile.mkdtemp(prefix="cdc_scd3_")
+    path = f"{tmp}/target"
+    state_schema = (
+        "o_orderkey bigint, cur_status string, cur_seq bigint,"
+        " cur_price double, prev_status string, prev_seq bigint"
+    )
+    try:
+        t = TackleTable.create(spark, path, schema=state_schema)
+        for i, batch in enumerate((batch1, batch2), start=1):
+            stored = TackleTable(spark, path).read()
+            cur_rows = stored.select(
+                "o_orderkey",
+                F.col("cur_seq").alias("seq"),
+                F.col("cur_status").alias("status"),
+                F.col("cur_price").alias("price"),
+            )
+            prev_rows = stored.filter(F.col("prev_seq").isNotNull()).select(
+                "o_orderkey",
+                F.col("prev_seq").alias("seq"),
+                F.col("prev_status").alias("status"),
+                F.lit(None).cast("double").alias("price"),
+            )
+            cand = (
+                batch.select(
+                    "o_orderkey",
+                    F.col("seq").cast("bigint").alias("seq"),
+                    "status",
+                    F.col("price").cast("double").alias("price"),
+                )
+                .unionByName(cur_rows)
+                .unionByName(prev_rows)
+            )
+            w = W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+            top2 = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+            cur = top2.filter(F.col("rn") == 1).select(
+                "o_orderkey",
+                F.col("status").alias("cur_status"),
+                F.col("seq").alias("cur_seq"),
+                F.col("price").alias("cur_price"),
+            )
+            prv = top2.filter(F.col("rn") == 2).select(
+                "o_orderkey",
+                F.col("status").alias("prev_status"),
+                F.col("seq").alias("prev_seq"),
+            )
+            resolved = cur.join(prv, "o_orderkey", "left").select(
+                "o_orderkey", "cur_status", "cur_seq", "cur_price",
+                "prev_status", "prev_seq",
+            ).localCheckpoint(eager=True)
+            (
+                TackleTable(spark, path)
+                .merge(resolved, on=["o_orderkey"])
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .withTransaction("scd3_apply", i)
+                .execute()
+            )
+        out = (
+            TackleTable(spark, path)
+            .read()
+            .filter(F.col("prev_seq").isNotNull())
+            .select(
+                "o_orderkey",
+                "cur_status",
+                F.col("cur_seq").cast("bigint").alias("cur_seq"),
+                F.round("cur_price", 2).alias("cur_price"),
+                "prev_status",
+                F.col("prev_seq").cast("bigint").alias("prev_seq"),
+            )
+            .orderBy("o_orderkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
