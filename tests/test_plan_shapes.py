@@ -726,3 +726,15 @@ def test_wordpiece_walk_never_rereads_the_corpus(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "parquet" not in plan.lower()
+
+
+def test_funnel_steps_stay_user_keyed(spark):
+    """events_funnel_ordered: every step is a type-filtered scan joined
+    on user_id with map-side partial aggregation — no cartesian, no
+    per-user row window over the event log (the only Window in the plan
+    is the 3-row lag over the step union)."""
+    df = REGISTRY["events_funnel_ordered"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
