@@ -381,3 +381,142 @@ def join_interval_overlap(spark, sf_dir):
         "id_a",
         "id_b",
     )
+
+
+@register(
+    "join_asof_nearest",
+    tags=("join", "asof", "timeseries"),
+    # direction='nearest' as-of (the pandas merge_asof semantics DuckDB
+    # has no native operator for): each click matched to the user's
+    # temporally NEAREST purchase within a 3600 s tolerance, ties
+    # broken earlier-then-smaller-id. Composed as TWO union-window
+    # passes — the backward as-of operator as-is, plus the same
+    # operator run on NEGATED epoch seconds (most-recent-<= in the
+    # negated domain IS earliest->= in the real one), then a 1:1
+    # winner pick per click. Soundness of the pick: within a side,
+    # |diff| is monotone in timestamp distance, so each side's as-of
+    # row is that side's global-rule winner, and the cross-side
+    # comparison (diff, then earlier ts) equals the global
+    # (diff, ts, id) order because same-diff different-ts can only be
+    # one-before-one-after. The oracle brute-forces all candidate
+    # pairs and ranks them by the same rule.
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT c.event_id, p.event_id AS p_id, p.value AS p_val, p.ts AS p_ts,
+               CAST(abs(date_diff('second', p.ts, c.ts)) AS BIGINT) AS diff_s
+        FROM c JOIN p USING (user_id)
+        WHERE abs(date_diff('second', p.ts, c.ts)) <= 3600
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_id
+                       ORDER BY diff_s, p_ts, p_id) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           b.p_id AS nearest_event_id,
+           round(b.p_val, 2) AS nearest_value,
+           b.diff_s,
+           CASE WHEN b.p_id IS NULL THEN NULL
+                WHEN b.diff_s = 0 THEN 'exact'
+                WHEN b.p_ts < c.ts THEN 'before'
+                ELSE 'after' END AS direction
+    FROM c LEFT JOIN best b ON b.event_id = c.event_id
+    ORDER BY c.event_id
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join with tolerance: every click plus
+    its user's closest purchase within an hour, whichever side of the
+    click it falls on (pandas merge_asof direction='nearest' semantics,
+    which neither Spark nor DuckDB has natively). Scale shape: exactly
+    two runs of the union-window as-of operator (one shuffle on
+    user_id each, linear pass, no pair explosion — the forward pass
+    reuses the SAME operator on negated epoch seconds) and a 1:1
+    self-join of the two k-bounded match frames on the click id. The
+    oracle brute-forces candidate pairs; parity proves the two-pass
+    composition implements the global nearest rule."""
+    from lakehouse_tacklebox_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+    )
+    # unique right rows per (user, ts): keep the smallest event id (the
+    # oracle's id tie-break), with its value
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min(F.struct("event_id", "value")).alias("m"))
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+            F.col("m.event_id").alias("p_id"),
+            F.col("m.value").alias("p_val"),
+            F.unix_timestamp("ts").cast("bigint").alias("p_ts_s"),
+        )
+    )
+
+    bwd = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts_s",
+        right_ts="ts_s",
+        right_cols=["p_id", "p_val", "p_ts_s"],
+        suffix="_b",
+    ).select("event_id", "user_id", "ts", "ts_s", "p_id_b", "p_val_b", "p_ts_s_b")
+
+    neg = lambda df, col: df.withColumn(col, (-F.col(col)).cast("bigint"))
+    fwd = asof_join(
+        neg(clicks, "ts_s"),
+        neg(purchases, "ts_s"),
+        keys=["user_id"],
+        left_ts="ts_s",
+        right_ts="ts_s",
+        right_cols=["p_id", "p_val", "p_ts_s"],
+        suffix="_f",
+    ).select("event_id", "p_id_f", "p_val_f", "p_ts_s_f")
+
+    tol = 3600
+    j = bwd.join(fwd, "event_id")
+    diff_b = F.col("ts_s") - F.col("p_ts_s_b")
+    diff_f = F.col("p_ts_s_f") - F.col("ts_s")
+    b_ok = F.col("p_id_b").isNotNull() & (diff_b <= tol)
+    f_ok = F.col("p_id_f").isNotNull() & (diff_f <= tol)
+    use_b = b_ok & (~f_ok | (diff_b <= diff_f))
+    use_f = f_ok & ~use_b
+    return (
+        j.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(use_b, F.col("p_id_b"))
+            .when(use_f, F.col("p_id_f"))
+            .alias("nearest_event_id"),
+            F.round(
+                F.when(use_b, F.col("p_val_b")).when(use_f, F.col("p_val_f")), 2
+            ).alias("nearest_value"),
+            F.when(use_b, diff_b).when(use_f, diff_f).cast("bigint").alias("diff_s"),
+            F.when(use_b & (diff_b == 0), F.lit("exact"))
+            .when(use_b, F.lit("before"))
+            .when(use_f & (diff_f == 0), F.lit("exact"))
+            .when(use_f, F.lit("after"))
+            .alias("direction"),
+        )
+        .orderBy("event_id")
+    )

@@ -446,3 +446,81 @@ def table_optimize_compaction(spark, sf_dir):
         .withColumn("vacuum_reclaimed", F.lit(1 if vacuumed else 0).cast("int"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "table_restore_bad_write",
+    tags=("tablestore", "storage", "time-travel", "maintenance"),
+    # The incident-recovery half of the maintenance lifecycle
+    # (OPTIMIZE/VACUUM have table_optimize_compaction): a bad job
+    # overwrites the table with corrupted data (every price doubled),
+    # RESTORE flips the active file set back to the pre-incident
+    # version as a NEW commit — old files reactivate without a data
+    # rewrite, the bad version stays time-travelable for the
+    # post-mortem, and writes continue on top. The census is read
+    # through the restored table; the oracle recomputes it from raw
+    # parquet, so the restore is certified byte-faithful, and the
+    # flags pin that the corruption was real (sum moved) and that the
+    # bad snapshot remains auditable.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                    AS BIGINT)) AS BIGINT) AS cents,
+           CAST(1 AS INT) AS corruption_detected,
+           CAST(1 AS INT) AS restore_roundtrip,
+           CAST(1 AS INT) AS bad_version_auditable
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_restore_bad_write(spark, sf_dir):
+    """RESTORE after a bad write: the table is corrupted by an
+    overwrite that doubles every price, detected by census divergence,
+    and rolled back with RESTORE — a metadata-only commit that
+    reactivates the previous version's files (no data rewrite; cost is
+    one log entry regardless of table size, the property that matters
+    when the table is 100 TB). The bad version remains readable by
+    version number for the post-mortem. Driver certification: the
+    priority census through the restored head equals the raw-parquet
+    oracle to the cent."""
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.mkdtemp(prefix=f"restore_{tag}_")
+    path = os.path.join(tmp, "ord")
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+
+    t = TackleTable.create(spark, path, orders.repartition(4))
+    v_good = t.version()
+    cents = F.round(F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("bigint")
+    good_sum = t.read().agg(F.sum(cents).cast("bigint").alias("s")).collect()[0]["s"]
+
+    # the bad job: every price doubled
+    t.overwrite(orders.withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    v_bad = t.version()
+    bad_sum = t.read().agg(F.sum(cents).cast("bigint").alias("s")).collect()[0]["s"]
+    corruption = bad_sum != good_sum
+
+    t.restore(v_good)
+    restored_sum = t.read().agg(F.sum(cents).cast("bigint").alias("s")).collect()[0]["s"]
+    roundtrip = restored_sum == good_sum
+
+    auditable = (
+        t.read(version=v_bad).agg(F.sum(cents).cast("bigint").alias("s")).collect()[0]["s"]
+        == bad_sum
+    )
+
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+        .withColumn("corruption_detected", F.lit(1 if corruption else 0).cast("int"))
+        .withColumn("restore_roundtrip", F.lit(1 if roundtrip else 0).cast("int"))
+        .withColumn("bad_version_auditable", F.lit(1 if auditable else 0).cast("int"))
+        .orderBy("o_orderpriority")
+    )
