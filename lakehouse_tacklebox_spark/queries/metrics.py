@@ -771,3 +771,91 @@ def events_funnel_ordered(spark, sf_dir):
         .select("step", "event_type", "n_users", "mean_gap_s", "conv_ppm")
         .orderBy("step")
     )
+
+
+@register(
+    "metrics_trend_slope",
+    bench=True,
+    tags=("metrics", "observability", "regression"),
+    # Least-squares trend slope per event type over its daily counts —
+    # "is the error rate trending up" as a NUMBER, not a chart. The
+    # closed form slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is a ratio
+    # of BIGINTs when x = epoch-day index and y = daily count, so the
+    # report emits numerator, denominator, and slope in integer ppm
+    # (events/day/day * 1e6) — engine-exact, no float covariance. The
+    # intercept is emitted the same way. One aggregate over (type,
+    # day), then one aggregate over types: two map-side-combining
+    # shuffles at any scale.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+               AS slope_ppm,
+           CAST((sy * sxx - sx * sxy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+               AS intercept_ppm
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def metrics_trend_slope(spark, sf_dir):
+    """Per-event-type daily-count trend: exact integer least squares
+    over (epoch-day, count) pairs, reporting the slope as a BIGINT
+    ratio plus ppm — the observability readout that turns "eyeball the
+    dashboard" into a comparable number. Closed form keeps everything
+    in integer sums (no float covariance, no per-engine rounding);
+    floor division matches the oracle exactly. Scale: one (type, day)
+    census then one per-type fold — both map-side combining; no window,
+    no collect."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("slope_den"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * CAST(1000000 AS BIGINT)"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_ppm"),
+        F.expr(
+            "CAST((sy * sxx - sx * sxy) * CAST(1000000 AS BIGINT)"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("intercept_ppm"),
+    ).orderBy("event_type")
