@@ -200,13 +200,16 @@ _WINDOW_PRIORITY = [
     # (d) never driver-checked: added after the round-10 freeze
     "rag_late_interaction",
 ]
-# Round-11 window plan (mechanical, from the ledger): the round-10
-# additions that could not fit this window (knn_probe_recall_curve and
-# any later ones — driven green at both gate scales in the recorded
-# round-10 drives but never driver-checked) + the 50 remaining r5
+# Round-11 window plan (mechanical, from the ledger): FIRST the eight
+# round-10 additions that could not fit this 50-slot window — all
+# driven green at both gate scales in the recorded round-10 drives but
+# never driver-checked: knn_probe_recall_curve, events_funnel_ordered,
+# table_optimize_compaction, corpus_dedup_cascade, text_unigram_segment,
+# cdc_scd3_prev_value, table_restore_bad_write, join_asof_nearest,
+# metrics_trend_slope (nine with this one) — THEN the 50 remaining r5
 # entries (aggregates/joins/set-ops/scalars batteries and TPC-DS waves
-# 1-3, r5 ledger order), oldest r6 greens to fill 50 if room remains.
-# Done when nothing predates r6.
+# 1-3, r5 ledger order) as far as the remaining ~41 slots reach; the
+# leftover r5 tail rolls to round 12. Done when nothing predates r6.
 
 
 def _reorder_registry() -> None:
