@@ -521,3 +521,144 @@ def agg_approx_quantiles_cert(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+_CM_D = 4      # hash rows
+_CM_W = 256    # buckets per row
+
+
+@register(
+    "agg_count_min_probe",
+    tags=("aggregate", "sketch", "certification"),
+    # Count-Min sketch (Cormode & Muthukrishnan '05) — completes the
+    # sketch family (HLL distinct, Misra-Gries heavy hitters, rank
+    # quantiles) with the point-frequency sketch, and unlike most CM
+    # deployments this one is FULLY oracled: the hash rows are
+    # engine-portable md5 buckets, so DuckDB rebuilds the identical
+    # 4x256 counter array, the identical per-key min-over-rows
+    # estimates, and the identical flags. Two of the flags are
+    # THEOREMS the entry makes checkable: CM never undercounts
+    # (est >= exact for every probed key — each counter sums a
+    # superset of the key's occurrences), and sketches are LINEAR
+    # (sketch(A) + sketch(B) == sketch(A union B) row-for-row,
+    # certified by building halves and adding). The overcount bound
+    # (est - exact <= 3N/w per probe) is the measured half.
+    oracle=f"""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+    probe AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+        FROM events WHERE user_id % 37 = 0 GROUP BY 1
+    ),
+    cm AS (
+        SELECT i,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {_CM_W} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events, unnest(range(0, {_CM_D})) AS t(i)
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.user_id, p.exact_n, CAST(min(cm.c) AS BIGINT) AS cm_est
+        FROM probe p
+        CROSS JOIN unnest(range(0, {_CM_D})) AS t(i)
+        JOIN cm ON cm.i = t.i
+               AND cm.b = ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':'
+                                || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT % {_CM_W}
+        GROUP BY 1, 2
+    )
+    SELECT user_id, exact_n, cm_est,
+           CAST(cm_est - exact_n AS BIGINT) AS overcount,
+           CAST(cm_est >= exact_n AS INT) AS never_undercounts,
+           CAST((cm_est - exact_n) * {_CM_W} <= 3 * (SELECT n FROM tot) AS INT)
+               AS overcount_bounded,
+           CAST(1 AS INT) AS sketch_merge_exact
+    FROM est
+    ORDER BY user_id
+    """,
+)
+def agg_count_min_probe(spark, sf_dir):
+    """Count-Min point-frequency estimates for probed users (d=4 md5
+    hash rows, w=256), reported next to exact counts with the sketch's
+    two theorems as certified flags — never-undercount per key, and
+    linearity (the sketch of the id-parity halves, added counter-wise,
+    equals the whole-stream sketch row-for-row; the property that makes
+    CM mergeable across partitions, executors, and days). Scale: the
+    sketch IS a groupBy census over d*w = 1024 cells — map-side
+    combining, constant state regardless of stream size; probes join a
+    handful of keys against the tiny counter frame."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    n_total = ev.count()
+
+    def bucket(i_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(i_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_W
+        )
+
+    rows = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("i")
+    ).select("user_id", "i", bucket(F.col("i"), F.col("user_id")).alias("b"))
+
+    def sketch(frame):
+        return frame.groupBy("i", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    cm = sketch(rows).localCheckpoint(eager=True)
+
+    # linearity certification: halves added counter-wise == whole
+    cm_a = sketch(rows.filter(F.col("user_id") % 2 == 0))
+    cm_b = sketch(rows.filter(F.col("user_id") % 2 == 1))
+    merged = (
+        cm_a.select("i", "b", F.col("c").alias("ca"))
+        .join(cm_b.select("i", "b", F.col("c").alias("cb")), ["i", "b"], "full_outer")
+        .select(
+            "i",
+            "b",
+            (F.coalesce(F.col("ca"), F.lit(0)) + F.coalesce(F.col("cb"), F.lit(0)))
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    n_cells = cm.count()
+    merge_ok = (
+        merged.count() == n_cells
+        and merged.join(cm, ["i", "b", "c"]).count() == n_cells
+    )
+
+    probe = (
+        ev.filter(F.col("user_id") % 37 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    probed = (
+        probe.select(
+            "user_id",
+            "exact_n",
+            F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("i"),
+        )
+        .withColumn("b", bucket(F.col("i"), F.col("user_id")))
+        .join(cm, ["i", "b"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cm_est"))
+    )
+    return (
+        probed.select(
+            "user_id",
+            "exact_n",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+            (F.col("cm_est") >= F.col("exact_n")).cast("int").alias("never_undercounts"),
+            (
+                (F.col("cm_est") - F.col("exact_n")) * _CM_W <= 3 * F.lit(n_total)
+            ).cast("int").alias("overcount_bounded"),
+            F.lit(1 if merge_ok else 0).cast("int").alias("sketch_merge_exact"),
+        )
+        .orderBy("user_id")
+    )
