@@ -200,7 +200,7 @@ _WINDOW_PRIORITY = [
     # (d) never driver-checked: added after the round-10 freeze
     "rag_late_interaction",
 ]
-# Round-11 window plan (mechanical, from the ledger): FIRST the eight
+# Round-11 window plan (mechanical, from the ledger): FIRST the ten
 # round-10 additions that could not fit this 50-slot window — all
 # driven green at both gate scales in the recorded round-10 drives but
 # never driver-checked: knn_probe_recall_curve, events_funnel_ordered,
