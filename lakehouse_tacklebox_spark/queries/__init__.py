@@ -200,13 +200,14 @@ _WINDOW_PRIORITY = [
     # (d) never driver-checked: added after the round-10 freeze
     "rag_late_interaction",
 ]
-# Round-11 window plan (mechanical, from the ledger): FIRST the ten
+# Round-11 window plan (mechanical, from the ledger): FIRST the
 # round-10 additions that could not fit this 50-slot window — all
 # driven green at both gate scales in the recorded round-10 drives but
 # never driver-checked: knn_probe_recall_curve, events_funnel_ordered,
 # table_optimize_compaction, corpus_dedup_cascade, text_unigram_segment,
 # cdc_scd3_prev_value, table_restore_bad_write, join_asof_nearest,
-# metrics_trend_slope, agg_count_min_probe (ten) — THEN the 50 remaining r5
+# metrics_trend_slope, agg_count_min_probe, mm_media_validate (eleven)
+# — THEN the 50 remaining r5
 # entries (aggregates/joins/set-ops/scalars batteries and TPC-DS waves
 # 1-3, r5 ledger order) as far as the remaining ~40 slots reach; the
 # leftover r5 tail rolls to round 12. Done when nothing predates r6.

@@ -1255,3 +1255,78 @@ def mm_video_snippet_pruned_probe(spark, sf_dir):
         )
         .orderBy("snippet_id")
     )
+
+
+@register(
+    "mm_media_validate",
+    tags=("multimodal", "validation", "certification"),
+    # Ingest-quality gate for media: real BMP/WAV/AVI payloads with
+    # DETERMINISTICALLY PLANTED damage — doc_id % 5 == 0 truncated to
+    # 12 bytes (signature survives, container parse cannot), % 5 == 1
+    # first two bytes stomped (signature broken) — classified from the
+    # BYTES by the same parsers the pipeline decodes with. The oracle
+    # pins the (mime, verdict) census by id arithmetic: a lax parser
+    # (accepting a truncated container) or an overstrict one (rejecting
+    # a valid payload) moves a count and fails the hash. The WAV-family
+    # subtlety the truncation exposes: 12 bytes = exactly RIFF+size+
+    # WAVE, so the magic check passes and only the full chunk walk
+    # catches it — which is why validation MUST share the decoder.
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/avi' END AS mime,
+               CASE WHEN doc_id % 5 = 0 THEN 'corrupt'
+                    WHEN doc_id % 5 = 1 THEN 'bad_magic'
+                    ELSE 'ok' END AS verdict
+        FROM documents
+    )
+    SELECT mime, verdict, CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY 1, 2
+    ORDER BY mime, verdict
+    """,
+)
+def mm_media_validate(spark, sf_dir):
+    """Media ingest validation census: every document's real container
+    payload (BMP/WAV/AVI by modality cycle) passes through byte-level
+    validation — container signature check, then the full parse with
+    the SAME decoders the pipeline uses — after deterministic damage is
+    planted (truncate-to-12-bytes keeps the RIFF/BM signature but
+    breaks the container; stomping the first two bytes breaks the
+    signature). Verdict counts per (mime, verdict) must reproduce the
+    planted structure exactly. Scale: one Arrow pass over payload
+    bytes, embarrassingly parallel, no shuffle until the tiny census —
+    the cheap gate that keeps truncated crawl objects out of the
+    expensive decode/hash stages."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bmp = MM.as_bmp_images(d).select(
+        F.col("doc_id"), F.lit("image/bmp").alias("mime"), "payload"
+    )
+    wav = MM.as_wav_audio(d).select(
+        F.col("doc_id"), F.lit("audio/wav").alias("mime"), "payload"
+    )
+    avi = MM.as_avi_videos(d).select(
+        F.col("doc_id"), F.lit("video/avi").alias("mime"), "payload"
+    )
+    media = bmp.unionByName(wav).unionByName(avi)
+
+    damaged = media.select(
+        "doc_id",
+        "mime",
+        F.when(F.col("doc_id") % 5 == 0, F.substring(F.col("payload"), 1, 12))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit(bytearray(b"XX")),
+                F.substring(F.col("payload"), 3, 1 << 30),
+            ),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    verdicts = MM.validate_media(damaged, keys=["doc_id"])
+    return (
+        verdicts.groupBy("mime", "verdict")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("mime", "verdict")
+    )
