@@ -206,8 +206,8 @@ _WINDOW_PRIORITY = [
 # never driver-checked: knn_probe_recall_curve, events_funnel_ordered,
 # table_optimize_compaction, corpus_dedup_cascade, text_unigram_segment,
 # cdc_scd3_prev_value, table_restore_bad_write, join_asof_nearest,
-# metrics_trend_slope, agg_count_min_probe, mm_media_validate (eleven)
-# — THEN the 50 remaining r5
+# metrics_trend_slope, agg_count_min_probe, mm_media_validate,
+# dedup_incremental_semantic (twelve) — THEN the 50 remaining r5
 # entries (aggregates/joins/set-ops/scalars batteries and TPC-DS waves
 # 1-3, r5 ledger order) as far as the remaining ~40 slots reach; the
 # leftover r5 tail rolls to round 12. Done when nothing predates r6.

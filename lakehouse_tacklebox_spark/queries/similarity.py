@@ -1643,3 +1643,155 @@ def knn_probe_recall_curve(spark, sf_dir):
         "nprobe bigint, floor_pct bigint, recall_ge_floor int,"
         " candidates_le_2x_mean int, recall_monotone int, full_probe_exact int",
     ).orderBy("nprobe")
+
+
+@register(
+    "dedup_incremental_semantic",
+    tags=("similarity", "dedup", "ann", "incremental", "tablestore", "certification"),
+    # The SIXTH incremental dedup flavor (exact / MinHash-LSH / SimHash /
+    # containment / span census all have entries): SemDeDup's
+    # cluster-bounded candidate rule in INGEST posture. History exists
+    # as its semantic index — the frozen k=8 quantizer (trained on
+    # history only; a production index does NOT retrain per batch) and
+    # the member-assignment table, both TackleTables. The batch assigns
+    # itself against the STORED centroids, generates candidates only
+    # within its assigned clusters (batch x stored members + within-
+    # batch), and exact-verifies cosine >= 0.40 — history embeddings
+    # re-read only per matched candidate. SELF-CERTIFYING
+    # (dedup_semantic_clusters precedent — k-means isn't SQL-
+    # replayable): the oracle pins the EXACT global batch-touching
+    # dup-pair count, and flags certify verification (every emitted
+    # pair cleared the exact threshold), subset-ness (cluster bounding
+    # can lose cross-cluster pairs, never invent one: found <= global),
+    # the measured recall floor (found/global = 36/39/28 pct at the
+    # three scales under single-probe bounding — the documented
+    # SemDeDup trade; floor 15 with regeneration margin), and the
+    # maintenance read-back (appended assignments == from-scratch
+    # assignment under the SAME frozen centroids, which is
+    # deterministic).
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 3 = 0)
+               AS n_batch,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 3 <> 0)
+               AS n_hist,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.40)
+               AS n_global_batch_pairs,
+           CAST(1 AS INT) AS pairs_all_verified,
+           CAST(1 AS INT) AS candidates_subset,
+           CAST(1 AS INT) AS found_share_ge_15pct,
+           CAST(1 AS INT) AS index_merge_match
+    """,
+)
+def dedup_incremental_semantic(spark, sf_dir):
+    """Incremental semantic (SemDeDup-style) near-dup ingest: the new
+    batch (vec_id % 3 == 0) probes the persisted semantic index — the
+    history-trained frozen quantizer plus stored member assignments —
+    generates candidates only inside its assigned clusters, and
+    exact-verifies cosine >= 0.40. Per-batch cost ∝ batch size +
+    probed-cluster occupancy; history is never re-clustered and its
+    embeddings are touched only for matched candidates. The exact
+    global batch-touching pair census (the gate-only certification
+    brute force, as in the recall-certified ANN entries) anchors the
+    flags: every found pair is exactly verified, found is provably a
+    subset of global, the found share clears the measured floor, and
+    the appended assignment store reads back equal to a from-scratch
+    assignment under the same frozen centroids."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    hist = e.filter(F.col("vec_id") % 3 != 0)
+    batch = e.filter(F.col("vec_id") % 3 == 0)
+    n_hist = hist.count()
+    n_batch = batch.count()
+
+    cuh = S.unit_normalize(hist.select("vec_id", "embedding"), "embedding").localCheckpoint(
+        eager=True
+    )
+    cub = S.unit_normalize(batch.select("vec_id", "embedding"), "embedding").localCheckpoint(
+        eager=True
+    )
+    cents = S.kmeans_centroids(cuh, k=8, iters=2).localCheckpoint(eager=True)
+    asg_hist = S.ivf_assign(cuh, cents, nprobe=1).drop("rank")
+
+    tmp = tempfile.mkdtemp(prefix="semidx_")
+    store_c = TackleTable.create(spark, os.path.join(tmp, "cents"), cents)
+    store_a = TackleTable.create(spark, os.path.join(tmp, "asg"), asg_hist)
+
+    cents_read = store_c.read().localCheckpoint(eager=True)  # batch sees the STORE
+    asg_read = store_a.read()
+    asg_batch = S.ivf_assign(cub, cents_read, nprobe=1).drop("rank").localCheckpoint(
+        eager=True
+    )
+
+    cross = (
+        asg_batch.select(F.col("vec_id").alias("ba"), "centroid_id")
+        .join(asg_read.select(F.col("vec_id").alias("bb"), "centroid_id"), "centroid_id")
+        .select(
+            F.least("ba", "bb").alias("id_a"), F.greatest("ba", "bb").alias("id_b")
+        )
+    )
+    wa = asg_batch.select(F.col("vec_id").alias("id_a"), "centroid_id")
+    wb = asg_batch.select(F.col("vec_id").alias("id_b"), "centroid_id")
+    within = wa.join(wb, "centroid_id").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    cand = cross.unionByName(within).distinct()
+
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    verified = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", S.cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.40)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_found = verified.count()
+
+    # gate-only certification brute force: exact global batch-touching pairs
+    glob = (
+        ea.join(eb, F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
+        .withColumn("cos", S.cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.40)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_global = glob.count()
+    subset_ok = verified.join(glob, ["id_a", "id_b"], "left_anti").count() == 0
+
+    # maintenance: append batch assignments, certify read-back against a
+    # from-scratch assignment of ALL vectors under the same frozen centroids
+    store_a.append(asg_batch, txn=("sem_asg_append", 1))
+    back = TackleTable(spark, os.path.join(tmp, "asg")).read()
+    cu_all = S.unit_normalize(e.select("vec_id", "embedding"), "embedding")
+    full = S.ivf_assign(cu_all, cents_read, nprobe=1).drop("rank")
+    n_full = full.count()
+    merge_ok = (back.count() == n_full) and (
+        back.join(full, ["vec_id", "centroid_id"]).count() == n_full
+    )
+
+    return spark.createDataFrame(
+        [
+            (
+                n_batch,
+                n_hist,
+                n_global,
+                1,  # pairs_all_verified: every emitted pair passed the exact filter
+                1 if subset_ok else 0,
+                1 if n_global > 0 and n_found * 100 >= 15 * n_global else 0,
+                1 if merge_ok else 0,
+            )
+        ],
+        "n_batch bigint, n_hist bigint, n_global_batch_pairs bigint,"
+        " pairs_all_verified int, candidates_subset int,"
+        " found_share_ge_15pct int, index_merge_match int",
+    )
