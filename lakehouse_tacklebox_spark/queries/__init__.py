@@ -141,76 +141,69 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 # predates r5 (50 r5 entries remain = round-11's refresh block, then
 # r6).
 _WINDOW_PRIORITY = [
-    # (a) never driver-checked: new this round
-    "knn_filtered_ivf",
-    "text_span_excision_incremental",
-    "rag_hybrid_retrieval",
-    "knn_mmr_rerank",
-    "dedup_incremental_lsh",
-    "text_contamination_attribution",
-    "stream_bm25_index_mv",
-    "mm_image_crop_pruned_probe",
-    "cdc_span_census_deletes",
-    "mm_audio_snippet_pruned_probe",
-    "mm_video_snippet_pruned_probe",
-    "dedup_incremental_simhash",
-    "knn_filtered_ivfpq",
-    # (b) modified this round (new flag columns) — re-verify even
-    # though their r9 rows were green
-    "knn_sq_rerank",
-    "knn_matryoshka_rerank",
-    "knn_ivfpq_pruned_store",
-    # (b2) never driver-checked: added after the round-10 freeze (took
-    # the three mm match slots — see the note above)
-    "text_wordpiece_segment",
-    "dedup_incremental_containment",
-    "stream_phash_index_mv",
-    # (c) the 30 r3-stale entries (newest green row = round 3),
-    # CORRECTNESS_r03 ledger order
-    "agg_rollup",
-    "agg_pivot",
-    "join_left_outer",
-    "join_anti",
-    "join_semi",
-    "join_full_outer",
-    "join_range_band",
-    "join_multiway_using",
-    "metrics_ops_summary",
-    "metrics_percentiles",
-    "event_log_json_analytics",
-    "mm_metadata_by_mime",
-    "mm_frame_stats",
-    "profile_customer",
-    "scalar_strings",
-    "scalar_dates",
-    "scalar_json",
-    "knn_bruteforce",
-    "emb_neardup_pairs",
-    "emb_label_centroids",
-    "stream_stateful_dedup",
-    "dedup_exact_stats",
-    "dedup_exact_survivors",
-    "ds_channel_rollup",
-    "metrics_daily_trend",
-    "metrics_error_bursts",
-    "mm_block_dedup",
-    "text_html_strip",
-    "join_interval_overlap",
-    "corpus_tfidf_top",
-    # (d) never driver-checked: added after the round-10 freeze
-    "rag_late_interaction",
+    # (a) the twelve round-10 additions that never fit a driver window —
+    # green in the recorded round-10 drives and the judge's own drive,
+    # but with no CORRECTNESS row until now (VERDICT r10 item 1).
+    "knn_probe_recall_curve",
+    "events_funnel_ordered",
+    "table_optimize_compaction",
+    "corpus_dedup_cascade",
+    "text_unigram_segment",
+    "cdc_scd3_prev_value",
+    "table_restore_bad_write",
+    "join_asof_nearest",
+    "metrics_trend_slope",
+    "agg_count_min_probe",
+    "mm_media_validate",
+    "dedup_incremental_semantic",
+    # (b) the r5-stale refresh block: first 38 of the 50 entries whose
+    # newest green driver row is round 5, in CORRECTNESS_r05 ledger
+    # order (VERDICT r10 item 1). The 12-entry r5 tail is documented
+    # in the round-12 plan below.
+    "agg_global",
+    "agg_count_distinct",
+    "agg_conditional",
+    "agg_stats",
+    "agg_minmax_scaled",
+    "agg_time_bucket",
+    "agg_collect_sorted",
+    "agg_histogram",
+    "agg_unpivot_stack",
+    "join_cross",
+    "join_self_pairs",
+    "scalar_math",
+    "scalar_array_ops",
+    "scalar_case_score",
+    "set_union_distinct",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "optimizer_column_scores",
+    "mm_decode_features",
+    "ds_week_channel_share",
+    "ds_cumulative_channel_compare",
+    "ds_customer_year_intersect",
+    "ds_top_parts_per_brand",
+    "ds_brand_monthly_deviation",
+    "ds_yoy_customer_growth",
+    "ds_above_segment_avg",
+    "ds_hour_ratio_daily",
+    "ds_basket_pairs",
+    "ds_frequent_buyer_buckets",
+    "ds_rollup_level_rank",
+    "ds_returns_net",
+    "ds_quarterly_share_shift",
+    "ds_repeat_purchase_gap",
+    "ds_customer_channel_overlap",
+    "ds_ntile_spend_bands",
+    "corpus_domain_stats",
+    "text_boilerplate_blocks",
 ]
-# Round-11 window plan (mechanical, from the ledger): FIRST the
-# round-10 additions that could not fit this 50-slot window — all
-# driven green at both gate scales in the recorded round-10 drives but
-# never driver-checked: knn_probe_recall_curve, events_funnel_ordered,
-# table_optimize_compaction, corpus_dedup_cascade, text_unigram_segment,
-# cdc_scd3_prev_value, table_restore_bad_write, join_asof_nearest,
-# metrics_trend_slope, agg_count_min_probe, mm_media_validate,
-# dedup_incremental_semantic (twelve) — THEN the 50 remaining r5
-# entries (aggregates/joins/set-ops/scalars batteries and TPC-DS waves
-# 1-3, r5 ledger order) as far as the remaining ~40 slots reach; the
-# leftover r5 tail rolls to round 12. Done when nothing predates r6.
+# Round-12 window plan (mechanical, from the ledger): FIRST any
+# round-11 additions that do not fit this 50-slot window, THEN the
+# 12-entry r5 tail (CORRECTNESS_r05 ledger order): ds_moving_avg_deviation, ds_first_purchase_cohort, ds_median_brand_price, ds_pareto_brands, ds_reactivated_customers, ds_top_percent_customers, ds_growth_streaks, ds_priority_segment_matrix, dedup_ngram_jaccard, validate_hashdiff_summary, join_asof, dedup_minhash_lsh.
+# After that, the r6 block starts rotating. Done when nothing
+# predates r7 except the documented tail.
 
 
 def _reorder_registry() -> None:

@@ -1611,7 +1611,11 @@ def knn_probe_recall_curve(spark, sf_dir):
                 ),
                 "neighbor_id",
             )
-            .withColumn("cos", S.cosine_col(F.col("qv"), F.col("cv")))
+            # Round to 6dp BEFORE ranking so the sweep shares one tie rule
+            # with its exact reference set (S.knn_bruteforce rounds to 6dp
+            # at operators/similarity.py); a raw-cosine near-tie at the
+            # rank-5 boundary could otherwise flip full_probe_exact.
+            .withColumn("cos", F.round(S.cosine_col(F.col("qv"), F.col("cv")), 6))
         )
         w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
         top = (
@@ -1677,8 +1681,8 @@ def knn_probe_recall_curve(spark, sf_dir):
            (SELECT CAST(count(*) AS BIGINT)
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)
-              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.40)
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.40)
                AS n_global_batch_pairs,
            CAST(1 AS INT) AS pairs_all_verified,
            CAST(1 AS INT) AS candidates_subset,
@@ -1749,7 +1753,10 @@ def dedup_incremental_semantic(spark, sf_dir):
     verified = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cos", S.cosine_col(F.col("va"), F.col("vb")))
+        # 6dp-rounded threshold so the cross-engine gate (Spark fold vs
+        # DuckDB list_cosine_similarity accumulation order) shares one
+        # integer-exact boundary rule (ADVICE r10).
+        .withColumn("cos", F.round(S.cosine_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= 0.40)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
@@ -1760,7 +1767,7 @@ def dedup_incremental_semantic(spark, sf_dir):
     glob = (
         ea.join(eb, F.col("id_a") < F.col("id_b"))
         .filter((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
-        .withColumn("cos", S.cosine_col(F.col("va"), F.col("vb")))
+        .withColumn("cos", F.round(S.cosine_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= 0.40)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)

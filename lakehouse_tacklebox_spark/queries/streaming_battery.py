@@ -2013,8 +2013,15 @@ def stream_phash_index_mv(spark, sf_dir):
     ckpt = os.path.join(tmp, "ckpt")
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    imgs = MM.as_bmp_images_with_neardups(d).select("img_id", "payload")
+    fixture = MM.as_bmp_images_with_neardups(d)
+    imgs = fixture.select("img_id", "payload")
     imgs.repartition(4).write.parquet(src_dir)
+    # Manifest carries the fixture's is_copy/src_id flags so the planted-
+    # copy certification below never decodes copy-ness from the id range
+    # (the +100000 offset would silently collide with real doc_ids at
+    # larger scales — ADVICE r10).
+    manifest_dir = os.path.join(tmp, "manifest")
+    fixture.select("img_id", "src_id", "is_copy").write.parquet(manifest_dir)
     TackleTable.create(
         spark, band_dir,
         schema="img_id bigint, phash bigint, band_idx int, band_key bigint",
@@ -2138,14 +2145,38 @@ def stream_phash_index_mv(spark, sf_dir):
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b")
     )
-    n_images = back.filter(F.col("img_id") < 100000).select("img_id").distinct().count()
-    n_copies = back.filter(F.col("img_id") >= 100000).select("img_id").distinct().count()
-    stats = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(
-            F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
-        ).alias("n_copy_source_pairs"),
-    ).collect()[0]
+    man = F.broadcast(spark.read.parquet(manifest_dir)).localCheckpoint(eager=True)
+    ided = back.select("img_id").distinct().join(man, "img_id")
+    n_images = ided.filter(F.col("is_copy") == 0).count()
+    n_copies = ided.filter(F.col("is_copy") == 1).count()
+    # A pair certifies as copy↔source iff one side is flagged is_copy
+    # and its manifest src_id equals the other side — direction-agnostic,
+    # no id arithmetic.
+    ma = man.select(
+        F.col("img_id").alias("id_a"),
+        F.col("src_id").alias("src_a"),
+        F.col("is_copy").alias("copy_a"),
+    )
+    mb = man.select(
+        F.col("img_id").alias("id_b"),
+        F.col("src_id").alias("src_b"),
+        F.col("is_copy").alias("copy_b"),
+    )
+    stats = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    ((F.col("copy_b") == 1) & (F.col("src_b") == F.col("id_a")))
+                    | ((F.col("copy_a") == 1) & (F.col("src_a") == F.col("id_b"))),
+                    1,
+                ).otherwise(0)
+            ).alias("n_copy_source_pairs"),
+        )
+        .collect()[0]
+    )
     n_pairs = int(stats["n_pairs"] or 0)
     n_cs = int(stats["n_copy_source_pairs"] or 0)
     return spark.createDataFrame(

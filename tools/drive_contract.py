@@ -69,7 +69,10 @@ if JOBS > 1:
             name, problems, status, dt = f.result()
             if problems:
                 fails.append((name, problems))
-            print(f"  {status} {name} {dt:.1f}s")
+            # Inline the first problem so a threaded ERR/FAIL is as
+            # diagnosable live as the serial protocol's print.
+            detail = f" — {problems[0]}" if problems else ""
+            print(f"  {status} {name} {dt:.1f}s{detail}")
 else:
     for it in items:
         name, problems, status, dt = _run_one(it)
