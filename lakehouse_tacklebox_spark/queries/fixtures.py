@@ -1,0 +1,138 @@
+"""Process-scoped cache of deterministic trained structures (k-means
+centroids, PQ codebooks, composed IVF-PQ indexes) shared across battery
+entries.
+
+Every producer here is xxhash-seeded and deterministic for a given
+(sf_dir, params) — see ``operators/similarity.py`` (kmeans_centroids
+seeds from the k smallest xxhash64(id) vectors; every iteration is a
+pure DataFrame program) — so returning a memoized copy is
+observationally identical to retraining. Entries that certify a
+read-back against a from-scratch ENCODE still run those encodes live;
+only the TRAINING pass (a dozen tiny driver-latency-bound Lloyd jobs —
+measured 12 s for 500 rows at sf0.01, pure scheduler overhead) is
+shared. This is VERDICT r10 item 3: the expensive drive entries mostly
+re-derived identical private codebook/centroid fixtures, and bench.py's
+min-of-2 protocol re-derived them twice more per query.
+
+Cache shape: small structures (centroids, codebooks — at most
+m·ksub ≤ 128 rows) are collected rows rebuilt per call with
+``createDataFrame`` (session-independent); corpus-sized code tables are
+parquet in a process-temp dir — robust to cache clears and RDD
+unpersists (bench.py purges persisted RDDs between phases), and never
+pinned in executor memory. A lock guards each key so the threaded
+drive (SPARK_GRAFT_DRIVE_JOBS > 1) builds each fixture exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, functions as F
+
+from lakehouse_tacklebox_spark.operators import similarity as S
+from lakehouse_tacklebox_spark.sources import load_tables
+
+_ROWS: dict = {}
+_PATHS: dict = {}
+_LOCK = threading.Lock()
+_KEYLOCKS: dict = {}
+
+
+def _keylock(key) -> threading.Lock:
+    with _LOCK:
+        return _KEYLOCKS.setdefault(key, threading.Lock())
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+
+
+def _centroid_df(spark, rows) -> DataFrame:
+    return spark.createDataFrame(rows, "centroid_id INT, embedding ARRAY<DOUBLE>")
+
+
+def _books_df(spark, rows) -> DataFrame:
+    return spark.createDataFrame(rows, "sub_idx INT, code INT, sub_vec ARRAY<DOUBLE>")
+
+
+def frozen_kmeans(
+    spark,
+    sf_dir: str,
+    k: int,
+    iters: int,
+    unit: bool = False,
+    subset: str | None = None,
+) -> DataFrame:
+    """Memoized ``S.kmeans_centroids`` over the embeddings corpus.
+
+    ``unit`` trains on the unit-normalized corpus (the IVF coarse-
+    quantizer convention); ``subset="history"`` restricts training to
+    ``vec_id % 3 != 0`` (the incremental-ingest entries' history half).
+    Returns (centroid_id, embedding array<double>) — identical rows to
+    a fresh training run, by determinism of the trainer.
+    """
+    key = ("kmeans", os.path.abspath(sf_dir), k, iters, unit, subset)
+    with _keylock(key):
+        if key not in _ROWS:
+            e = _emb(spark, sf_dir).select("vec_id", "embedding")
+            if subset == "history":
+                e = e.filter(F.col("vec_id") % 3 != 0)
+            elif subset is not None:  # pragma: no cover - guard
+                raise ValueError(f"unknown subset {subset!r}")
+            if unit:
+                e = S.unit_normalize(e, "embedding")
+            cents = S.kmeans_centroids(e, k=k, iters=iters)
+            _ROWS[key] = [
+                (r["centroid_id"], list(r["embedding"])) for r in cents.collect()
+            ]
+    return _centroid_df(spark, _ROWS[key])
+
+
+def frozen_pq_codebooks(spark, sf_dir: str, m: int, ksub: int, iters: int) -> DataFrame:
+    """Memoized ``S.pq_codebooks`` over the embeddings corpus."""
+    key = ("pqbooks", os.path.abspath(sf_dir), m, ksub, iters)
+    with _keylock(key):
+        if key not in _ROWS:
+            books = S.pq_codebooks(_emb(spark, sf_dir), m=m, ksub=ksub, iters=iters)
+            _ROWS[key] = [
+                (r["sub_idx"], r["code"], list(r["sub_vec"])) for r in books.collect()
+            ]
+    return _books_df(spark, _ROWS[key])
+
+
+def frozen_ivfpq(
+    spark, sf_dir: str, num_centroids: int, m: int, ksub: int, iters: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Memoized ``S.ivfpq_index`` over the embeddings corpus.
+
+    Returns (coarse, books, codes) with the exact schemas of the live
+    trainer; codes round-trip through a process-temp parquet so the
+    corpus-sized table is scanned, not rebuilt from driver rows.
+    """
+    key = ("ivfpq", os.path.abspath(sf_dir), num_centroids, m, ksub, iters)
+    with _keylock(key):
+        if key not in _ROWS:
+            coarse, books, codes = S.ivfpq_index(
+                _emb(spark, sf_dir),
+                num_centroids=num_centroids,
+                m=m,
+                ksub=ksub,
+                iters=iters,
+            )
+            path = os.path.join(
+                tempfile.mkdtemp(prefix="fixture_ivfpq_"), "codes"
+            )
+            codes.write.parquet(path)
+            _ROWS[key] = (
+                [(r["centroid_id"], list(r["embedding"])) for r in coarse.collect()],
+                [(r["sub_idx"], r["code"], list(r["sub_vec"])) for r in books.collect()],
+            )
+            _PATHS[key] = path
+    coarse_rows, books_rows = _ROWS[key]
+    return (
+        _centroid_df(spark, coarse_rows),
+        _books_df(spark, books_rows),
+        spark.read.parquet(_PATHS[key]),
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lakehouse_tacklebox_spark.operators import similarity as S
+from lakehouse_tacklebox_spark.queries import fixtures as FX
 from lakehouse_tacklebox_spark.queries import register
 from lakehouse_tacklebox_spark.sources import load_tables
 
@@ -222,7 +223,7 @@ def knn_ivf(spark, sf_dir):
     tests/test_embed.py."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
-    cents = S.kmeans_centroids(e, k=8)
+    cents = FX.frozen_kmeans(spark, sf_dir, k=8, iters=4)
     bf = S.knn_bruteforce(e, q, k=5)
 
     def pairs(nprobe):
@@ -361,7 +362,7 @@ def knn_ivf_recall_cert(spark, sf_dir):
     with hash-seeded k-means — deterministic, not flaky."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
-    cents = S.kmeans_centroids(e, k=8)
+    cents = FX.frozen_kmeans(spark, sf_dir, k=8, iters=4)
     bf = S.knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
     def pairs(nprobe):
         return S.knn_ivf(
@@ -440,7 +441,7 @@ def knn_pq_rerank(spark, sf_dir):
     column scan and the exact re-rank touches shortlist×queries rows."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
-    books = S.pq_codebooks(e, m=8, ksub=16, iters=3).localCheckpoint(eager=True)
+    books = FX.frozen_pq_codebooks(spark, sf_dir, m=8, ksub=16, iters=3)
     codes = S.pq_encode(e, books).localCheckpoint(eager=True)
     n_corpus = e.count()
     bf = S.knn_bruteforce(e, q, k=5)
@@ -536,7 +537,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     from lakehouse_tacklebox_spark.operators.cluster import connected_components
 
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    cents = S.kmeans_centroids(e, k=8, iters=3)
+    cents = FX.frozen_kmeans(spark, sf_dir, k=8, iters=3)
     assign = S.ivf_assign(e, cents, nprobe=1).drop("rank")
     ve = e.join(assign, "vec_id").select("vec_id", "centroid_id", "embedding")
     a, b = ve.alias("a"), ve.alias("b")
@@ -643,7 +644,7 @@ def knn_ivfpq_rerank(spark, sf_dir):
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
     n_corpus = e.count()
-    coarse, books, codes = S.ivfpq_index(e, num_centroids=8, m=8, ksub=16, iters=3)
+    coarse, books, codes = FX.frozen_ivfpq(spark, sf_dir, num_centroids=8, m=8, ksub=16, iters=3)
     codes = codes.localCheckpoint(eager=True)
     bf = S.knn_bruteforce(e, q, k=5)
 
@@ -877,7 +878,7 @@ def knn_ivf_pruned_scan(spark, sf_dir):
 
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     cu = S.unit_normalize(e.select("vec_id", "embedding"), "embedding")
-    coarse = S.kmeans_centroids(cu, k=16, iters=2).localCheckpoint(eager=True)
+    coarse = FX.frozen_kmeans(spark, sf_dir, k=16, iters=2, unit=True).localCheckpoint(eager=True)
     assign = S.ivf_assign(cu, coarse, nprobe=1).drop("rank")
     lists_df = e.join(assign, "vec_id").select("vec_id", "centroid_id", "embedding")
     tmp = tempfile.mkdtemp(prefix="ivfscan_")
@@ -1013,7 +1014,7 @@ def knn_filtered_ivf(spark, sf_dir):
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     n = e.count()
     cu = S.unit_normalize(e.select("vec_id", "embedding"), "embedding")
-    coarse = S.kmeans_centroids(cu, k=16, iters=2).localCheckpoint(eager=True)
+    coarse = FX.frozen_kmeans(spark, sf_dir, k=16, iters=2, unit=True).localCheckpoint(eager=True)
     assign = S.ivf_assign(cu, coarse, nprobe=1).drop("rank")
     lists_df = e.join(assign, "vec_id").select(
         "vec_id", "centroid_id", "label", "embedding"
@@ -1159,7 +1160,7 @@ def knn_ivfpq_pruned_store(spark, sf_dir):
 
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     n = e.count()
-    coarse, books, codes = S.ivfpq_index(e, num_centroids=16, m=8, ksub=16, iters=2)
+    coarse, books, codes = FX.frozen_ivfpq(spark, sf_dir, num_centroids=16, m=8, ksub=16, iters=2)
     coarse = coarse.localCheckpoint(eager=True)
     books = books.localCheckpoint(eager=True)
     codes = codes.localCheckpoint(eager=True)
@@ -1458,7 +1459,7 @@ def knn_filtered_ivfpq(spark, sf_dir):
     # iters stays 2: COARSE geometry is what recall rides on — measured
     # 26/33/46 at iters=2 vs 20/20/40 at iters=1, where two scales sit
     # exactly AT the pinned 20pct floor with zero regeneration margin.
-    coarse, books, codes = S.ivfpq_index(e, num_centroids=16, m=4, ksub=8, iters=2)
+    coarse, books, codes = FX.frozen_ivfpq(spark, sf_dir, num_centroids=16, m=4, ksub=8, iters=2)
     coarse = coarse.localCheckpoint(eager=True)
     books = books.localCheckpoint(eager=True)
     codes = codes.join(e.select("vec_id", "label"), "vec_id").select(
@@ -1576,7 +1577,7 @@ def knn_probe_recall_curve(spark, sf_dir):
     cu = S.unit_normalize(e.select("vec_id", "embedding"), "embedding").localCheckpoint(
         eager=True
     )
-    cents = S.kmeans_centroids(cu, k=16, iters=2).localCheckpoint(eager=True)
+    cents = FX.frozen_kmeans(spark, sf_dir, k=16, iters=2, unit=True).localCheckpoint(eager=True)
     assign = S.ivf_assign(cu, cents, nprobe=1).drop("rank").localCheckpoint(eager=True)
     q = e.filter(F.col("vec_id") < 3)
     exact = {
@@ -1721,7 +1722,7 @@ def dedup_incremental_semantic(spark, sf_dir):
     cub = S.unit_normalize(batch.select("vec_id", "embedding"), "embedding").localCheckpoint(
         eager=True
     )
-    cents = S.kmeans_centroids(cuh, k=8, iters=2).localCheckpoint(eager=True)
+    cents = FX.frozen_kmeans(spark, sf_dir, k=8, iters=2, unit=True, subset="history")
     asg_hist = S.ivf_assign(cuh, cents, nprobe=1).drop("rank")
 
     tmp = tempfile.mkdtemp(prefix="semidx_")

@@ -2790,18 +2790,28 @@ def dedup_incremental_containment(spark, sf_dir):
     back_post = TackleTable(spark, os.path.join(tmp, "post")).read()
     back_docs = TackleTable(spark, os.path.join(tmp, "docs")).read()
     full_docs, full_post = _containment_docs(shingled, "doc_id", "grams", T, None)
-    n_post = full_post.count()
-    post_ok = (back_post.count() == n_post) and (
-        back_post.join(full_post, ["doc_id", "sh"]).count() == n_post
+
+    # Order-invariant row-set signature (count, xor of row hashes, sum of
+    # bounded row hashes) instead of the former full equi-join: one
+    # map-side-combined aggregate pass per table, no shuffle of the full
+    # postings row set (VERDICT r10 item 8). A lost, drifted, or
+    # double-applied row moves the count or one of two independent
+    # hash folds. The full row-set equality remains pinned at sf0.001 by
+    # tests/test_incremental_containment.py.
+    def _sig(fr):
+        r = fr.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("x"),
+            F.sum(F.pmod(F.col("__h"), F.lit(1_000_000_007))).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["x"], r["s"])
+
+    post_h = lambda fr: fr.withColumn("__h", F.xxhash64("doc_id", "sh"))
+    docs_h = lambda fr: fr.withColumn(
+        "__h", F.xxhash64("doc_id", F.array_sort("arr"), "sz", "prefix_len")
     )
-    canon = lambda fr: fr.select(
-        "doc_id", F.array_sort("arr").alias("sarr"), "sz", "prefix_len"
-    )
-    n_docs = full_docs.count()
-    docs_ok = (back_docs.count() == n_docs) and (
-        canon(back_docs).join(canon(full_docs), ["doc_id", "sarr", "sz", "prefix_len"]).count()
-        == n_docs
-    )
+    post_ok = _sig(post_h(back_post)) == _sig(post_h(full_post))
+    docs_ok = _sig(docs_h(back_docs)) == _sig(docs_h(full_docs))
     merge_ok = post_ok and docs_ok
 
     return (
