@@ -390,3 +390,42 @@ def leakage_safe_split(
     last = splits[-1][0]
     expr = expr.otherwise(last) if expr is not None else F.lit(last)
     return df.withColumn("split", expr)
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, seed: int, n_buckets: int = 8
+) -> DataFrame:
+    """Deterministic seed-keyed global shuffle for training epochs.
+
+    Each row gets a 60-bit md5 sort key over ``"<seed>:<id>"`` — a pure
+    function of (seed, id), so the permutation is identical across
+    reruns, partitionings, cluster sizes, and engines (the
+    ``weighted_sample`` md5 discipline; DuckDB computes the same key as
+    ``('0x' || substr(md5(seed || ':' || id), 1, 15))::BIGINT``), and a
+    different seed yields an independent permutation — one seed per
+    epoch. Appending rows never perturbs existing keys (each key reads
+    only its own row), so a grown corpus keeps its old docs' relative
+    order.
+
+    Returns (``id_col``, sort_key, bucket) with ``bucket = sort_key %
+    n_buckets``. The global order is (sort_key, id); a training loader
+    that needs materialized shuffle order writes bucket-partitioned
+    files sorted by sort_key within each bucket — one repartition + a
+    local sort, never a global one — and streams buckets in key order.
+    No window, no global sort: at 100 TB the key is a map-side
+    projection and the bucketed write is the only shuffle.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed).cast("string"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        key.alias("sort_key"),
+        (key % n_buckets).alias("bucket"),
+    )

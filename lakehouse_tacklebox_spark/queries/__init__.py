@@ -195,13 +195,23 @@ _WINDOW_PRIORITY = [
     "ds_quarterly_share_shift",
     "ds_repeat_purchase_gap",
     "ds_customer_channel_overlap",
-    "ds_ntile_spend_bands",
-    "corpus_domain_stats",
-    "text_boilerplate_blocks",
+    # (c) the three round-11 additions (VERDICT r10 items 4-6), taking
+    # the slots of the last three r5-block names — ds_ntile_spend_bands,
+    # corpus_domain_stats, text_boilerplate_blocks, whose r5 rows remain
+    # valid evidence; they join the documented round-12 tail below.
+    "cdc_ann_index_upserts",
+    "corpus_epoch_shuffle",
+    "text_bpe_bytes",
 ]
 # Round-12 window plan (mechanical, from the ledger): FIRST any
 # round-11 additions that do not fit this 50-slot window, THEN the
-# 12-entry r5 tail (CORRECTNESS_r05 ledger order): ds_moving_avg_deviation, ds_first_purchase_cohort, ds_median_brand_price, ds_pareto_brands, ds_reactivated_customers, ds_top_percent_customers, ds_growth_streaks, ds_priority_segment_matrix, dedup_ngram_jaccard, validate_hashdiff_summary, join_asof, dedup_minhash_lsh.
+# 15-entry r5 tail (CORRECTNESS_r05 ledger order, plus the three names
+# the round-11 additions displaced): ds_moving_avg_deviation,
+# ds_first_purchase_cohort, ds_median_brand_price, ds_pareto_brands,
+# ds_reactivated_customers, ds_top_percent_customers, ds_growth_streaks,
+# ds_priority_segment_matrix, dedup_ngram_jaccard,
+# validate_hashdiff_summary, join_asof, dedup_minhash_lsh,
+# ds_ntile_spend_bands, corpus_domain_stats, text_boilerplate_blocks.
 # After that, the r6 block starts rotating. Done when nothing
 # predates r7 except the documented tail.
 

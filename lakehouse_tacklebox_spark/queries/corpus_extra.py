@@ -1021,3 +1021,194 @@ def corpus_dedup_cascade(spark, sf_dir):
         ],
         "stage bigint, rule string, n_killed bigint, n_survivors bigint",
     ).orderBy("stage")
+
+
+@register(
+    "corpus_epoch_shuffle",
+    tags=("corpus", "sampling", "training"),
+    # The one training-data staple the corpus family lacked (VERDICT
+    # r10 item 5): deterministic per-epoch global shuffle. The oracle
+    # pins the EXACT permutation prefix (first 20 docs in epoch-42
+    # order with their global rank, bucket, intra-bucket rank, and
+    # bucket occupancy) — both engines derive the identical 60-bit md5
+    # key, the weighted_sample discipline. The flags certify the
+    # properties a shuffle must hold at 100 TB: partition_invariant
+    # (recomputing under a different partitioning yields the same
+    # prefix — md5(seed:id) reads only its own row, unlike
+    # rand(seed)), append_invariant (keys computed on a half-corpus
+    # equal the same docs' keys in the full corpus, so ingest never
+    # reorders history), epochs_differ (seed 43's prefix is a different
+    # permutation — one seed per epoch), and write_roundtrip (the
+    # bucket-partitioned sorted write reads back with identical
+    # per-bucket counts and row-set signature).
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS sort_key
+        FROM documents
+    ), o AS (
+        SELECT doc_id, sort_key, sort_key % 8 AS bucket FROM k
+    ), bc AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_n FROM o GROUP BY 1
+    ), pre AS (
+        SELECT doc_id, sort_key, bucket,
+               CAST(row_number() OVER (ORDER BY sort_key, doc_id) AS BIGINT)
+                   AS epoch_rank
+        FROM o
+        QUALIFY epoch_rank <= 20
+    ), br AS (
+        SELECT p.doc_id, CAST(count(*) AS BIGINT) AS bucket_rank
+        FROM pre p JOIN o
+          ON o.bucket = p.bucket
+         AND (o.sort_key < p.sort_key
+              OR (o.sort_key = p.sort_key AND o.doc_id <= p.doc_id))
+        GROUP BY p.doc_id
+    )
+    SELECT p.epoch_rank, p.doc_id, p.bucket, br.bucket_rank, bc.bucket_n,
+           CAST(1 AS INT) AS partition_invariant,
+           CAST(1 AS INT) AS append_invariant,
+           CAST(1 AS INT) AS epochs_differ,
+           CAST(1 AS INT) AS write_roundtrip
+    FROM pre p
+    JOIN br ON br.doc_id = p.doc_id
+    JOIN bc ON bc.bucket = p.bucket
+    ORDER BY p.epoch_rank
+    """,
+)
+def corpus_epoch_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle for a training epoch: every
+    doc gets a seed-keyed md5 sort key (pure function of (seed, doc_id)
+    — identical across reruns, partitionings, and engines) and a
+    ``sort_key % 8`` bucket; the materialized shuffle is a
+    bucket-partitioned write sorted within each bucket. Emits the
+    epoch-42 permutation prefix (global rank, bucket, intra-bucket
+    rank, bucket occupancy) plus four certified properties:
+    partition-invariance, append-invariance, per-epoch independence,
+    and the bucketed-write round-trip.
+
+    Scale: the key is a map-side projection (no RNG stream, no zip-
+    with-index); the global order is never materialized as a global
+    sort — the prefix is a distributed top-k, intra-bucket ranks are
+    computed only for the 20 prefix rows (broadcast join + count), and
+    the write shuffles once on bucket with a LOCAL per-bucket sort."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.operators.corpus import epoch_shuffle
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    NB = 8
+    keyed = epoch_shuffle(d, "doc_id", seed=42, n_buckets=NB).localCheckpoint(
+        eager=True
+    )
+
+    bc = keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_n")
+    )
+
+    def prefix_rows(fr):
+        return (
+            fr.orderBy("sort_key", "doc_id")
+            .limit(20)
+            .collect()
+        )
+
+    pre = prefix_rows(keyed)
+    pre_ids = [r["doc_id"] for r in pre]
+
+    # partition-invariance: the same prefix under a hostile repartition
+    pre_alt = prefix_rows(epoch_shuffle(d.repartition(17), "doc_id", 42, NB))
+    partition_invariant = [r["doc_id"] for r in pre_alt] == pre_ids
+
+    # append-invariance: half-corpus keys equal the full-corpus keys
+    half = epoch_shuffle(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", 42, NB
+    ).select("doc_id", F.col("sort_key").alias("sk_h"))
+    n_half = half.count()
+    append_invariant = (
+        keyed.join(half, "doc_id")
+        .filter(F.col("sort_key") == F.col("sk_h"))
+        .count()
+        == n_half
+    )
+
+    # per-epoch independence: seed 43 is a different permutation
+    pre_43 = prefix_rows(epoch_shuffle(d, "doc_id", 43, NB))
+    epochs_differ = [r["doc_id"] for r in pre_43] != pre_ids
+
+    # bucketed write (the materialized shuffle): one shuffle on bucket,
+    # local sort, partitioned files; read back and certify counts + set
+    tmp = os.path.join(tempfile.mkdtemp(prefix="epoch_shuffle_"), "buckets")
+    (
+        keyed.repartition(NB, "bucket")
+        .sortWithinPartitions("sort_key")
+        .write.partitionBy("bucket")
+        .parquet(tmp)
+    )
+    # partitionBy writes `bucket` as a directory key; the read-back
+    # infers it as INT — cast to long so the row-set signature hashes
+    # the same types as the in-memory frame
+    back = spark.read.parquet(tmp).withColumn("bucket", F.col("bucket").cast("long"))
+
+    def _sig(fr):
+        r = fr.select(
+            F.xxhash64("doc_id", "sort_key", "bucket").alias("__h")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("x"),
+            F.sum(F.pmod(F.col("__h"), F.lit(1_000_000_007))).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["x"], r["s"])
+
+    back_bc = {
+        r["bucket"]: r["n"]
+        for r in back.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    bc_map = {r["bucket"]: r["bucket_n"] for r in bc.collect()}
+    write_roundtrip = (back_bc == bc_map) and (
+        _sig(back.select("doc_id", "sort_key", "bucket")) == _sig(keyed)
+    )
+
+    # intra-bucket rank for the 20 prefix rows only: broadcast the
+    # prefix against the keyed corpus, count rows at-or-before within
+    # the bucket
+    pre_df = spark.createDataFrame(
+        [
+            (i + 1, r["doc_id"], r["sort_key"], r["bucket"])
+            for i, r in enumerate(pre)
+        ],
+        "epoch_rank bigint, doc_id bigint, p_key long, p_bucket long",
+    )
+    br = (
+        keyed.join(
+            F.broadcast(pre_df),
+            (F.col("bucket") == F.col("p_bucket"))
+            & (
+                (F.col("sort_key") < F.col("p_key"))
+                | (
+                    (F.col("sort_key") == F.col("p_key"))
+                    & (keyed["doc_id"] <= pre_df["doc_id"])
+                )
+            ),
+        )
+        .groupBy("epoch_rank")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bucket_rank"))
+    )
+
+    return (
+        pre_df.join(br, "epoch_rank")
+        .join(F.broadcast(bc), pre_df["p_bucket"] == bc["bucket"])
+        .select(
+            "epoch_rank",
+            "doc_id",
+            F.col("p_bucket").alias("bucket"),
+            "bucket_rank",
+            "bucket_n",
+            F.lit(1 if partition_invariant else 0).cast("int").alias("partition_invariant"),
+            F.lit(1 if append_invariant else 0).cast("int").alias("append_invariant"),
+            F.lit(1 if epochs_differ else 0).cast("int").alias("epochs_differ"),
+            F.lit(1 if write_roundtrip else 0).cast("int").alias("write_roundtrip"),
+        )
+        .orderBy("epoch_rank")
+    )

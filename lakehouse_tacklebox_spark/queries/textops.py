@@ -1290,9 +1290,21 @@ def dedup_containment(spark, sf_dir):
 _BPE_TRAIN_N = 20
 
 
-def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
+_BPE_BYTES_V0 = """
+  SELECT concat(' ', trim(regexp_replace(hex(encode(w)), '(..)', '\\1  ', 'g')), ' ') AS sym,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' AND octet_length(encode(w)) >= 2
+  GROUP BY 1
+"""
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N, v0_sql: str | None = None) -> str:
     """Unrolled n-stage BPE-training SQL for DuckDB: v0 is the weighted
-    [a-z]{2,} vocab in the double-space symbol encoding; each stage k
+    [a-z]{2,} vocab in the double-space symbol encoding (or the caller's
+    ``v0_sql`` — text_bpe_bytes trains over UTF-8 hex-byte symbols with
+    the same program); each stage k
     takes the argmax adjacent pair of v_{k-1} (count desc, pair asc) and
     applies it via replace() with scalar subqueries. MATERIALIZED is
     load-bearing: v_k and m_k are each referenced more than once, and
@@ -1303,14 +1315,17 @@ def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
         "), unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2 "
         "ORDER BY n DESC, a, b LIMIT 1"
     )
+    default_v0 = (
+        "  SELECT concat(' ', trim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ') AS sym,\n"
+        "         CAST(count(*) AS BIGINT) AS cnt\n"
+        "  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w\n"
+        "        FROM documents)\n"
+        "  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2\n"
+        "  GROUP BY 1"
+    )
     parts = [
         "WITH v0 AS MATERIALIZED (",
-        "  SELECT concat(' ', trim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ') AS sym,",
-        "         CAST(count(*) AS BIGINT) AS cnt",
-        "  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w",
-        "        FROM documents)",
-        "  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2",
-        "  GROUP BY 1",
+        v0_sql if v0_sql is not None else default_v0,
         ")",
     ]
     for k in range(1, n_merges + 1):
@@ -1391,6 +1406,49 @@ def _derive_bpe_merges() -> list[tuple[str, str]] | None:
 
 
 _BPE_MERGES = _derive_bpe_merges() or _BPE_MERGES_FALLBACK
+
+
+# Byte-level BPE merge table (GPT-2-style UTF-8 byte fallback): trained
+# by the SAME unrolled-CTE program as _BPE_MERGES but over hex-byte
+# symbols of EVERY whitespace token (no [a-z] filter — the base alphabet
+# is all 256 bytes, so nothing is ever out-of-vocabulary). Derived at
+# import from the current gate corpus like _BPE_MERGES; the literal is
+# the environment-missing fallback (its provenance: this trainer's
+# output on the 2026-08 sf0.01 corpus).
+_BPE_BYTES_MERGES_FALLBACK = [
+    ("65", "72"), ("69", "6E"), ("6F", "77"), ("6F", "72"),
+    ("73", "74"), ("6D", "6572"), ("61", "74"), ("6C", "75"),
+    ("61", "72"), ("70", "6172"), ("6A", "6F"), ("6A6F", "696E"),
+    ("61", "73"), ("6173", "68"), ("68", "617368"), ("72", "6F77"),
+    ("6174", "63"), ("617463", "68"), ("62", "61746368"), ("61", "6E"),
+]
+
+
+def _derive_bpe_bytes_merges() -> list[tuple[str, str]] | None:
+    """Byte-level twin of _derive_bpe_merges: retrain the hex-byte merge
+    table on the current gate corpus via the unrolled-CTE DuckDB trainer
+    (certified equal to a pure-Python byte-BPE trainer in
+    tests/test_bpe_bytes.py)."""
+    import os
+
+    if not os.path.exists(_BPE_GATE_CORPUS):
+        return None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{_BPE_GATE_CORPUS}')"
+        )
+        rows = con.execute(_bpe_train_oracle(v0_sql=_BPE_BYTES_V0)).fetchall()
+        con.close()
+        return [(r[1], r[2]) for r in rows] or None
+    except Exception:
+        return None
+
+
+_BPE_BYTES_MERGES = _derive_bpe_bytes_merges() or _BPE_BYTES_MERGES_FALLBACK
 
 
 def _bpe_expr_sql(col: str, merges=None) -> str:
@@ -1481,6 +1539,144 @@ def text_bpe_tokenize(spark, sf_dir):
             F.expr("CAST((n_tokens * CAST(1000000 AS BIGINT)) div n_words AS BIGINT)")
             .alias("tokens_per_word_ppm"),
             "n_symbol_types",
+        )
+        .orderBy("source")
+    )
+
+
+_BPE_BYTES_SYM_DUCK = (
+    "concat(' ', trim(regexp_replace(hex(encode(w)), '(..)', '\\1  ', 'g')), ' ')"
+)
+
+
+def _bpe_bytes_oracle() -> str:
+    merged = ", ".join(f"'{a}{b}'" for a, b in _BPE_BYTES_MERGES)
+    return f"""
+    WITH words AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ), lw AS (
+        SELECT source, w FROM words WHERE w <> ''
+    ), b AS (
+        SELECT source, w,
+               {_bpe_expr_sql(_BPE_BYTES_SYM_DUCK, _BPE_BYTES_MERGES)} AS bpe
+        FROM lw
+    ), t AS (
+        SELECT source, w, bpe,
+               len(string_split(trim(bpe), '  ')) AS n_tok,
+               CAST(octet_length(encode(w)) AS BIGINT) AS nb,
+               CASE WHEN replace(trim(bpe), ' ', '') = hex(encode(w))
+                    THEN 0 ELSE 1 END AS rt_bad
+        FROM b
+    ), sy AS (
+        SELECT source, unnest(string_split(trim(bpe), '  ')) AS s FROM b
+    ), syx AS (
+        SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS n_symbol_types,
+               CAST(sum(CASE WHEN length(s) = 2 OR s IN ({merged})
+                             THEN 0 ELSE 1 END) AS BIGINT) AS oov_bad
+        FROM sy GROUP BY source
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT)   AS n_words,
+           CAST(sum(nb) AS BIGINT)    AS n_bytes,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST((sum(n_tok) * CAST(1000000 AS BIGINT)) // sum(nb) AS BIGINT)
+               AS tokens_per_byte_ppm,
+           syx.n_symbol_types,
+           CAST(CASE WHEN syx.oov_bad = 0 THEN 1 ELSE 0 END AS INT) AS no_oov,
+           CAST(CASE WHEN sum(rt_bad) = 0 THEN 1 ELSE 0 END AS INT)
+               AS bytes_roundtrip
+    FROM t JOIN syx USING (source)
+    GROUP BY t.source, syx.n_symbol_types, syx.oov_bad
+    ORDER BY t.source
+    """
+
+
+@register(
+    "text_bpe_bytes",
+    tags=("text", "tokenizer", "llm", "corpus"),
+    # The production GPT-2-style rung of the tokenizer ladder (VERDICT
+    # r10 item 6): BYTE-level BPE with UTF-8 fallback. Unlike
+    # text_bpe_tokenize's [a-z]+ char symbols, the base alphabet here
+    # is the 256 bytes of each word's UTF-8 encoding (as hex pairs in
+    # the exactness-certified double-space scheme — see _BPE_MERGES),
+    # so EVERY string tokenizes: no_oov certifies every emitted symbol
+    # is a base byte or a learned merge, and bytes_roundtrip certifies
+    # the merged symbols concatenate back to the exact UTF-8 hex of
+    # every word (merging never drops, duplicates, or reorders bytes —
+    # the no-OOV property, pinned on adversarial multi-byte strings in
+    # tests/test_bpe_bytes.py against a pure-Python reference). The
+    # merge table is trained by the same unrolled-CTE program as
+    # text_bpe_train, over byte symbols (_derive_bpe_bytes_merges).
+    oracle=_bpe_bytes_oracle(),
+)
+def text_bpe_bytes(spark, sf_dir):
+    """Byte-level BPE tokenization (GPT-2-style UTF-8 byte fallback) as
+    pure column expressions: every whitespace token — ANY script, ANY
+    punctuation, no [a-z] gate — becomes its UTF-8 hex-byte symbol
+    sequence, and the byte-trained 20-merge table is applied as a
+    chained replace() program in rank order (the same SQL text on both
+    engines). Emits per-source word/byte/token masses, integer
+    tokens-per-byte ppm, the post-merge symbol-type census, and two
+    certified properties: no_oov (base-256 fallback — nothing is ever
+    unrepresentable) and bytes_roundtrip (tokenization is a lossless
+    re-grouping of the byte stream). Scale: one scan, one explode,
+    whole-stage-codegen string ops, one groupBy on source."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    words = (
+        d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    sym = "concat(' ', trim(regexp_replace(hex(encode(w, 'UTF-8')), '(..)', '$1  ')), ' ')"
+    b = words.withColumn(
+        "bpe", F.expr(_bpe_expr_sql(sym, _BPE_BYTES_MERGES))
+    ).localCheckpoint(eager=False)
+    t = b.select(
+        "source",
+        "w",
+        "bpe",
+        F.size(F.split(F.trim(F.col("bpe")), "  ")).alias("n_tok"),
+        F.octet_length("w").cast("bigint").alias("nb"),
+        F.when(
+            F.replace(F.trim(F.col("bpe")), F.lit(" "), F.lit(""))
+            == F.hex(F.encode(F.col("w"), "UTF-8")),
+            0,
+        )
+        .otherwise(1)
+        .alias("rt_bad"),
+    )
+    merged = [a + b_ for a, b_ in _BPE_BYTES_MERGES]
+    syx = (
+        b.select("source", F.explode(F.split(F.trim(F.col("bpe")), "  ")).alias("s"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("s").cast("bigint").alias("n_symbol_types"),
+            F.sum(
+                F.when((F.length("s") == 2) | F.col("s").isin(merged), 0).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("oov_bad"),
+        )
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("nb").cast("bigint").alias("n_bytes"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("rt_bad").cast("bigint").alias("rt_bad"),
+        )
+        .join(syx, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_bytes",
+            "n_tokens",
+            F.expr("CAST((n_tokens * CAST(1000000 AS BIGINT)) div n_bytes AS BIGINT)")
+            .alias("tokens_per_byte_ppm"),
+            "n_symbol_types",
+            F.when(F.col("oov_bad") == 0, 1).otherwise(0).cast("int").alias("no_oov"),
+            F.when(F.col("rt_bad") == 0, 1).otherwise(0).cast("int").alias("bytes_roundtrip"),
         )
         .orderBy("source")
     )
