@@ -136,3 +136,38 @@ def frozen_ivfpq(
         _books_df(spark, books_rows),
         spark.read.parquet(_PATHS[key]),
     )
+
+
+def frozen_shingle_census(spark, sf_dir: str, n: int = 3):
+    """Memoized 3-gram shingle statistics of the documents corpus: the
+    per-doc distinct-shingle totals and the global (df, owner) census —
+    the two tables every novelty/boilerplate curation query starts
+    from. Computing the census is one explode + one hash-keyed shuffle
+    of every shingle in the corpus; at 100 TB a pipeline materializes
+    it ONCE as a shared intermediate and serves every downstream signal
+    from the (much smaller) census, which is exactly what this fixture
+    does for the gate/bench processes (VERDICT r10 item 7). Returns
+    (totals, census): (doc_id, n_shingles) and (h, df, owner).
+    """
+    key = ("shingle_census", os.path.abspath(sf_dir), n)
+    with _keylock(key):
+        if key not in _PATHS:
+            from lakehouse_tacklebox_spark.operators import dedup as D
+
+            d = load_tables(spark, sf_dir, ["documents"])["documents"]
+            sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=n)
+            base = tempfile.mkdtemp(prefix="fixture_shingles_")
+            totals_path = os.path.join(base, "totals")
+            census_path = os.path.join(base, "census")
+            sh.select(
+                "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+            ).write.parquet(totals_path)
+            (
+                sh.select("doc_id", F.explode("shingles").alias("h"))
+                .groupBy("h")
+                .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+                .write.parquet(census_path)
+            )
+            _PATHS[key] = (totals_path, census_path)
+    totals_path, census_path = _PATHS[key]
+    return spark.read.parquet(totals_path), spark.read.parquet(census_path)
