@@ -56,6 +56,12 @@ SF1_QUERIES = [
     "ds_basket_pairs",
     "text_boilerplate_blocks",
     "text_ngram_novelty",
+    # round-11 additions: the byte-fallback tokenizer (same scan-bound
+    # contract as text_wordpiece_segment) and the epoch shuffle (map-side
+    # key + top-k + one bucketed write — the ratio guards that the write
+    # stays the only shuffle)
+    "text_bpe_bytes",
+    "corpus_epoch_shuffle",
     "ds_exists_notexists_orders",
     "ds_return_rank_union",
     "ds_quarterly_share_shift",

@@ -203,8 +203,10 @@ _WINDOW_PRIORITY = [
     "corpus_epoch_shuffle",
     "text_bpe_bytes",
 ]
-# Round-12 window plan (mechanical, from the ledger): FIRST any
-# round-11 additions that do not fit this 50-slot window, THEN the
+# Round-12 window plan (mechanical, from the ledger): FIRST the
+# round-11 additions that did not fit this 50-slot window —
+# rag_rm3_expansion (driven green at both gate scales in the recorded
+# round-11 drives, never driver-checked) — THEN the
 # 15-entry r5 tail (CORRECTNESS_r05 ledger order, plus the three names
 # the round-11 additions displaced): ds_moving_avg_deviation,
 # ds_first_purchase_cohort, ds_median_brand_price, ds_pareto_brands,

@@ -1023,6 +1023,7 @@ def corpus_dedup_cascade(spark, sf_dir):
 @register(
     "corpus_epoch_shuffle",
     tags=("corpus", "sampling", "training"),
+    bench=True,
     # The one training-data staple the corpus family lacked (VERDICT
     # r10 item 5): deterministic per-epoch global shuffle. The oracle
     # pins the EXACT permutation prefix (first 20 docs in epoch-42

@@ -563,3 +563,217 @@ def rag_late_interaction(spark, sf_dir):
         .filter(F.col("li_rank") <= _LI_K)
         .orderBy("query_id", "li_rank")
     )
+
+
+@register(
+    "rag_rm3_expansion",
+    bench=True,
+    tags=("retrieval", "text", "rag", "prf"),
+    # Pseudo-relevance feedback (the RM3 shape: Lavrenko & Croft
+    # relevance models, as deployed in Indri/Anserini) — the rung of
+    # the retrieval ladder between plain BM25 (rag_hybrid_retrieval's
+    # keyword leg) and the re-rankers (knn_mmr_rerank,
+    # rag_late_interaction): a first-pass BM25 top-10 per query, an
+    # expansion-term model over the feedback docs (weight(w|q) =
+    # Σ_d tf(w,d)·1e6 DIV len(d) — the uniform-prior relevance model
+    # made integer-rational), the top-5 non-query terms appended with a
+    # 7:3 original:expansion weight split (the integer dial the MMR
+    # entry uses), and a second weighted-BM25 pass. EVERYTHING is
+    # BIGINT arithmetic — both passes, the term model, the weights —
+    # so DuckDB hash-compares the full second-pass ranking, and
+    # new_vs_firstpass pins that expansion actually moves the ranking
+    # (a PRF that returns the first-pass list is vacuous).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, w FROM toks
+        WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len) AS BIGINT) AS total
+        FROM dl
+    ), dft AS (
+        SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w
+    ), tft AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w
+    ), qt AS (
+        SELECT DISTINCT doc_id AS query_id, w FROM tok WHERE doc_id < 3
+    ), bm1 AS (
+        SELECT qt.query_id, tft.doc_id,
+               CAST(sum(
+                 (((2*(s.n_docs - dft.df) + 1) * 1000000) // (2*dft.df + 1))
+                 * ((44000*tft.tf*s.total)
+                    // (20*tft.tf*s.total + 6*s.total + 18*dl.len*s.n_docs))
+               ) AS BIGINT) AS score
+        FROM qt
+        JOIN tft USING (w)
+        JOIN dft USING (w)
+        JOIN dl ON dl.doc_id = tft.doc_id
+        CROSS JOIN stats s
+        WHERE tft.doc_id <> qt.query_id
+        GROUP BY 1, 2
+    ), fb AS (
+        SELECT query_id, doc_id, r FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS r
+            FROM bm1
+        ) WHERE r <= 10
+    ), relmodel AS (
+        SELECT fb.query_id, tft.w,
+               CAST(sum((tft.tf * 1000000) // dl.len) AS BIGINT) AS wgt_ppm
+        FROM fb
+        JOIN tft ON tft.doc_id = fb.doc_id
+        JOIN dl ON dl.doc_id = fb.doc_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM qt WHERE qt.query_id = fb.query_id AND qt.w = tft.w
+        )
+        GROUP BY 1, 2
+    ), exp AS (
+        SELECT query_id, w FROM (
+            SELECT query_id, w,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY wgt_ppm DESC, w) AS er
+            FROM relmodel
+        ) WHERE er <= 5
+    ), q2 AS (
+        SELECT query_id, w, CAST(7 AS BIGINT) AS qw FROM qt
+        UNION ALL
+        SELECT query_id, w, CAST(3 AS BIGINT) AS qw FROM exp
+    ), bm2 AS (
+        SELECT q2.query_id, tft.doc_id,
+               CAST(sum(
+                 q2.qw
+                 * (((2*(s.n_docs - dft.df) + 1) * 1000000) // (2*dft.df + 1))
+                 * ((44000*tft.tf*s.total)
+                    // (20*tft.tf*s.total + 6*s.total + 18*dl.len*s.n_docs))
+               ) AS BIGINT) AS score
+        FROM q2
+        JOIN tft USING (w)
+        JOIN dft USING (w)
+        JOIN dl ON dl.doc_id = tft.doc_id
+        CROSS JOIN stats s
+        WHERE tft.doc_id <> q2.query_id
+        GROUP BY 1, 2
+    ), final AS (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS rank
+        FROM bm2
+    )
+    SELECT f.query_id, f.doc_id, f.score, f.rank,
+           CAST(CASE WHEN fb.r IS NULL OR fb.r > 5 THEN 1 ELSE 0 END AS INT)
+               AS new_vs_firstpass
+    FROM final f
+    LEFT JOIN fb ON fb.query_id = f.query_id AND fb.doc_id = f.doc_id
+    WHERE f.rank <= 5
+    ORDER BY f.query_id, f.rank
+    """,
+)
+def rag_rm3_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (RM3 shape): BM25 first pass
+    → integer-rational relevance model over the top-10 feedback docs →
+    top-5 expansion terms per query (non-query terms, weight
+    Σ tf·1e6 DIV len) → second BM25 pass with a 7:3 original:expansion
+    term-weight split → top-5, flagged where expansion surfaced a doc
+    the first pass missed. Plan shape at 100 TB: tf/df/len censuses are
+    one corpus scan (shared by both passes — computed once here); each
+    pass is a posting-list join bounded by the probed terms' postings
+    (the expansion adds ≤5 terms/query, so the second pass costs the
+    same shape as the first); the relevance model touches only the
+    10·|queries| feedback docs' postings. No floats anywhere — see the
+    register note."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    ).localCheckpoint(eager=False)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("total"),
+    )
+    dft = tok.groupBy("w").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    tft = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).localCheckpoint(eager=True)
+    qt = tok.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "w"
+    ).distinct().localCheckpoint(eager=True)
+
+    contrib = F.expr(
+        "(((2*(n_docs - df) + 1) * CAST(1000000 AS BIGINT)) DIV (2*df + 1))"
+        " * ((44000*tf*total)"
+        "    DIV (20*tf*total + 6*total + 18*len*n_docs))"
+    )
+
+    def bm25(qterms, weighted: bool):
+        scored = (
+            tft.join(F.broadcast(qterms), "w")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .join(dft, "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("c", contrib)
+        )
+        if weighted:
+            scored = scored.withColumn("c", F.col("qw") * F.col("c"))
+        return scored.groupBy("query_id", "doc_id").agg(
+            F.sum("c").cast("bigint").alias("score")
+        )
+
+    wk = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    fb = (
+        bm25(qt, weighted=False)
+        .withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "doc_id", "r")
+        .localCheckpoint(eager=True)
+    )
+
+    relmodel = (
+        fb.join(tft, "doc_id")
+        .join(dl, "doc_id")
+        .withColumn("t_ppm", F.expr("(tf * CAST(1000000 AS BIGINT)) DIV len"))
+        .groupBy("query_id", "w")
+        .agg(F.sum("t_ppm").cast("bigint").alias("wgt_ppm"))
+        .join(qt, ["query_id", "w"], "left_anti")
+    )
+    we = W.partitionBy("query_id").orderBy(F.col("wgt_ppm").desc(), "w")
+    exp = (
+        relmodel.withColumn("er", F.row_number().over(we))
+        .filter(F.col("er") <= 5)
+        .select("query_id", "w")
+    )
+    q2 = qt.withColumn("qw", F.lit(7).cast("bigint")).unionByName(
+        exp.withColumn("qw", F.lit(3).cast("bigint"))
+    )
+
+    final = (
+        bm25(q2, weighted=True)
+        .withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
+    return (
+        final.join(
+            fb.select("query_id", "doc_id", F.col("r").alias("fb_r")),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            "rank",
+            F.when(F.col("fb_r").isNull() | (F.col("fb_r") > 5), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("new_vs_firstpass"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1595,6 +1595,7 @@ def _bpe_bytes_oracle() -> str:
 @register(
     "text_bpe_bytes",
     tags=("text", "tokenizer", "llm", "corpus"),
+    bench=True,
     # The production GPT-2-style rung of the tokenizer ladder (VERDICT
     # r10 item 6): BYTE-level BPE with UTF-8 fallback. Unlike
     # text_bpe_tokenize's [a-z]+ char symbols, the base alphabet here
