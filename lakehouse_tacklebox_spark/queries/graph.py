@@ -1,0 +1,161 @@
+"""Iterative graph analytics over the real part–supplier bipartite
+graph (distinct (l_partkey, l_suppkey) pairs of lineitem) — the
+fixed-point family the battery lacked. Everything is INTEGER
+arithmetic (ppm masses, floor division), so even a 5-iteration power
+method is hash-comparable against a DuckDB replay of the identical
+unrolled program — the iterative class usually waved through as
+rows-only gets a full oracle here.
+
+Spark-first shape: the edge list is built once and cached; each
+iteration is one groupBy-on-destination shuffle of contributions (the
+Pregel/GraphX aggregate-messages step as plain DataFrame ops). At
+100 TB the edges partition on dst across the fleet, contributions
+combine map-side, and k iterations cost k edge-shuffles — the textbook
+distributed PageRank plan, with no driver-side state but the loop
+counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_tacklebox_spark.queries import register
+from lakehouse_tacklebox_spark.sources import load_tables
+
+_PR_ITERS = 5
+_PR_TOPK = 20
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, topk: int = _PR_TOPK) -> str:
+    """Unrolled ``iters``-stage integer PageRank for DuckDB (the
+    _bpe_train_oracle pattern): nodes are 2*partkey / 2*suppkey+1, edges
+    go both directions (so every node has out-degree >= 1 — no dangling
+    mass), mass starts at 1e6 ppm, and each stage is
+    ``150000 + (85 * inflow) // 100`` with ``inflow`` the sum of
+    ``mass // outdeg`` over in-edges — the damping-0.85 power step in
+    exact floor arithmetic, identical on both engines."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst
+            FROM lineitem
+            UNION
+            SELECT DISTINCT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst
+            FROM lineitem
+        )
+    ), deg AS MATERIALIZED (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1
+    ), m0 AS MATERIALIZED (
+        SELECT node, CAST(1000000 AS BIGINT) AS mass FROM deg
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", m{k} AS MATERIALIZED (
+        SELECT deg.node,
+               CAST(150000 + (85 * coalesce(inn.s, 0)) // 100 AS BIGINT) AS mass
+        FROM deg
+        LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(m.mass // d.outdeg) AS BIGINT) AS s
+            FROM e
+            JOIN m{k - 1} m ON m.node = e.src
+            JOIN deg d ON d.node = e.src
+            GROUP BY 1
+        ) inn ON inn.node = deg.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, mass AS mass_ppm,
+           CAST(row_number() OVER (ORDER BY mass DESC, node) AS BIGINT) AS rank,
+           CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind
+    FROM m{iters}
+    QUALIFY rank <= {topk}
+    ORDER BY rank
+    """
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_pagerank_bipartite",
+    tags=("graph", "iterative", "join"),
+    bench=True,
+    # Fixed-iteration power method with an EXACT oracle: the usual
+    # "iterative algorithms aren't SQL-expressible" exemption doesn't
+    # apply when the iteration count is fixed and the arithmetic is
+    # integer — DuckDB replays the identical 5-stage unrolled program
+    # (floor divisions and all) and hash-compares the full top-20.
+    # The graph is real data (distinct part–supplier pairs), made
+    # symmetric so no node dangles; suppliers aggregate mass from the
+    # many parts they stock, which is what makes the ranking
+    # non-trivial (top of the list is suppliers at every gate scale).
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank_bipartite(spark, sf_dir):
+    """Integer PageRank (damping 0.85, 5 iterations) over the
+    part–supplier bipartite graph: nodes 2·partkey / 2·suppkey+1,
+    symmetric distinct edges from lineitem, mass in exact ppm with
+    floor-division updates — top-20 nodes by final mass. Each
+    iteration is one aggregate-messages shuffle (contributions
+    ``mass DIV outdeg`` grouped on dst) over the cached edge frame;
+    iterations checkpoint so the plan stays k-shallow instead of
+    k-exponential. The 100 TB shape is the canonical distributed
+    PageRank: edges hash-partitioned, map-side combine, k shuffles for
+    k iterations, no driver state."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    fwd = li.select(
+        (2 * F.col("l_partkey")).cast("bigint").alias("src"),
+        (2 * F.col("l_suppkey") + 1).cast("bigint").alias("dst"),
+    ).distinct()
+    e = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    ).localCheckpoint(eager=True)
+
+    mass = deg.select("node", F.lit(1000000).cast("bigint").alias("mass"))
+    for _ in range(_PR_ITERS):
+        inflow = (
+            e.join(mass.withColumnRenamed("node", "src"), "src")
+            .join(deg.select(F.col("node").alias("src"), "outdeg"), "src")
+            .select("dst", F.expr("mass DIV outdeg").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        mass = (
+            deg.select("node")
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000)
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+                )
+                .cast("bigint")
+                .alias("mass"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # top-k as a distributed TakeOrdered (never a global-order window —
+    # a single-partition rank over every node is the 100 TB smell the
+    # plan audit flags); ranks attach to the 20 collected rows
+    top = (
+        mass.orderBy(F.col("mass").desc(), "node").limit(_PR_TOPK).collect()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["node"],
+                r["mass"],
+                i + 1,
+                "part" if r["node"] % 2 == 0 else "supplier",
+            )
+            for i, r in enumerate(top)
+        ],
+        "node bigint, mass_ppm bigint, rank bigint, kind string",
+    ).orderBy("rank")
