@@ -524,3 +524,96 @@ def table_restore_bad_write(spark, sf_dir):
         .withColumn("bad_version_auditable", F.lit(1 if auditable else 0).cast("int"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "table_vacuum_retention",
+    tags=("tablestore", "storage", "time-travel", "maintenance"),
+    # The retention-horizon half of VACUUM (table_optimize_compaction
+    # only pins that vacuum reclaims compaction debris): after a
+    # rewriting DELETE, the pre-delete version is still time-travelable
+    # — until VACUUM with keep_versions=1 physically drops its files.
+    # Flags certify the full contract: the horizon is real (the old
+    # version READ fine before vacuum and fails after), the current
+    # head is untouched (census equals the raw-parquet oracle), the
+    # commit LOG survives (history still lists every version — vacuum
+    # deletes data files, never provenance), and a second vacuum is a
+    # no-op (nothing left outside the horizon). At 100 TB this is the
+    # storage-cost lever: time travel is priced in retained files, and
+    # vacuum is the explicit, idempotent act that trades audit depth
+    # for space.
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(1 AS INT) AS historical_readable_before,
+           CAST(1 AS INT) AS historical_pruned_after,
+           CAST(1 AS INT) AS current_read_intact,
+           CAST(1 AS INT) AS vacuum_idempotent,
+           CAST(1 AS INT) AS log_preserved
+    FROM documents
+    WHERE doc_id % 4 <> 1
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def table_vacuum_retention(spark, sf_dir):
+    """VACUUM retention semantics: a rewriting DELETE leaves the
+    pre-delete files on disk (time travel to v1 still works); VACUUM
+    keep_versions=1 drops exactly the files outside the horizon —
+    after it, the v1 read fails, the head census is byte-identical to
+    the oracle, the commit log still lists every version, and a second
+    vacuum removes nothing. Cost ∝ files outside the horizon (a local
+    file walk against the kept set — no data read, no shuffle)."""
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.mkdtemp(prefix=f"vacret_{tag}_")
+    path = os.path.join(tmp, "docs")
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+
+    t = TackleTable.create(spark, path, d.repartition(4))
+    v_full = t.version()
+    t.delete("doc_id % 4 = 1")
+
+    def _v1_count():
+        try:
+            return t.read(version=v_full).count()
+        except Exception:
+            return None
+
+    n_total = d.count()
+    historical_before = _v1_count() == n_total
+
+    removed1 = t.vacuum(keep_versions=1)
+    historical_after = _v1_count() is None
+    removed2 = t.vacuum(keep_versions=1)
+    idempotent = (removed1 > 0) and (removed2 == 0)
+    # vacuum deletes data files, never log entries: CREATE + DELETE
+    # must both still be listed with their operations intact
+    ops = [h.get("operation") for h in t.history()]
+    log_preserved = "CREATE" in ops and "DELETE" in ops and len(ops) == 2
+
+    survivors = t.read().localCheckpoint(eager=True)
+    expected = d.filter(F.col("doc_id") % 4 != 1)
+    n_exp = expected.count()
+    intact = (survivors.count() == n_exp) and (
+        survivors.join(expected, ["doc_id", "source", "n_chars"]).count() == n_exp
+    )
+
+    return (
+        survivors.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "historical_readable_before",
+            F.lit(1 if historical_before else 0).cast("int"),
+        )
+        .withColumn(
+            "historical_pruned_after", F.lit(1 if historical_after else 0).cast("int")
+        )
+        .withColumn("current_read_intact", F.lit(1 if intact else 0).cast("int"))
+        .withColumn("vacuum_idempotent", F.lit(1 if idempotent else 0).cast("int"))
+        .withColumn("log_preserved", F.lit(1 if log_preserved else 0).cast("int"))
+        .orderBy("source")
+    )
