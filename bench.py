@@ -62,6 +62,11 @@ SF1_QUERIES = [
     # stays the only shuffle)
     "text_bpe_bytes",
     "corpus_epoch_shuffle",
+    # iterative pagerank (k edge-shuffles — the ratio guards that the
+    # edge census, not iteration count, owns the cost) and RM3 (two
+    # posting-list passes sharing one census set)
+    "graph_pagerank_bipartite",
+    "rag_rm3_expansion",
     "ds_exists_notexists_orders",
     "ds_return_rank_union",
     "ds_quarterly_share_shift",

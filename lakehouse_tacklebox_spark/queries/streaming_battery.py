@@ -1664,18 +1664,29 @@ def cdc_ann_index_deletes(spark, sf_dir):
 
     survivors = fact.read().localCheckpoint(eager=True)
     n_surv = survivors.count()
-    frozen = S.ivfpq_encode(survivors, coarse, books).select(
-        "vec_id",
-        F.col("centroid_id").alias("c_f"),
-        F.col("codes").alias("codes_f"),
+
+    # order-invariant row-set signature (count + xor + bounded-sum of
+    # row hashes — the cdc_ann_index_upserts pattern): one map-side
+    # aggregate pass per side instead of a corpus-wide equi-join; a
+    # zombie row, an over-delete, or a drifting encoder moves a fold
+    def _sig(fr):
+        h = F.xxhash64("vec_id", "centroid_id", "codes")
+        r = fr.select(h.alias("__h")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("x"),
+            F.sum(F.pmod(F.col("__h"), F.lit(1_000_000_007))).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["x"], r["s"])
+
+    norm = lambda fr: fr.select(
+        F.col("vec_id").cast("bigint"),
+        F.col("centroid_id").cast("int"),
+        F.col("codes").cast("array<int>"),
     )
+    frozen = norm(S.ivfpq_encode(survivors, coarse, books))
     mv_now = mv.read()
-    n_match = (
-        mv_now.join(frozen, "vec_id")
-        .filter((F.col("centroid_id") == F.col("c_f")) & (F.col("codes") == F.col("codes_f")))
-        .count()
-    )
-    retraction_match = (mv_now.count() == n_surv) and (n_match == n_surv)
+    mv_sig = _sig(norm(mv_now))
+    retraction_match = (mv_sig[0] == n_surv) and (mv_sig == _sig(frozen))
 
     # occupancy dial: max/mean list size in ppm (exact integer arithmetic);
     # the mean divisor is derived from num_centroids, not a literal, so a
@@ -1690,24 +1701,10 @@ def cdc_ann_index_deletes(spark, sf_dir):
     rebuild_match = False
     if rebalance_triggered:
         _, _, codes2 = S.ivfpq_index(survivors, num_centroids=num_centroids, m=4, ksub=8, iters=1)
-        codes2 = codes2.select(
-            F.col("vec_id").cast("bigint"),
-            F.col("centroid_id").cast("int"),
-            F.col("codes").cast("array<int>"),
-        ).localCheckpoint(eager=True)
+        codes2 = norm(codes2).localCheckpoint(eager=True)
         mv.overwrite(codes2, txn=("mv_rebalance", 1))
-        final = TackleTable(spark, mv_dir).read()
-        n_final = final.join(
-            codes2.select(
-                "vec_id",
-                F.col("centroid_id").alias("c_r"),
-                F.col("codes").alias("codes_r"),
-            ),
-            "vec_id",
-        ).filter(
-            (F.col("centroid_id") == F.col("c_r")) & (F.col("codes") == F.col("codes_r"))
-        ).count()
-        rebuild_match = (final.count() == n_surv) and (n_final == n_surv)
+        final_sig = _sig(norm(TackleTable(spark, mv_dir).read()))
+        rebuild_match = (final_sig[0] == n_surv) and (final_sig == _sig(codes2))
 
     return spark.createDataFrame(
         [
