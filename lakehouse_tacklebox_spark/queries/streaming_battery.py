@@ -2361,3 +2361,164 @@ def stream_phash_index_mv(spark, sf_dir):
         "n_images bigint, n_copies bigint, n_pairs bigint, copies_all_matched int,"
         " no_false_pairs int, index_merge_match int, occupancy_match int, replay_noop int",
     )
+
+
+@register(
+    "stream_epoch_shuffle_mv",
+    tags=("streaming", "corpus", "training", "transactions", "incremental"),
+    # The incremental posture of corpus_epoch_shuffle (append-invariance
+    # is what MAKES it incremental: md5(seed:id) reads only its own row,
+    # so a micro-batch can key itself with no history read): documents
+    # stream in; each epoch appends its keyed rows to the shuffle MV and
+    # merges the per-bucket census under per-table txn idempotence; the
+    # last epoch replays twice and must no-op on both tables. The
+    # emitted per-bucket occupancy is fully DuckDB-derivable (the same
+    # md5 arithmetic), and the flags certify the MV row-set equals a
+    # from-scratch keying of everything streamed (order-invariant
+    # signature) and the merged census equals the MV's own groupBy.
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS sort_key
+        FROM documents
+    )
+    SELECT sort_key % 8 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(1 AS INT) AS index_merge_match,
+           CAST(1 AS INT) AS census_match,
+           CAST(1 AS INT) AS replay_noop
+    FROM k
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_epoch_shuffle_mv(spark, sf_dir):
+    """Streaming maintenance of the training-epoch shuffle: arriving
+    documents are keyed per micro-batch (seed-keyed md5 — a pure
+    per-row function, so batches need no history and the MV is
+    append-only) and the per-bucket census is read-merge-overwritten,
+    both under Delta-txn idempotence with the final epoch double-
+    replayed. Per-batch cost ∝ batch size + a bucket-count-sized census
+    merge; at 100 TB the shuffle order of an ever-growing corpus is
+    maintained by appends alone — history is never re-keyed, which is
+    the append-invariance corpus_epoch_shuffle certifies."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.operators.corpus import epoch_shuffle
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tmp = tempfile.mkdtemp(prefix="epoch_mv_")
+    src_dir = os.path.join(tmp, "src")
+    mv_dir = os.path.join(tmp, "mv")
+    occ_dir = os.path.join(tmp, "occ")
+    ckpt = os.path.join(tmp, "ckpt")
+    NB = 8
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    d.repartition(4).write.parquet(src_dir)
+    TackleTable.create(
+        spark, mv_dir, schema="doc_id bigint, sort_key bigint, bucket bigint"
+    )
+    TackleTable.create(spark, occ_dir, schema="bucket bigint, n bigint")
+
+    def _apply(batch_df, epoch):
+        s = batch_df.sparkSession
+        keyed = epoch_shuffle(batch_df, "doc_id", seed=42, n_buckets=NB).select(
+            F.col("doc_id").cast("bigint"),
+            F.col("sort_key").cast("bigint"),
+            F.col("bucket").cast("bigint"),
+        ).localCheckpoint(eager=True)
+        mt = TackleTable(s, mv_dir)
+        if mt.txn_version("epoch_mv") < epoch:
+            mt.append(keyed, txn=("epoch_mv", epoch))
+        ot = TackleTable(s, occ_dir)
+        if ot.txn_version("epoch_occ") < epoch:
+            batch_occ = keyed.groupBy("bucket").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_b")
+            )
+            merged = (
+                ot.read()
+                .join(batch_occ, "bucket", "full_outer")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("n"), F.lit(0))
+                        + F.coalesce(F.col("n_b"), F.lit(0))
+                    ).cast("bigint").alias("n"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ot.overwrite(merged, txn=("epoch_occ", epoch))
+
+    last = {"epoch": None, "rows": None}
+
+    def _tracking(batch_df, epoch):
+        last["epoch"], last["rows"] = epoch, batch_df.collect()
+        _apply(batch_df, epoch)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_tracking)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
+
+    versions = tuple(TackleTable(spark, p).version() for p in (mv_dir, occ_dir))
+    if last["epoch"] is not None:
+        replay_df = spark.createDataFrame(last["rows"], raw_schema)
+        _apply(replay_df, last["epoch"])
+        _apply(replay_df, last["epoch"])
+    replay_noop = versions == tuple(
+        TackleTable(spark, p).version() for p in (mv_dir, occ_dir)
+    )
+
+    back = TackleTable(spark, mv_dir).read().localCheckpoint(eager=True)
+    full = epoch_shuffle(spark.read.parquet(src_dir), "doc_id", 42, NB).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("sort_key").cast("bigint"),
+        F.col("bucket").cast("bigint"),
+    )
+
+    def _sig(fr):
+        r = fr.select(
+            F.xxhash64("doc_id", "sort_key", "bucket").alias("__h")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("x"),
+            F.sum(F.pmod(F.col("__h"), F.lit(1_000_000_007))).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["x"], r["s"])
+
+    index_merge_match = _sig(back) == _sig(full)
+
+    occ_back = {
+        r["bucket"]: r["n"]
+        for r in TackleTable(spark, occ_dir).read().collect()
+    }
+    occ_mv = {
+        r["bucket"]: r["n"]
+        for r in back.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()
+    }
+    census_match = occ_back == occ_mv
+
+    return (
+        back.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "index_merge_match", F.lit(1 if index_merge_match else 0).cast("int")
+        )
+        .withColumn("census_match", F.lit(1 if census_match else 0).cast("int"))
+        .withColumn("replay_noop", F.lit(1 if replay_noop else 0).cast("int"))
+        .orderBy("bucket")
+    )
