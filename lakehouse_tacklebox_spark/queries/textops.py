@@ -1762,6 +1762,87 @@ def text_bpe_train(spark, sf_dir):
 
 
 @register(
+    "text_bpe_bytes_train",
+    tags=("text", "tokenizer", "llm", "corpus"),
+    # The TRAIN side of the byte-level family (text_bpe_bytes is the
+    # apply side, consuming this entry's pinned output) — the same
+    # Sennrich reduction as text_bpe_train run over UTF-8 hex-byte
+    # symbols of EVERY whitespace token: one corpus scan builds the
+    # weighted byte-symbol vocab, then each of the 20 iterations is an
+    # adjacent-pair census over the cached vocab + a one-row argmax +
+    # a replace(). The oracle replays the identical 20-stage program
+    # as unrolled materialized CTEs over the byte v0
+    # (_bpe_train_oracle(v0_sql=_BPE_BYTES_V0)), and the trainer is
+    # certified equal to a brute-force pure-Python byte trainer in
+    # tests/test_bpe_bytes.py.
+    oracle=_bpe_train_oracle(v0_sql=_BPE_BYTES_V0),
+)
+def text_bpe_bytes_train(spark, sf_dir):
+    """Byte-level BPE TRAINING (the GPT-2 shape: base alphabet = the
+    256 UTF-8 bytes, so training needs no character filter and the
+    learned tokenizer can never go out-of-vocabulary): weighted vocab
+    over every whitespace token's hex-byte symbol sequence, then 20
+    merge iterations — pair census over the |vocab|-sized cached frame,
+    deterministic argmax (count desc, pair asc), replace(). At 100 TB
+    the corpus pass is the only big job; the loop runs on a frame the
+    size of the token inventory."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.trim("text"), r"\s+")
+    vocab = (
+        d.select(F.explode(toks).alias("w"))
+        .filter((F.col("w") != "") & (F.octet_length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.expr(
+                "concat(' ', trim(regexp_replace(hex(encode(w, 'UTF-8')),"
+                " '(..)', '$1  ')), ' ')"
+            ).alias("sym"),
+            "cnt",
+        )
+        .groupBy("sym")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .cache()
+    )
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        sym_expr = "sym"
+        for rank in range(1, _BPE_TRAIN_N + 1):
+            top = (
+                vocab.select(
+                    F.expr(f"split(trim({sym_expr}), '  ')").alias("s"), "cnt"
+                )
+                .select(
+                    F.explode(
+                        F.expr(
+                            "CASE WHEN size(s) >= 2 THEN"
+                            " transform(sequence(1, size(s) - 1),"
+                            " i -> struct(s[i-1] AS a, s[i] AS b))"
+                            " ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").cast("bigint").alias("n"))
+                .orderBy(F.desc("n"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+            merges.append((rank, a, b, int(n)))
+            sym_expr = f"replace({sym_expr}, ' {a}  {b} ', ' {a}{b} ')"
+        return spark.createDataFrame(
+            [(r, a, b, a + b, n) for r, a, b, n in merges],
+            "rank int, pair_a string, pair_b string, merged string, pair_count bigint",
+        ).orderBy("rank")
+    finally:
+        vocab.unpersist()
+
+
+@register(
     "text_bpe_pair_census",
     tags=("text", "tokenizer", "corpus"),
     oracle="""
