@@ -606,8 +606,11 @@ def dedup_semantic_clusters(spark, sf_dir):
     # EXACTLY pair-for-pair and rank-for-rank (the compressed inverted
     # index may only ever PRE-FILTER); recall_ge_40pct — the measured
     # recall@5 floor of the production shape (nprobe 3 of 8,
-    # shortlist max(50, n/10)) on the isotropic corpus: 0.60/0.58/0.56
-    # at sf0.001/0.01/0.1 — the probed fraction dominates on isotropic
+    # shortlist max(50, n/10)) on the isotropic corpus: 0.54/0.52/0.62
+    # at sf0.001/0.01/0.1 with iters=2 (round 11; iters=3 measured
+    # 0.60/0.58/0.56 — one fewer Lloyd pass keeps a >=12-point margin
+    # over the floor and full-probe exactness, at two fewer training
+    # jobs per drive) — the probed fraction dominates on isotropic
     # data, exactly the IVF theory. Both quantizers are xxhash-seeded →
     # deterministic.
     oracle="""
@@ -644,7 +647,7 @@ def knn_ivfpq_rerank(spark, sf_dir):
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
     n_corpus = e.count()
-    coarse, books, codes = FX.frozen_ivfpq(spark, sf_dir, num_centroids=8, m=8, ksub=16, iters=3)
+    coarse, books, codes = FX.frozen_ivfpq(spark, sf_dir, num_centroids=8, m=8, ksub=16, iters=2)
     codes = codes.localCheckpoint(eager=True)
     bf = S.knn_bruteforce(e, q, k=5)
 
