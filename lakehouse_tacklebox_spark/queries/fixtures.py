@@ -83,6 +83,11 @@ def frozen_kmeans(
                 raise ValueError(f"unknown subset {subset!r}")
             if unit:
                 e = S.unit_normalize(e, "embedding")
+            # eager checkpoint: every Lloyd iteration re-reads its input,
+            # so without this each iteration re-derives the scan +
+            # normalization (the pre-fixture call sites checkpointed
+            # their training input for the same reason)
+            e = e.localCheckpoint(eager=True)
             cents = S.kmeans_centroids(e, k=k, iters=iters)
             _ROWS[key] = [
                 (r["centroid_id"], list(r["embedding"])) for r in cents.collect()
