@@ -207,9 +207,9 @@ _WINDOW_PRIORITY = [
 # Round-12 window plan (mechanical, from the ledger): FIRST the
 # round-11 additions that did not fit this 50-slot window —
 # rag_rm3_expansion, graph_pagerank_bipartite, table_vacuum_retention,
-# stream_epoch_shuffle_mv, and text_bpe_bytes_train (all driven green
-# at both gate scales in the recorded round-11 drives, never
-# driver-checked) — THEN the
+# stream_epoch_shuffle_mv, text_bpe_bytes_train, and
+# graph_bfs_distance (all driven green at both gate scales in the
+# recorded round-11 drives, never driver-checked) — THEN the
 # 15-entry r5 tail (CORRECTNESS_r05 ledger order, plus the three names
 # the round-11 additions displaced): ds_moving_avg_deviation,
 # ds_first_purchase_cohort, ds_median_brand_price, ds_pareto_brands,

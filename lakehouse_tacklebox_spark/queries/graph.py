@@ -159,3 +159,111 @@ def graph_pagerank_bipartite(spark, sf_dir):
         ],
         "node bigint, mass_ppm bigint, rank bigint, kind string",
     ).orderBy("rank")
+
+
+_BFS_HOPS = 4
+
+
+def _bfs_oracle(hops: int = _BFS_HOPS) -> str:
+    """Unrolled ``hops``-stage BFS min-distance SQL for DuckDB over the
+    same symmetric part–supplier edge list as the PageRank entry; seeds
+    are the part nodes with l_partkey < 3. Each stage takes the union
+    of the previous distance table and its one-hop expansion, keeping
+    the min distance per node — exact integer, so the final
+    per-distance census (count, min node, max node) hash-compares."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst
+            FROM lineitem
+            UNION
+            SELECT DISTINCT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst
+            FROM lineitem
+        )
+    ), d0 AS MATERIALIZED (
+        SELECT DISTINCT 2*l_partkey AS node, CAST(0 AS BIGINT) AS dist
+        FROM lineitem WHERE l_partkey < 3
+    )"""
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f""", d{k} AS MATERIALIZED (
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM e JOIN d{k - 1} d ON e.src = d.node
+        ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM d{hops}
+    GROUP BY dist
+    ORDER BY dist
+    """
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_bfs_distance",
+    tags=("graph", "iterative", "join"),
+    # Second member of the fixed-iteration graph family (with
+    # graph_pagerank_bipartite): k-hop BFS min-distance from a seed
+    # set, exact integers end to end, oracled by the identical
+    # unrolled program. The per-distance census alternates node kinds
+    # (even dist = parts, odd = suppliers — the bipartite structure is
+    # visible in the answer), and nodes outside the 4-hop ball are
+    # absent, not defaulted, so reachability is part of the contract.
+    oracle=_bfs_oracle(),
+)
+def graph_bfs_distance(spark, sf_dir):
+    """Fixed-depth BFS (4 hops) from the part nodes with key < 3 over
+    the symmetric part–supplier graph: per-distance census (node
+    count, min/max node id). Each hop is one edges⋈frontier join + a
+    min-distance aggregate over the union — the Pregel frontier step
+    as plain DataFrame ops, checkpointed per hop so the plan stays
+    k-shallow. At 100 TB: the frontier is hash-partitioned on node,
+    the expansion joins partition on src, and k hops cost k shuffles
+    bounded by the reached ball, never the whole graph."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    fwd = li.select(
+        (2 * F.col("l_partkey")).cast("bigint").alias("src"),
+        (2 * F.col("l_suppkey") + 1).cast("bigint").alias("dst"),
+    ).distinct()
+    e = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        li.filter(F.col("l_partkey") < 3)
+        .select((2 * F.col("l_partkey")).cast("bigint").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_BFS_HOPS):
+        expanded = e.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
