@@ -119,9 +119,13 @@ def graph_pagerank_bipartite(spark, sf_dir):
 
     mass = deg.select("node", F.lit(1000000).cast("bigint").alias("mass"))
     for _ in range(_PR_ITERS):
+        # merge-hint the iteration joins: a frontier/mass table is not
+        # broadcastable at scale, and under the gate's concurrent drive
+        # six entries' AQE broadcasts together exhaust driver memory —
+        # sort-merge keeps every iteration executor-side
         inflow = (
-            e.join(mass.withColumnRenamed("node", "src"), "src")
-            .join(deg.select(F.col("node").alias("src"), "outdeg"), "src")
+            e.join(mass.withColumnRenamed("node", "src").hint("merge"), "src")
+            .join(deg.select(F.col("node").alias("src"), "outdeg").hint("merge"), "src")
             .select("dst", F.expr("mass DIV outdeg").alias("c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").cast("bigint").alias("s"))
@@ -249,8 +253,10 @@ def graph_bfs_distance(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     for _ in range(_BFS_HOPS):
+        # merge-hint: same driver-broadcast-pressure rationale as the
+        # PageRank iteration joins above
         expanded = e.join(
-            dist.withColumnRenamed("node", "src"), "src"
+            dist.withColumnRenamed("node", "src").hint("merge"), "src"
         ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         dist = (
             dist.unionByName(expanded)
