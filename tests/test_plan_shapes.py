@@ -738,3 +738,62 @@ def test_funnel_steps_stay_user_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan or "partial_count" in plan
 
+
+
+def test_rm3_second_pass_topk_is_window_group_limit(spark):
+    """Both BM25 passes' top-k must run as WindowGroupLimit (map-side
+    partial rank before the shuffle); the second pass must not
+    degenerate to a cartesian despite the weighted-term union."""
+    df = REGISTRY["rag_rm3_expansion"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_key_is_projection_no_rng_no_window(spark):
+    """The epoch-shuffle key must be a map-side projection: no global
+    window, no zipWithIndex RDD fallback, no rand() in the plan."""
+    from lakehouse_tacklebox_spark.operators.corpus import epoch_shuffle
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    d = load_tables(spark, SF_DIR, ["documents"])["documents"].select("doc_id")
+    plan = _plan(epoch_shuffle(d, "doc_id", seed=42))
+    assert "Window" not in plan
+    assert "rand(" not in plan
+    assert "Exchange" not in plan  # keying shuffles nothing
+
+
+def test_graph_iteration_joins_are_sort_merge(spark):
+    """The PageRank/BFS iteration joins carry merge hints: a frontier
+    is not broadcastable at scale, and the concurrent gate drive proved
+    simultaneous AQE broadcasts exhaust the vanilla driver heap. Verify
+    one hop's expansion join plans as SortMergeJoin, not broadcast."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    li = load_tables(spark, SF_DIR, ["lineitem"])["lineitem"]
+    fwd = li.select(
+        (2 * F.col("l_partkey")).cast("bigint").alias("src"),
+        (2 * F.col("l_suppkey") + 1).cast("bigint").alias("dst"),
+    ).distinct()
+    e = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    frontier = fwd.select(F.col("src")).distinct().withColumn(
+        "dist", F.lit(0).cast("bigint")
+    )
+    hop = e.join(frontier.hint("merge"), "src")
+    plan = _plan(hop)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_bpe_bytes_single_corpus_scan_per_branch(spark):
+    """The byte tokenizer is one scan + explode + string expressions:
+    no join back to the corpus, no cartesian, and the merge chain stays
+    inside whole-stage codegen (no UDF nodes)."""
+    df = REGISTRY["text_bpe_bytes"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
