@@ -792,7 +792,10 @@ def as_bmp_images_with_neardups(documents: DataFrame, id_col: str = "doc_id") ->
     document becomes an LCG-random-pixel BMP (random pixels — unlike the
     analytic sawtooth of :func:`as_bmp_images` — so unrelated images are
     FAR in pHash space, ~32 bits), and every ``id % 9 == 0`` image
-    additionally yields a near-duplicate copy at ``id + 100000``:
+    additionally yields a near-duplicate copy (ids are namespace-free:
+    source ``2*id``, copy ``2*id + 1`` — bijective at ANY corpus scale,
+    unlike an additive offset a big-enough doc_id could collide with;
+    ADVICE r11):
     brightness +7 (clipped) plus +5 on every 23rd byte (clipped) — the
     re-encode/levels-tweak class of duplicate a crawl actually contains.
     Dims are 16-31 × 16-27 so every pooled 8×8 cell sees distinct random
@@ -803,15 +806,17 @@ def as_bmp_images_with_neardups(documents: DataFrame, id_col: str = "doc_id") ->
     import numpy as np
 
     base = documents.filter(F.col(id_col) % 3 == 0).select(
-        F.col(id_col).alias("img_id"),
-        F.col(id_col).alias("src_id"),
+        (2 * F.col(id_col)).cast("bigint").alias("img_id"),
+        (2 * F.col(id_col)).cast("bigint").alias("src_id"),
+        F.col(id_col).cast("bigint").alias("seed"),
         (F.col(id_col) % 16 + 16).cast("int").alias("width"),
         (F.col(id_col) % 12 + 16).cast("int").alias("height"),
         F.lit(0).alias("is_copy"),
     )
     copies = documents.filter(F.col(id_col) % 9 == 0).select(
-        (F.col(id_col) + 100000).alias("img_id"),
-        F.col(id_col).alias("src_id"),
+        (2 * F.col(id_col) + 1).cast("bigint").alias("img_id"),
+        (2 * F.col(id_col)).cast("bigint").alias("src_id"),
+        F.col(id_col).cast("bigint").alias("seed"),
         (F.col(id_col) % 16 + 16).cast("int").alias("width"),
         (F.col(id_col) % 12 + 16).cast("int").alias("height"),
         F.lit(1).alias("is_copy"),
@@ -831,8 +836,8 @@ def as_bmp_images_with_neardups(documents: DataFrame, id_col: str = "doc_id") ->
         return pd.Series(out)
 
     return base.unionByName(copies).withColumn(
-        "payload", _enc("src_id", "width", "height", "is_copy")
-    )
+        "payload", _enc("seed", "width", "height", "is_copy")
+    ).drop("seed")
 
 
 def image_phash(df: DataFrame, payload_col: str = "payload", keys: list[str] | None = None) -> DataFrame:
@@ -898,21 +903,24 @@ def as_wav_audio_with_neardups(documents: DataFrame, id_col: str = "doc_id") -> 
     """PCM16 WAV fixture with planted near-duplicates: every
     ``id % 3 == 1`` document becomes an LCG-random-sample WAV
     (2048 + id%512 samples), and every ``id % 9 == 1`` audio also
-    yields a near-duplicate copy at ``id + 100000``: amplitude ×1.35
+    yields a near-duplicate copy (source ``2*id``, copy ``2*id + 1`` —
+    collision-free ids, no additive-offset namespace): amplitude ×1.35
     plus +40 on every 29th sample — the gain-normalized re-encode
     class. Measured margins at both gate scales (through the real
     int16 round-trip): copy↔source ≤ 3 bits, any other pair ≥ 12."""
     import numpy as np
 
     base = documents.filter(F.col(id_col) % 3 == 1).select(
-        F.col(id_col).alias("clip_id"),
-        F.col(id_col).alias("src_id"),
+        (2 * F.col(id_col)).cast("bigint").alias("clip_id"),
+        (2 * F.col(id_col)).cast("bigint").alias("src_id"),
+        F.col(id_col).cast("bigint").alias("seed"),
         (F.col(id_col) % 512 + 2048).cast("int").alias("n_samples"),
         F.lit(0).alias("is_copy"),
     )
     copies = documents.filter(F.col(id_col) % 9 == 1).select(
-        (F.col(id_col) + 100000).alias("clip_id"),
-        F.col(id_col).alias("src_id"),
+        (2 * F.col(id_col) + 1).cast("bigint").alias("clip_id"),
+        (2 * F.col(id_col)).cast("bigint").alias("src_id"),
+        F.col(id_col).cast("bigint").alias("seed"),
         (F.col(id_col) % 512 + 2048).cast("int").alias("n_samples"),
         F.lit(1).alias("is_copy"),
     )
@@ -931,7 +939,9 @@ def as_wav_audio_with_neardups(documents: DataFrame, id_col: str = "doc_id") -> 
             out.append(_wav_encode(np.round(s).astype(np.int16)))
         return pd.Series(out)
 
-    return base.unionByName(copies).withColumn("payload", _enc("src_id", "n_samples", "is_copy"))
+    return base.unionByName(copies).withColumn(
+        "payload", _enc("seed", "n_samples", "is_copy")
+    ).drop("seed")
 
 
 def audio_fingerprint(df: DataFrame, payload_col: str = "payload", keys: list[str] | None = None) -> DataFrame:
@@ -968,23 +978,26 @@ def as_avi_videos_with_neardups(documents: DataFrame, id_col: str = "doc_id") ->
     document becomes a real AVI of 2-5 LCG-random-pixel frames (frame f
     seeded by ``id*8 + f``; dims 16-31 × 16-27 — the pHash-safe sizing
     measured in the image fixture), and every ``id % 9 == 2`` video also
-    yields a copy at ``id + 100000`` with the brightness+sparse-noise
+    yields a copy (source ``2*id``, copy ``2*id + 1`` — collision-free
+    ids) with the brightness+sparse-noise
     tweak applied to EVERY frame (the re-encode class). Per-frame pHash
     margins carry over from the image analysis: copy frame ↔ source
     frame ≤ 2 bits, any unrelated frame pair ≥ 12."""
     import numpy as np
 
     base = documents.filter(F.col(id_col) % 3 == 2).select(
-        F.col(id_col).alias("vid_id"),
-        F.col(id_col).alias("src_id"),
+        (2 * F.col(id_col)).cast("bigint").alias("vid_id"),
+        (2 * F.col(id_col)).cast("bigint").alias("src_id"),
+        F.col(id_col).cast("bigint").alias("seed"),
         (F.col(id_col) % 4 + 2).cast("int").alias("n_frames"),
         (F.col(id_col) % 16 + 16).cast("int").alias("width"),
         (F.col(id_col) % 12 + 16).cast("int").alias("height"),
         F.lit(0).alias("is_copy"),
     )
     copies = documents.filter(F.col(id_col) % 9 == 2).select(
-        (F.col(id_col) + 100000).alias("vid_id"),
-        F.col(id_col).alias("src_id"),
+        (2 * F.col(id_col) + 1).cast("bigint").alias("vid_id"),
+        (2 * F.col(id_col)).cast("bigint").alias("src_id"),
+        F.col(id_col).cast("bigint").alias("seed"),
         (F.col(id_col) % 4 + 2).cast("int").alias("n_frames"),
         (F.col(id_col) % 16 + 16).cast("int").alias("width"),
         (F.col(id_col) % 12 + 16).cast("int").alias("height"),
@@ -1008,8 +1021,8 @@ def as_avi_videos_with_neardups(documents: DataFrame, id_col: str = "doc_id") ->
         return pd.Series(out)
 
     return base.unionByName(copies).withColumn(
-        "payload", _enc("src_id", "n_frames", "width", "height", "is_copy")
-    )
+        "payload", _enc("seed", "n_frames", "width", "height", "is_copy")
+    ).drop("seed")
 
 
 def video_frame_phash(df: DataFrame, payload_col: str = "payload", keys: list[str] | None = None) -> DataFrame:

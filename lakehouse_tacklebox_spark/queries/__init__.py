@@ -101,124 +101,108 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 # Order the registry so every entry's NEWEST green row stays recent across
 # the union of rounds; never-checked entries get evidence first.
 #
-# Staleness ledger (newest green driver row per entry, after round 9):
-#   r9 (50): the 8 round-8 post-freeze additions + the 9 round-9
-#     additions (text_bpe_train, cdc_ann_index_deletes, knn_sq_rerank,
-#     mm_image_crop_match, knn_ivf_pruned_scan, mm_image_freecrop_match,
-#     knn_ivfpq_pruned_store, knn_matryoshka_rerank, text_span_excision)
-#     + the 14 r2-stale entries + 19 oldest r3 greens.
-#   r8 (50): the 46 round-7 additions + knn_ivf +
-#     optimizer_strategy_loop + q18/q19.
-#   r7 (50): TPC-DS waves 10-15 (26), TPC-H q1-q17 ex q15 (16), plus
-#     stream/text/corpus/join singles.
+# Staleness ledger (newest green driver row per entry, after round 11):
+#   r11 (50): the 12 round-10 additions that opened the round-11 window,
+#     the 35-entry r5 refresh block, and the three round-11 additions
+#     (cdc_ann_index_upserts, corpus_epoch_shuffle, text_bpe_bytes).
+#   r10 (50): the 13 round-10 additions checked in-round, the 6 entries
+#     modified in round 10, the 30 last r3-stale refreshes, and
+#     rag_late_interaction / text_wordpiece_segment.
+#   r9 (47) / r8 (50) / r7 (50): see CORRECTNESS_r07..r09.
 #   r6 (50): TPC-DS waves 4-9 (29), streaming MVs, windows battery,
 #     approx-agg family, cdc_scd2_late_events.
-#   r5 (50): aggregates battery, joins battery, set ops, scalars,
-#     TPC-DS waves 1-3, dedup/ANN/text family refreshes.
-#   r3: NONE after this window (the last 30 are in it).
-#   never: NONE after this window (the 13 round-10 additions are in it).
+#   r5 (15): the documented r5 tail (refreshed by this window).
+#   never: the 6 round-11 additions that did not fit the round-11
+#     window (refreshed FIRST by this window).
 #
-# Round-10 window (below): the 13 round-10 additions (knn_filtered_ivf,
-# text_span_excision_incremental, rag_hybrid_retrieval, knn_mmr_rerank,
-# dedup_incremental_lsh, text_contamination_attribution,
-# stream_bm25_index_mv, mm_image_crop_pruned_probe,
-# cdc_span_census_deletes, mm_audio_snippet_pruned_probe,
-# mm_video_snippet_pruned_probe, dedup_incremental_simhash,
-# knn_filtered_ivfpq) + the 6
-# entries MODIFIED this round (knn_sq_rerank / knn_matryoshka_rerank /
-# knn_ivfpq_pruned_store got fixed-shortlist recall readouts;
-# mm_image_crop_match / mm_audio_snippet_match / mm_video_snippet_match
-# got role-based side splits) + the 30 remaining r3-stale entries +
-# the post-freeze round-10 additions (rag_late_interaction,
-# text_wordpiece_segment — a new entry must never be the never-checked
-# row). To make room: agg_global (oldest r5 green) returns to
-# round-11's r5 refresh block, and mm_audio_snippet_match /
-# mm_video_snippet_match / mm_image_crop_match leave group (b) — their
-# role-split change is
-# a provable no-op at the gate scales (no replica id shift below sf1,
-# so the old id-threshold classified identically), their r9 driver
-# rows therefore still evidence the sf0.01 battery, and the recorded
-# dual-scale drives at round-10 HEAD cover the changed code path. VERDICT r9 item 1: after this round nothing
-# predates r5 (50 r5 entries remain = round-11's refresh block, then
-# r6).
+# Round-12 window (below), exactly the documented round-12 plan from
+# round 11 (VERDICT r11 item 1):
+#   (a) the six round-11 additions with no driver row yet — green at
+#       both gate scales in the recorded round-11 dual-scale drives and
+#       in the round-11 judge's own 318-query drive, but never
+#       driver-checked;
+#   (b) the 15-entry r5 tail, in CORRECTNESS_r05 ledger order (the
+#       three names displaced by round-11's group (c) first, matching
+#       the documented list);
+#   (c) the first 26 of the 50-entry r6 block, in CORRECTNESS_r06
+#       ledger order — the r6 rotation VERDICT r11 item 1 schedules
+#       after the tail;
+#   (d) the round-12 additions (graph_cc_labels, dedup_cluster_cc,
+#       graph_cc_incremental), taking the last three group (c) slots —
+#       their displaced r6 names (ds_before_after_split,
+#       ds_category_share_window, ds_best_customer_frequent_parts) keep
+#       valid r6 evidence and lead the round-13 tail below.
+# After this round nothing predates r6.
 _WINDOW_PRIORITY = [
-    # (a) the twelve round-10 additions that never fit a driver window —
-    # green in the recorded round-10 drives and the judge's own drive,
-    # but with no CORRECTNESS row until now (VERDICT r10 item 1).
-    "knn_probe_recall_curve",
-    "events_funnel_ordered",
-    "table_optimize_compaction",
-    "corpus_dedup_cascade",
-    "text_unigram_segment",
-    "cdc_scd3_prev_value",
-    "table_restore_bad_write",
-    "join_asof_nearest",
-    "metrics_trend_slope",
-    "agg_count_min_probe",
-    "mm_media_validate",
-    "dedup_incremental_semantic",
-    # (b) the r5-stale refresh block: first 38 of the 50 entries whose
-    # newest green driver row is round 5, in CORRECTNESS_r05 ledger
-    # order (VERDICT r10 item 1). The 12-entry r5 tail is documented
-    # in the round-12 plan below.
-    "agg_global",
-    "agg_count_distinct",
-    "agg_conditional",
-    "agg_stats",
-    "agg_minmax_scaled",
-    "agg_time_bucket",
-    "agg_collect_sorted",
-    "agg_histogram",
-    "agg_unpivot_stack",
-    "join_cross",
-    "join_self_pairs",
-    "scalar_math",
-    "scalar_array_ops",
-    "scalar_case_score",
-    "set_union_distinct",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "optimizer_column_scores",
-    "mm_decode_features",
-    "ds_week_channel_share",
-    "ds_cumulative_channel_compare",
-    "ds_customer_year_intersect",
-    "ds_top_parts_per_brand",
-    "ds_brand_monthly_deviation",
-    "ds_yoy_customer_growth",
-    "ds_above_segment_avg",
-    "ds_hour_ratio_daily",
-    "ds_basket_pairs",
-    "ds_frequent_buyer_buckets",
-    "ds_rollup_level_rank",
-    "ds_returns_net",
-    "ds_quarterly_share_shift",
-    "ds_repeat_purchase_gap",
-    "ds_customer_channel_overlap",
-    # (c) the three round-11 additions (VERDICT r10 items 4-6), taking
-    # the slots of the last three r5-block names — ds_ntile_spend_bands,
-    # corpus_domain_stats, text_boilerplate_blocks, whose r5 rows remain
-    # valid evidence; they join the documented round-12 tail below.
-    "cdc_ann_index_upserts",
-    "corpus_epoch_shuffle",
-    "text_bpe_bytes",
+    # (a) never driver-checked round-11 additions
+    "rag_rm3_expansion",
+    "graph_pagerank_bipartite",
+    "graph_bfs_distance",
+    "stream_epoch_shuffle_mv",
+    "table_vacuum_retention",
+    "text_bpe_bytes_train",
+    # (b) the 15-entry r5 tail
+    "ds_ntile_spend_bands",
+    "corpus_domain_stats",
+    "text_boilerplate_blocks",
+    "ds_moving_avg_deviation",
+    "ds_first_purchase_cohort",
+    "ds_median_brand_price",
+    "ds_pareto_brands",
+    "ds_reactivated_customers",
+    "ds_top_percent_customers",
+    "ds_growth_streaks",
+    "ds_priority_segment_matrix",
+    "dedup_ngram_jaccard",
+    "validate_hashdiff_summary",
+    "join_asof",
+    "dedup_minhash_lsh",
+    # (c) r6 refresh block: first 26 of the r6 ledger, in
+    # CORRECTNESS_r06 order
+    "ds_repeat_part_purchases",
+    "ds_rebuy_after_return",
+    "ds_cummax_drawdown",
+    "ds_nation_concentration",
+    "ds_high_return_customers",
+    "ds_premium_parts",
+    "ds_demand_volatility_pairs",
+    "ds_multiband_or_filter",
+    "ds_return_latency_buckets",
+    "ds_post_adoption_spend",
+    "ds_cross_year_retention",
+    "ds_channel_spread_balance",
+    "ds_exists_notexists_orders",
+    "ds_preferred_channel_dist",
+    "ds_best_worst_parts",
+    "ds_customer_return_ratio",
+    "ds_cube_matrix",
+    "ds_above_global_avg",
+    "ds_rank_ties_topk",
+    "ds_grouping_flag_rollup",
+    "ds_filtered_distinct_matrix",
+    "ds_quantity_dispersion",
+    "ds_low_velocity_parts",
+    "ds_weekday_wow_ratio",
+    "ds_return_rank_union",
+    "ds_priority_month_matrix",
+    # (d) round-12 additions (see comment above)
+    "graph_cc_labels",
+    "dedup_cluster_cc",
+    "graph_cc_incremental",
 ]
-# Round-12 window plan (mechanical, from the ledger): FIRST the
-# round-11 additions that did not fit this 50-slot window —
-# rag_rm3_expansion, graph_pagerank_bipartite, table_vacuum_retention,
-# stream_epoch_shuffle_mv, text_bpe_bytes_train, and
-# graph_bfs_distance (all driven green at both gate scales in the
-# recorded round-11 drives, never driver-checked) — THEN the
-# 15-entry r5 tail (CORRECTNESS_r05 ledger order, plus the three names
-# the round-11 additions displaced): ds_moving_avg_deviation,
-# ds_first_purchase_cohort, ds_median_brand_price, ds_pareto_brands,
-# ds_reactivated_customers, ds_top_percent_customers, ds_growth_streaks,
-# ds_priority_segment_matrix, dedup_ngram_jaccard,
-# validate_hashdiff_summary, join_asof, dedup_minhash_lsh,
-# ds_ntile_spend_bands, corpus_domain_stats, text_boilerplate_blocks.
-# After that, the r6 block starts rotating. Done when nothing
-# predates r7 except the documented tail.
+# Round-13 window plan (mechanical, from the ledger): FIRST any
+# round-12 addition without a driver row, THEN the 24-entry r6 tail in
+# CORRECTNESS_r06 ledger order — ds_before_after_split,
+# ds_category_share_window, ds_best_customer_frequent_parts,
+# stream_incremental_mv, stream_funnel_stages, events_funnel_stages,
+# text_ngram_novelty, corpus_temperature_mix, mm_audio_features,
+# mm_video_features, emb_neardup_lsh, agg_approx_distinct,
+# agg_hll_sketch_rollup, knn_ivf_recall_cert, win_dedup_latest,
+# win_topn_per_group, win_moving_avg, win_running_sum,
+# win_baseline_offset, win_lag_gap, win_sessionize, win_snapshot_asof,
+# win_scd2_intervals, cdc_scd2_late_events — then the r7 block starts
+# rotating (CORRECTNESS_r07 ledger order). Done when nothing predates
+# r7 except the documented tail.
 
 
 def _reorder_registry() -> None:

@@ -273,3 +273,316 @@ def graph_bfs_distance(spark, sf_dir):
         )
         .orderBy("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation) — VERDICT r11 item 6: the
+# transitive-closure step completing the dedup story (pairs -> clusters).
+
+_CC_TRACE_ITERS = 5
+_CC_ITERS = 6  # dup-cluster graphs converge by ~3 at every gate SF (measured)
+
+
+def _cc_stage_sql(k: int, m: str = "m") -> str:
+    """One unrolled min-label propagation stage for DuckDB (the
+    _pagerank_oracle pattern): label_k(node) = min(label_{k-1} over
+    {node} ∪ neighbors)."""
+    return f""", {m}{k} AS MATERIALIZED (
+        SELECT node, CAST(min(label) AS BIGINT) AS label FROM (
+            SELECT node, label FROM {m}{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, m.label FROM e JOIN {m}{k - 1} m ON e.src = m.node
+        ) GROUP BY node
+    )"""
+
+
+def _cc_trace_oracle(iters: int = _CC_TRACE_ITERS) -> str:
+    parts = [
+        """WITH e AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst
+            FROM lineitem WHERE l_quantity <= 2
+            UNION
+            SELECT DISTINCT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst
+            FROM lineitem WHERE l_quantity <= 2
+        )
+    ), m0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM e
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(_cc_stage_sql(k))
+    stats = "\n        UNION ALL\n        ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS iter,
+               CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+               CAST(sum(CASE WHEN node = label THEN 1 ELSE 0 END) AS BIGINT) AS n_roots,
+               CAST(sum(label) AS BIGINT) AS sum_label
+        FROM m{k}"""
+        for k in range(iters + 1)
+    )
+    parts.append(f"\n    SELECT * FROM (\n        {stats}\n    ) ORDER BY iter\n    ")
+    return "\n".join(parts)
+
+
+@register(
+    "graph_cc_labels",
+    tags=("graph", "iterative", "dedup"),
+    bench=True,
+    # Third member of the fixed-iteration graph family: min-label
+    # propagation over the SPARSE part–supplier subgraph (edges with
+    # l_quantity <= 2 — a natural slice that leaves real multi-component
+    # structure at every SF). The result is the per-iteration
+    # convergence TRACE (distinct labels, self-rooted nodes, label
+    # checksum), so the entry certifies the whole labelling at every
+    # step without emitting |V| rows, makes no convergence claim, and
+    # stays exact-integer — DuckDB replays the identical unrolled
+    # program. (Measured: 160→1 labels by iter 4 at sf0.001; 14,999→14
+    # at sf0.1 after 5 iters — a real curve, not a fixed point.)
+    oracle=_cc_trace_oracle(),
+)
+def graph_cc_labels(spark, sf_dir):
+    """Connected-component min-label propagation (5 iterations) over the
+    sparse part–supplier graph (l_quantity <= 2), reported as the
+    convergence trace: per iteration, the number of distinct labels,
+    the number of self-rooted nodes (node == label), and the label-sum
+    checksum. Each iteration is one aggregate-messages shuffle
+    (operators/graphops.py cc_label_trace), checkpointed so the plan
+    stays k-shallow; the trace rows are six 1-row aggregates. At
+    100 TB: k shuffles bounded by |E|, min() combines map-side, no
+    driver state."""
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    pairs = (
+        li.filter(F.col("l_quantity") <= 2)
+        .select(
+            (2 * F.col("l_partkey")).cast("bigint").alias("id_a"),
+            (2 * F.col("l_suppkey") + 1).cast("bigint").alias("id_b"),
+        )
+        .distinct()
+    )
+    trace = G.cc_label_trace(G.symmetric_edges(pairs), _CC_TRACE_ITERS)
+    stats = [
+        lab.agg(
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+            F.sum(
+                F.when(F.col("node") == F.col("label"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_roots"),
+            F.sum("label").cast("bigint").alias("sum_label"),
+        ).select(F.lit(k).cast("bigint").alias("iter"), "n_labels", "n_roots", "sum_label")
+        for k, lab in enumerate(trace)
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("iter")
+
+
+# Exact 3-gram Jaccard pair list (same CTE as dedup_ngram_jaccard's
+# oracle) — the DuckDB-side input graph for the dup-cluster CC entries.
+_PAIR_CTE = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS sz FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS MATERIALIZED (
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    ), e AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), m0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM e
+    )"""
+
+
+def _cluster_cc_oracle(iters: int = _CC_ITERS) -> str:
+    parts = [_PAIR_CTE]
+    for k in range(1, iters + 1):
+        parts.append(_cc_stage_sql(k))
+    parts.append(
+        f"""
+    SELECT CAST(label AS BIGINT) AS cluster_label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(node) AS BIGINT) AS max_doc,
+           (SELECT CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS INT)
+            FROM m{iters} a JOIN m{iters - 1} b USING (node)
+            WHERE a.label <> b.label) AS converged
+    FROM m{iters}
+    GROUP BY label
+    ORDER BY n_docs DESC, cluster_label
+    """
+    )
+    return "\n".join(parts)
+
+
+def _dup_pairs(spark, sf_dir):
+    """Exact-verified near-dup pairs (3-gram Jaccard >= 0.2) via the
+    MinHash-LSH candidate path — identical shape to dedup_minhash_lsh
+    (whose recall-1 precondition vs the exact-Jaccard oracle carries
+    over unchanged). Returns (pairs, shingled) with shingled persisted
+    for reuse."""
+    from lakehouse_tacklebox_spark.operators import dedup as D
+    from lakehouse_tacklebox_spark.queries.textops import _spread
+
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=3).persist()
+    sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=48).filter(
+        F.col("sig").getItem(0).isNotNull()
+    )
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=3)
+    verified = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
+    pairs = verified.filter(F.col("jaccard") >= 0.2).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+    return pairs, sh
+
+
+@register(
+    "dedup_cluster_cc",
+    tags=("dedup", "graph", "text", "llm"),
+    bench=True,
+    # The missing half of the dedup story (VERDICT r11 item 6): LSH
+    # gives near-dup PAIRS, real pipelines keep one doc per CLUSTER —
+    # the transitive closure of the pair relation. Min-label CC over
+    # the exact-verified pair graph, 6 fixed iterations (dup clusters
+    # are near-cliques; measured convergence by iter 3 at every gate
+    # SF), with a converged flag CERTIFIED on both engines (labels
+    # stable between iterations 5 and 6), not assumed. The oracle
+    # replays the identical unrolled program over the exact-Jaccard
+    # pair set.
+    oracle=_cluster_cc_oracle(),
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Dup-cluster assignment: exact-verified near-dup pairs (3-gram
+    Jaccard >= 0.2, LSH-generated candidates) -> connected components
+    by min-label propagation (6 iterations) -> per-cluster census
+    (canonical min-doc label, size, max doc id) plus a converged flag.
+    The cluster label is the component's smallest doc_id — the
+    canonical keep-representative choice. At 100 TB the pair graph is
+    tiny relative to the corpus (near-dup pairs only), each CC
+    iteration is one shuffle over it, and the census never touches
+    document text."""
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    pairs, _ = _dup_pairs(spark, sf_dir)
+    trace = G.cc_label_trace(G.symmetric_edges(pairs), _CC_ITERS)
+    final, prev = trace[-1], trace[-2]
+    n_changed = (
+        final.withColumnRenamed("label", "la")
+        .join(prev.withColumnRenamed("label", "lb"), "node")
+        .filter(F.col("la") != F.col("lb"))
+        .count()
+    )
+    return (
+        final.groupBy(F.col("label").alias("cluster_label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("node").cast("bigint").alias("max_doc"),
+        )
+        .withColumn("converged", F.lit(1 if n_changed == 0 else 0).cast("int"))
+        .orderBy(F.col("n_docs").desc(), "cluster_label")
+    )
+
+
+def _cc_incremental_oracle(iters: int = _CC_ITERS) -> str:
+    parts = [_PAIR_CTE]
+    for k in range(1, iters + 1):
+        parts.append(_cc_stage_sql(k))
+    parts.append(
+        f"""
+    SELECT CAST(label AS BIGINT) AS cluster_label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(node) AS BIGINT) AS max_doc,
+           (SELECT CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS INT)
+            FROM m{iters} a JOIN m{iters - 1} b USING (node)
+            WHERE a.label <> b.label) AS converged,
+           CAST(1 AS INT) AS matches_full
+    FROM m{iters}
+    GROUP BY label
+    ORDER BY n_docs DESC, cluster_label
+    """
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_cc_incremental",
+    tags=("graph", "dedup", "incremental", "llm"),
+    bench=True,
+    # Incremental CC maintenance — the label-store posture at 100 TB:
+    # the already-labelled corpus (doc_id % 3 != 0) is represented ONLY
+    # by its (node, label) store; a new batch's pairs are folded in by
+    # CONTRACTION (relabel endpoints with store labels, run CC on the
+    # label graph — one node per touched COMPONENT, so the merge prices
+    # at batch size, never corpus size) and the root map composes back
+    # over the store. Min-label is canonical, so the merged labelling
+    # must EQUAL a from-scratch recompute over base+batch —
+    # matches_full certifies that equality via a 4-fold row-set
+    # signature (count/xor/sum/sum-of-squares) on both censuses, and
+    # the oracle pins the recomputed census itself. Pair DISCOVERY for
+    # the batch is priced separately (dedup_incremental_lsh); this
+    # entry prices label maintenance.
+    oracle=_cc_incremental_oracle(),
+)
+def graph_cc_incremental(spark, sf_dir):
+    """Incremental dup-cluster maintenance: base labels (docs with
+    doc_id % 3 != 0) merged with the batch's new pairs by label-graph
+    contraction (operators/graphops.py merge_labels_incremental), then
+    the same census as dedup_cluster_cc. Flags: converged (full
+    recompute's labels stable between the last two iterations, computed
+    identically on both engines) and matches_full (incremental census
+    == full-recompute census as a row set — the canonical-label
+    equality the contraction argument promises)."""
+    from lakehouse_tacklebox_spark.operators import graphops as G
+    from lakehouse_tacklebox_spark.operators.signature import rowsets_equal
+
+    pairs, _ = _dup_pairs(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)
+    base_pairs = pairs.filter((F.col("id_a") % 3 != 0) & (F.col("id_b") % 3 != 0))
+    new_pairs = pairs.filter((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
+
+    base_labels = G.cc_min_label(G.symmetric_edges(base_pairs), _CC_ITERS)
+    merged = G.merge_labels_incremental(base_labels, new_pairs, _CC_ITERS)
+
+    census_cols = ["cluster_label", "n_docs", "max_doc"]
+
+    def census(labels):
+        return labels.groupBy(F.col("label").alias("cluster_label")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("node").cast("bigint").alias("max_doc"),
+        )
+
+    trace = G.cc_label_trace(G.symmetric_edges(pairs), _CC_ITERS)
+    full, prev = trace[-1], trace[-2]
+    n_changed = (
+        full.withColumnRenamed("label", "la")
+        .join(prev.withColumnRenamed("label", "lb"), "node")
+        .filter(F.col("la") != F.col("lb"))
+        .count()
+    )
+    inc_census = census(merged).localCheckpoint(eager=True)
+    ok = rowsets_equal(inc_census, census(full), census_cols)
+    return (
+        inc_census.withColumn("converged", F.lit(1 if n_changed == 0 else 0).cast("int"))
+        .withColumn("matches_full", F.lit(1 if ok else 0).cast("int"))
+        .orderBy(F.col("n_docs").desc(), "cluster_label")
+    )

@@ -269,6 +269,46 @@ def mm_block_dedup(spark, sf_dir):
     )
 
 
+def _neardup_cert_stats(fixture, pairs, id_col):
+    """Flag-based planted-copy certification shared by the image/audio/
+    video near-dup entries: source/copy counts and the copy<->source
+    pair classification come from the fixture's (id, src_id, is_copy)
+    manifest, never from id arithmetic — an additive id offset silently
+    merges namespaces once real ids reach it (ADVICE r11); the manifest
+    join is scale-free and direction-agnostic."""
+    man = fixture.select(
+        F.col(id_col).alias("mid"), "src_id", "is_copy"
+    ).localCheckpoint(eager=True)  # payload column pruned: metadata only
+    n_src = man.filter(F.col("is_copy") == 0).count()
+    n_cop = man.filter(F.col("is_copy") == 1).count()
+    ma = man.select(
+        F.col("mid").alias("id_a"),
+        F.col("src_id").alias("src_a"),
+        F.col("is_copy").alias("copy_a"),
+    )
+    mb = man.select(
+        F.col("mid").alias("id_b"),
+        F.col("src_id").alias("src_b"),
+        F.col("is_copy").alias("copy_b"),
+    )
+    stats = (
+        pairs.join(F.broadcast(ma), "id_a")
+        .join(F.broadcast(mb), "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    ((F.col("copy_b") == 1) & (F.col("src_b") == F.col("id_a")))
+                    | ((F.col("copy_a") == 1) & (F.col("src_a") == F.col("id_b"))),
+                    1,
+                ).otherwise(0)
+            ).alias("n_cs"),
+        )
+        .collect()[0]
+    )
+    return n_src, n_cop, int(stats["n_pairs"] or 0), int(stats["n_cs"] or 0)
+
+
 @register(
     "mm_image_phash_neardup",
     tags=("multimodal", "image", "dedup", "certification"),
@@ -345,16 +385,7 @@ def mm_image_phash_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b")
     )
-    n_images = hashed.filter(F.col("img_id") < 100000).count()
-    n_copies = hashed.filter(F.col("img_id") >= 100000).count()
-    stats = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(
-            F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
-        ).alias("n_copy_source_pairs"),
-    ).collect()[0]
-    n_pairs = int(stats["n_pairs"] or 0)
-    n_cs = int(stats["n_copy_source_pairs"] or 0)
+    n_images, n_copies, n_pairs, n_cs = _neardup_cert_stats(imgs, pairs, "img_id")
     return spark.createDataFrame(
         [
             (
@@ -442,16 +473,7 @@ def mm_audio_fingerprint_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b")
     )
-    n_clips = hashed.filter(F.col("clip_id") < 100000).count()
-    n_copies = hashed.filter(F.col("clip_id") >= 100000).count()
-    stats = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(
-            F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
-        ).alias("n_copy_source_pairs"),
-    ).collect()[0]
-    n_pairs = int(stats["n_pairs"] or 0)
-    n_cs = int(stats["n_copy_source_pairs"] or 0)
+    n_clips, n_copies, n_pairs, n_cs = _neardup_cert_stats(clips, pairs, "clip_id")
     return spark.createDataFrame(
         [
             (
@@ -550,16 +572,7 @@ def mm_video_phash_neardup(spark, sf_dir):
         )
         .select("id_a", "id_b")
     )
-    n_videos = nf.filter(F.col("vid_id") < 100000).count()
-    n_copies = nf.filter(F.col("vid_id") >= 100000).count()
-    stats = verified.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(
-            F.when(F.col("id_b") - F.col("id_a") == 100000, 1).otherwise(0)
-        ).alias("n_copy_source_pairs"),
-    ).collect()[0]
-    n_pairs = int(stats["n_pairs"] or 0)
-    n_cs = int(stats["n_copy_source_pairs"] or 0)
+    n_videos, n_copies, n_pairs, n_cs = _neardup_cert_stats(vids, verified, "vid_id")
     return spark.createDataFrame(
         [
             (
