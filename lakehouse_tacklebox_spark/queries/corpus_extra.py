@@ -1149,15 +1149,13 @@ def corpus_epoch_shuffle(spark, sf_dir):
     # the same types as the in-memory frame
     back = spark.read.parquet(tmp).withColumn("bucket", F.col("bucket").cast("long"))
 
+    from lakehouse_tacklebox_spark.operators.signature import rowset_signature
+
     def _sig(fr):
-        r = fr.select(
-            F.xxhash64("doc_id", "sort_key", "bucket").alias("__h")
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(__h)").alias("x"),
-            F.sum(F.pmod(F.col("__h"), F.lit(1_000_000_007))).alias("s"),
-        ).collect()[0]
-        return (r["n"], r["x"], r["s"])
+        # 4-fold order-invariant signature (count/xor/sum/sum-of-squares
+        # — operators/signature.py): a cancelling pair must defeat three
+        # independent folds, not two (ADVICE r11).
+        return rowset_signature(fr, ["doc_id", "sort_key", "bucket"])
 
     back_bc = {
         r["bucket"]: r["n"]

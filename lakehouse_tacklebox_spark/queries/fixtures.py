@@ -45,6 +45,32 @@ def _keylock(key) -> threading.Lock:
         return _KEYLOCKS.setdefault(key, threading.Lock())
 
 
+def _corpus_fp(sf_dir: str, table: str) -> tuple:
+    """Cheap source-data fingerprint folded into every memo key: the
+    (path, size, mtime_ns) of the table's parquet file(s). If the test
+    data under sf_dir is regenerated mid-process, the stale frozen
+    structures stop matching the key and retrain instead of silently
+    certifying against structures trained on vanished data (ADVICE
+    r11). A stat per file, no data read."""
+    root = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    paths = [root]
+    if os.path.isdir(root):
+        paths = sorted(
+            os.path.join(d, f)
+            for d, _, files in os.walk(root)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    out = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
+
+
 def _emb(spark, sf_dir) -> DataFrame:
     return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
 
@@ -73,7 +99,7 @@ def frozen_kmeans(
     Returns (centroid_id, embedding array<double>) — identical rows to
     a fresh training run, by determinism of the trainer.
     """
-    key = ("kmeans", os.path.abspath(sf_dir), k, iters, unit, subset)
+    key = ("kmeans", os.path.abspath(sf_dir), _corpus_fp(sf_dir, "embeddings"), k, iters, unit, subset)
     with _keylock(key):
         if key not in _ROWS:
             e = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -97,7 +123,7 @@ def frozen_kmeans(
 
 def frozen_pq_codebooks(spark, sf_dir: str, m: int, ksub: int, iters: int) -> DataFrame:
     """Memoized ``S.pq_codebooks`` over the embeddings corpus."""
-    key = ("pqbooks", os.path.abspath(sf_dir), m, ksub, iters)
+    key = ("pqbooks", os.path.abspath(sf_dir), _corpus_fp(sf_dir, "embeddings"), m, ksub, iters)
     with _keylock(key):
         if key not in _ROWS:
             books = S.pq_codebooks(_emb(spark, sf_dir), m=m, ksub=ksub, iters=iters)
@@ -116,7 +142,7 @@ def frozen_ivfpq(
     trainer; codes round-trip through a process-temp parquet so the
     corpus-sized table is scanned, not rebuilt from driver rows.
     """
-    key = ("ivfpq", os.path.abspath(sf_dir), num_centroids, m, ksub, iters)
+    key = ("ivfpq", os.path.abspath(sf_dir), _corpus_fp(sf_dir, "embeddings"), num_centroids, m, ksub, iters)
     with _keylock(key):
         if key not in _ROWS:
             coarse, books, codes = S.ivfpq_index(
@@ -154,7 +180,7 @@ def frozen_shingle_census(spark, sf_dir: str, n: int = 3):
     does for the gate/bench processes (VERDICT r10 item 7). Returns
     (totals, census): (doc_id, n_shingles) and (h, df, owner).
     """
-    key = ("shingle_census", os.path.abspath(sf_dir), n)
+    key = ("shingle_census", os.path.abspath(sf_dir), _corpus_fp(sf_dir, "documents"), n)
     with _keylock(key):
         if key not in _PATHS:
             from lakehouse_tacklebox_spark.operators import dedup as D

@@ -706,6 +706,30 @@ def rag_rm3_expansion(spark, sf_dir):
         F.col("doc_id").alias("query_id"), "w"
     ).distinct().localCheckpoint(eager=True)
 
+    # int64 headroom guard (ADVICE r11): the largest intermediates are
+    # the saturation numerator 44000·tf·total and the per-doc score sum
+    # ≤ max_len · qw · idf_ppm_max · sat_max. At the gate scales these
+    # sit ~7 orders of magnitude under 2^63, but non-ANSI Spark WRAPS
+    # on overflow where ANSI DuckDB raises — the engines would diverge
+    # silently rather than both failing loudly. Raise here instead; the
+    # documented remedy at larger corpora is computing the idf factor
+    # at reduced ppm scale (1e3) or splitting the corpus census.
+    g = dl.agg(
+        F.max("len").alias("max_len"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").alias("total"),
+    ).collect()[0]
+    idf_ppm_max = (2 * int(g["n_docs"]) + 1) * 1_000_000 // 3
+    if (
+        44000 * int(g["max_len"]) * int(g["total"]) >= 2**62
+        or int(g["max_len"]) * 7 * idf_ppm_max * 2200 >= 2**62
+    ):
+        raise ValueError(
+            "rag_rm3_expansion: integer BM25 score terms would approach "
+            "int64 range at this corpus size; recompute idf at reduced "
+            "ppm scale before running"
+        )
+
     contrib = F.expr(
         "(((2*(n_docs - df) + 1) * CAST(1000000 AS BIGINT)) DIV (2*df + 1))"
         " * ((44000*tf*total)"

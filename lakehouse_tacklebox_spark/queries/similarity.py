@@ -1664,7 +1664,7 @@ def knn_probe_recall_curve(spark, sf_dir):
     # the member-assignment table, both TackleTables. The batch assigns
     # itself against the STORED centroids, generates candidates only
     # within its assigned clusters (batch x stored members + within-
-    # batch), and exact-verifies cosine >= 0.40 — history embeddings
+    # batch), and exact-verifies round(cos*1e6) >= 400000 ppm — history embeddings
     # re-read only per matched candidate. SELF-CERTIFYING
     # (dedup_semantic_clusters precedent — k-means isn't SQL-
     # replayable): the oracle pins the EXACT global batch-touching
@@ -1685,8 +1685,9 @@ def knn_probe_recall_curve(spark, sf_dir):
            (SELECT CAST(count(*) AS BIGINT)
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)
-              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.40)
+              AND CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])) * 1000000)
+                       AS BIGINT) >= 400000)
                AS n_global_batch_pairs,
            CAST(1 AS INT) AS pairs_all_verified,
            CAST(1 AS INT) AS candidates_subset,
@@ -1757,11 +1758,14 @@ def dedup_incremental_semantic(spark, sf_dir):
     verified = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        # 6dp-rounded threshold so the cross-engine gate (Spark fold vs
-        # DuckDB list_cosine_similarity accumulation order) shares one
-        # integer-exact boundary rule (ADVICE r10).
-        .withColumn("cos", F.round(S.cosine_col(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= 0.40)
+        # Integer-ppm threshold so NO cross-engine float comparison
+        # remains: both engines round cos*1e6 to a BIGINT and compare to
+        # 400000 — the boundary rule lives entirely in the integer
+        # domain (ADVICE r11; supersedes the r10 6dp-rounded double).
+        .withColumn(
+            "cos_ppm", F.round(S.cosine_col(F.col("va"), F.col("vb")) * 1e6).cast("long")
+        )
+        .filter(F.col("cos_ppm") >= 400000)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
@@ -1771,8 +1775,10 @@ def dedup_incremental_semantic(spark, sf_dir):
     glob = (
         ea.join(eb, F.col("id_a") < F.col("id_b"))
         .filter((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
-        .withColumn("cos", F.round(S.cosine_col(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= 0.40)
+        .withColumn(
+            "cos_ppm", F.round(S.cosine_col(F.col("va"), F.col("vb")) * 1e6).cast("long")
+        )
+        .filter(F.col("cos_ppm") >= 400000)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )

@@ -1670,13 +1670,12 @@ def cdc_ann_index_deletes(spark, sf_dir):
     # aggregate pass per side instead of a corpus-wide equi-join; a
     # zombie row, an over-delete, or a drifting encoder moves a fold
     def _sig(fr):
-        h = F.xxhash64("vec_id", "centroid_id", "codes")
-        r = fr.select(h.alias("__h")).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(__h)").alias("x"),
-            F.sum(F.pmod(F.col("__h"), F.lit(1_000_000_007))).alias("s"),
-        ).collect()[0]
-        return (r["n"], r["x"], r["s"])
+        # 4-fold signature (operators/signature.py): count/xor/sum/
+        # sum-of-squares — a cancelling pair needs a 3-way coincidence
+        # (ADVICE r11).
+        from lakehouse_tacklebox_spark.operators.signature import rowset_signature
+
+        return rowset_signature(fr, ["vec_id", "centroid_id", "codes"])
 
     norm = lambda fr: fr.select(
         F.col("vec_id").cast("bigint"),
@@ -1860,13 +1859,12 @@ def cdc_ann_index_upserts(spark, sf_dir):
     # row hashes — the dedup_incremental_containment pattern; one
     # map-side-combined aggregate pass per side, no corpus-wide join)
     def _sig(fr):
-        h = F.xxhash64("vec_id", "centroid_id", "codes")
-        r = fr.select(h.alias("__h")).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(__h)").alias("x"),
-            F.sum(F.pmod(F.col("__h"), F.lit(1_000_000_007))).alias("s"),
-        ).collect()[0]
-        return (r["n"], r["x"], r["s"])
+        # 4-fold signature (operators/signature.py): count/xor/sum/
+        # sum-of-squares — a cancelling pair needs a 3-way coincidence
+        # (ADVICE r11).
+        from lakehouse_tacklebox_spark.operators.signature import rowset_signature
+
+        return rowset_signature(fr, ["vec_id", "centroid_id", "codes"])
 
     post = fact.read()
     n_vectors = post.count()
@@ -2491,14 +2489,10 @@ def stream_epoch_shuffle_mv(spark, sf_dir):
     )
 
     def _sig(fr):
-        r = fr.select(
-            F.xxhash64("doc_id", "sort_key", "bucket").alias("__h")
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(__h)").alias("x"),
-            F.sum(F.pmod(F.col("__h"), F.lit(1_000_000_007))).alias("s"),
-        ).collect()[0]
-        return (r["n"], r["x"], r["s"])
+        # 4-fold signature (operators/signature.py; ADVICE r11)
+        from lakehouse_tacklebox_spark.operators.signature import rowset_signature
+
+        return rowset_signature(fr, ["doc_id", "sort_key", "bucket"])
 
     index_merge_match = _sig(back) == _sig(full)
 

@@ -2331,13 +2331,19 @@ def dedup_incremental_lsh(spark, sf_dir):
     verified = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
 
     # maintenance: append the batch's buckets, certify read-back against
-    # a from-scratch banding of the full corpus (row-set equality).
+    # a from-scratch banding of the full corpus. Compared by the shared
+    # 4-fold row-set signature (operators/signature.py) — one map-side
+    # aggregate pass per side — instead of the former full re-band
+    # equi-join + three counts, which made this the heaviest non-graph
+    # headline (VERDICT r11 item 5). Full row-set equality stays pinned
+    # at sf0.001 in tests/test_lsh_neardup.py.
+    from lakehouse_tacklebox_spark.operators.signature import rowset_signature
+
     store.append(buckets_inc, txn=("lsh_index_append", 1))
     back = TackleTable(spark, os.path.join(tmp, "idx")).read()
     full = D.lsh_band_buckets(sigs, "doc_id", bands=16, rows_per_band=3)
-    n_full = full.count()
-    n_match = back.join(full, ["doc_id", "band", "band_hash"]).count()
-    merge_ok = (back.count() == n_full) and (n_match == n_full)
+    cols = ["doc_id", "band", "band_hash"]
+    merge_ok = rowset_signature(back, cols) == rowset_signature(full, cols)
 
     return (
         verified.select(
@@ -3069,27 +3075,20 @@ def dedup_incremental_containment(spark, sf_dir):
     back_docs = TackleTable(spark, os.path.join(tmp, "docs")).read()
     full_docs, full_post = _containment_docs(shingled, "doc_id", "grams", T, None)
 
-    # Order-invariant row-set signature (count, xor of row hashes, sum of
-    # bounded row hashes) instead of the former full equi-join: one
-    # map-side-combined aggregate pass per table, no shuffle of the full
-    # postings row set (VERDICT r10 item 8). A lost, drifted, or
-    # double-applied row moves the count or one of two independent
-    # hash folds. The full row-set equality remains pinned at sf0.001 by
-    # tests/test_incremental_containment.py.
-    def _sig(fr):
-        r = fr.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(__h)").alias("x"),
-            F.sum(F.pmod(F.col("__h"), F.lit(1_000_000_007))).alias("s"),
-        ).collect()[0]
-        return (r["n"], r["x"], r["s"])
+    # Order-invariant row-set signature instead of the former full
+    # equi-join: one map-side-combined aggregate pass per table, no
+    # shuffle of the full postings row set (VERDICT r10 item 8). Now the
+    # shared 4-fold helper (count/xor/sum/sum-of-squares,
+    # operators/signature.py) so a lost, drifted, or double-applied row
+    # must defeat THREE independent hash folds plus the count to slip
+    # through (ADVICE r11). The full row-set equality remains pinned at
+    # sf0.001 by tests/test_incremental_containment.py.
+    from lakehouse_tacklebox_spark.operators.signature import rowset_signature
 
-    post_h = lambda fr: fr.withColumn("__h", F.xxhash64("doc_id", "sh"))
-    docs_h = lambda fr: fr.withColumn(
-        "__h", F.xxhash64("doc_id", F.array_sort("arr"), "sz", "prefix_len")
-    )
-    post_ok = _sig(post_h(back_post)) == _sig(post_h(full_post))
-    docs_ok = _sig(docs_h(back_docs)) == _sig(docs_h(full_docs))
+    post_cols = ["doc_id", "sh"]
+    docs_cols = lambda: ["doc_id", F.array_sort("arr"), "sz", "prefix_len"]
+    post_ok = rowset_signature(back_post, post_cols) == rowset_signature(full_post, post_cols)
+    docs_ok = rowset_signature(back_docs, docs_cols()) == rowset_signature(full_docs, docs_cols())
     merge_ok = post_ok and docs_ok
 
     return (

@@ -93,8 +93,17 @@ def main() -> None:
             capture_output=True,
         )
         try:
-            cur = _time_side(REPO, names, sf_dir)
+            # A/B/A sequence (ADVICE r11): a single A-then-B order lets
+            # OS page-cache/JIT/thermal warm-up systematically favor the
+            # second side, biasing the ratio toward the tool's default
+            # "environmental" verdict. Timing the working tree again
+            # AFTER the prior side and taking the per-query min of the
+            # two A passes gives the current side the same late-session
+            # warm-up benefit B enjoys.
+            cur_a1 = _time_side(REPO, names, sf_dir)
             prior = _time_side(wt, names, sf_dir)
+            cur_a2 = _time_side(REPO, names, sf_dir)
+            cur = {n: min(cur_a1[n], cur_a2[n]) for n in cur_a1}
         finally:
             subprocess.run(
                 ["git", "worktree", "remove", "--force", wt],
@@ -118,6 +127,10 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "queries": names,
                 "current_s": cur,
+                "current_pass_totals_s": [
+                    round(sum(cur_a1.values()), 3),
+                    round(sum(cur_a2.values()), 3),
+                ],
                 "prior_head_s": prior,
                 "current_total_s": cur_total,
                 "prior_head_total_s": prior_total,
