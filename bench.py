@@ -43,12 +43,32 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", str(Path(__file__).resolve().par
 # reps AND sf0.1 baselines for sf1-only entries) left a 12-entry
 # skipped_budget tail two rounds running; the bump is sized so the
 # recorded run covers the full selection on a quiet machine while
-# staying bounded under load.
-SF1_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "660"))
+# staying bounded under load. 780 s from round 12: seven first-
+# measurement entries joined the head of the list.
+SF1_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "780"))
 # drift-priority order: the families the plan audit flags as the ones
 # that COULD go quadratic (pair joins, interval replication, window
 # packs), then scan-bound TPC-H reference points for the linear floor.
 SF1_QUERIES = [
+    # round-12: the round-11 additions VERDICT r11 item 7 lists as
+    # unmeasured at sf1, plus the round-12 CC family — FIRST so the
+    # budget can't starve a first measurement. BFS: k frontier-join
+    # shuffles bounded by the reached ball (ratio guards frontier
+    # growth, not |V|). ANN upserts: CDF feed → re-encode only changed
+    # ids → MERGE (ratio guards that the round-trip stays batch-sized).
+    # Epoch-shuffle MV: per-batch map-side keying + bucket merge (ratio
+    # guards that serving stays census-sized). Vacuum: version prune +
+    # file deletes (ratio guards the ledger walk, not data size). CC
+    # trace/clusters/incremental: k min-label shuffles over sparse edge
+    # frames (ratio guards |E| growth and the contraction staying
+    # component-sized).
+    "graph_bfs_distance",
+    "cdc_ann_index_upserts",
+    "stream_epoch_shuffle_mv",
+    "table_vacuum_retention",
+    "graph_cc_labels",
+    "dedup_cluster_cc",
+    "graph_cc_incremental",
     # never measured in a recorded sf1 section (skipped_budget in r10 AND
     # the r11 builder run) — first so a loaded machine can't starve them
     # a third time. Unigram DP: everything after the one corpus scan is
@@ -540,7 +560,20 @@ def main() -> None:
         # per query) BEFORE any code chase; only a prior-HEAD side that
         # is genuinely faster indicts the code.
         "drift_rebaselined": True,
-        "drift_baseline_history": {"r9": 32.6, "r10_as_recorded": 48.0, "r10_clean_rerun": 35.3},
+        # Round-12 re-baseline (VERDICT r11 item 2): the r11 judge's own
+        # drift_ab run adjudicated the apparent r10→r11 subset move as
+        # machine load — on one quiet session, r11 HEAD timed 31.6 s vs
+        # r10 HEAD 34.8 s on the identical protocol (ratio 0.909; r11
+        # code is ~9% FASTER). The 54.2 s in BENCH_r11 was taken under
+        # drive/bench machine load and is not a code figure. Baseline
+        # for round-over-round comparison: the clean r11 A/B figure.
+        "drift_baseline_history": {
+            "r9": 32.6,
+            "r10_as_recorded": 48.0,
+            "r10_clean_rerun": 35.3,
+            "r11_as_recorded": 54.2,
+            "r11_judge_ab_clean": 31.6,
+        },
         "drift_protocol": "on >1.25x subset move: tools/drift_ab.py same-session A/B vs prior-round HEAD; re-baseline if prior code is not faster",
         "concurrent_makespan_s": round(runner.makespan_s, 3),
         "failures": failures,

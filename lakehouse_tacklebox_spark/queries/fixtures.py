@@ -202,3 +202,42 @@ def frozen_shingle_census(spark, sf_dir: str, n: int = 3):
             _PATHS[key] = (totals_path, census_path)
     totals_path, census_path = _PATHS[key]
     return spark.read.parquet(totals_path), spark.read.parquet(census_path)
+
+
+def frozen_dup_pairs(spark, sf_dir: str) -> DataFrame:
+    """Memoized exact-verified near-dup pair set (3-gram Jaccard >= 0.2,
+    MinHash(48) + LSH(16x3) candidates) — the shared input graph of the
+    dup-cluster CC entries (dedup_cluster_cc, graph_cc_incremental).
+
+    dedup_minhash_lsh demonstrates and prices the pair GENERATION
+    pipeline itself and therefore does NOT use this fixture; the CC
+    entries price what happens AFTER the pairs exist, which at 100 TB
+    reads a materialized pair table — exactly what this parquet is.
+    Deterministic for a given corpus (xxhash-seeded signatures, exact
+    verify), so the memo is observationally identical to recomputing.
+    Returns (id_a bigint, id_b bigint).
+    """
+    key = ("dup_pairs", os.path.abspath(sf_dir), _corpus_fp(sf_dir, "documents"))
+    with _keylock(key):
+        if key not in _PATHS:
+            from lakehouse_tacklebox_spark.operators import dedup as D
+            from lakehouse_tacklebox_spark.queries.textops import _spread
+
+            d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+            sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=3)
+            sigs = D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=48).filter(
+                F.col("sig").getItem(0).isNotNull()
+            )
+            cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=3)
+            verified = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
+            path = os.path.join(tempfile.mkdtemp(prefix="fixture_dup_pairs_"), "pairs")
+            (
+                verified.filter(F.col("jaccard") >= 0.2)
+                .select(
+                    F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                )
+                .write.parquet(path)
+            )
+            _PATHS[key] = path
+    return spark.read.parquet(_PATHS[key])

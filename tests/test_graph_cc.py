@@ -119,3 +119,25 @@ def test_rowset_signature_detects_single_row_drift(spark):
     assert not rowsets_equal(a, c, ["k", "v"])
     sig = rowset_signature(a, ["k", "v"])
     assert len(sig) == 4 and sig[0] == 3
+
+
+def test_two_phase_cc_equals_true_components(spark):
+    # Multi-component fixture incl. the diameter-4 path (the case that
+    # needs the most contraction), run to the measured fixed point.
+    edges = G.symmetric_edges(_pairs_df(spark, _PAIRS))
+    rounds = G.cc_two_phase_rounds(edges, 4)
+    got = {r["node"]: r["label"] for r in G.star_labels(rounds[-1]).collect()}
+    assert got == _true_components(_PAIRS)
+    # edge set stable across the last two rounds (the entries' converged
+    # flag) — and once stable, every node is directly attached to its
+    # component root (star shape)
+    last, prev = rounds[-1], rounds[-2]
+    assert last.join(prev, ["src", "dst"], "left_anti").count() == 0
+    assert prev.join(last, ["src", "dst"], "left_anti").count() == 0
+    roots = set(got.values())
+    star_ok = (
+        last.filter(F.col("src") < F.col("dst"))
+        .filter(~F.col("src").isin(list(roots)))
+        .count()
+    )
+    assert star_ok == 0, "non-root node still carries an edge after convergence"
