@@ -124,15 +124,16 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 #   (b) the 15-entry r5 tail, in CORRECTNESS_r05 ledger order (the
 #       three names displaced by round-11's group (c) first, matching
 #       the documented list);
-#   (c) the first 25 of the 50-entry r6 block, in CORRECTNESS_r06
+#   (c) the first 24 of the 50-entry r6 block, in CORRECTNESS_r06
 #       ledger order — the r6 rotation VERDICT r11 item 1 schedules
 #       after the tail;
 #   (d) the round-12 additions (graph_cc_labels, dedup_cluster_cc,
-#       graph_cc_incremental, graph_cc_twophase), taking the last four
-#       group (c) slots — their displaced r6 names
-#       (ds_priority_month_matrix, ds_before_after_split,
-#       ds_category_share_window, ds_best_customer_frequent_parts) keep
-#       valid r6 evidence and lead the round-13 tail below.
+#       graph_cc_incremental, graph_cc_twophase, stream_cc_labels_mv),
+#       taking the last five group (c) slots — their displaced r6 names
+#       (ds_return_rank_union, ds_priority_month_matrix,
+#       ds_before_after_split, ds_category_share_window,
+#       ds_best_customer_frequent_parts) keep valid r6 evidence and
+#       lead the round-13 tail below.
 # After this round nothing predates r6.
 _WINDOW_PRIORITY = [
     # (a) never driver-checked round-11 additions
@@ -158,7 +159,7 @@ _WINDOW_PRIORITY = [
     "validate_hashdiff_summary",
     "join_asof",
     "dedup_minhash_lsh",
-    # (c) r6 refresh block: first 25 of the r6 ledger, in
+    # (c) r6 refresh block: first 24 of the r6 ledger, in
     # CORRECTNESS_r06 order
     "ds_repeat_part_purchases",
     "ds_rebuy_after_return",
@@ -184,17 +185,17 @@ _WINDOW_PRIORITY = [
     "ds_quantity_dispersion",
     "ds_low_velocity_parts",
     "ds_weekday_wow_ratio",
-    "ds_return_rank_union",
     # (d) round-12 additions (see comment above)
     "graph_cc_labels",
     "dedup_cluster_cc",
     "graph_cc_incremental",
     "graph_cc_twophase",
+    "stream_cc_labels_mv",
 ]
 # Round-13 window plan (mechanical, from the ledger): FIRST any
-# round-12 addition without a driver row, THEN the 25-entry r6 tail in
-# CORRECTNESS_r06 ledger order — ds_priority_month_matrix,
-# ds_before_after_split,
+# round-12 addition without a driver row, THEN the 26-entry r6 tail in
+# CORRECTNESS_r06 ledger order — ds_return_rank_union,
+# ds_priority_month_matrix, ds_before_after_split,
 # ds_category_share_window, ds_best_customer_frequent_parts,
 # stream_incremental_mv, stream_funnel_stages, events_funnel_stages,
 # text_ngram_novelty, corpus_temperature_mix, mm_audio_features,

@@ -2516,3 +2516,230 @@ def stream_epoch_shuffle_mv(spark, sf_dir):
         .withColumn("replay_noop", F.lit(1 if replay_noop else 0).cast("int"))
         .orderBy("bucket")
     )
+
+
+def _cc_mv_oracle() -> str:
+    """Full-recompute dup-cluster census (the graph.py unrolled
+    min-label program over the exact-Jaccard pair graph) + the three
+    certification flags the streaming side computes live."""
+    from lakehouse_tacklebox_spark.queries.graph import (
+        _CC_ITERS,
+        _PAIR_CTE,
+        _cc_stage_sql,
+    )
+
+    parts = [_PAIR_CTE]
+    for k in range(1, _CC_ITERS + 1):
+        parts.append(_cc_stage_sql(k))
+    parts.append(
+        f"""
+    SELECT CAST(label AS BIGINT) AS cluster_label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(node) AS BIGINT) AS max_doc,
+           (SELECT CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS INT)
+            FROM m{_CC_ITERS} a JOIN m{_CC_ITERS - 1} b USING (node)
+            WHERE a.label <> b.label) AS converged,
+           CAST(1 AS INT) AS census_match,
+           CAST(1 AS INT) AS replay_noop
+    FROM m{_CC_ITERS}
+    GROUP BY label
+    ORDER BY n_docs DESC, cluster_label
+    """
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "stream_cc_labels_mv",
+    tags=("streaming", "graph", "dedup", "incremental", "tablestore", "certification"),
+    # Streaming CLOSE of the CC family: dup-cluster labels maintained as
+    # a materialized view under document ingest. Per micro-batch the
+    # batch signs itself, probes the persisted band-bucket index for
+    # history candidates (the dedup_incremental_lsh posture), exact-
+    # verifies only the candidates, folds the new pairs into the label
+    # STORE by label-graph contraction (operators/graphops.py
+    # merge_labels_incremental — the label graph has one node per
+    # touched component, so the merge prices at batch size), and MERGEs
+    # only the rows whose label changed. Min-label canonicality makes
+    # the final store equal a from-scratch CC over all pairs REGARDLESS
+    # of how ingest was batched; census_match certifies that equality
+    # by 4-fold row-set signature, replay_noop certifies idempotent
+    # epoch retry, converged certifies the recompute's fixed point on
+    # both engines.
+    oracle=_cc_mv_oracle(),
+)
+def stream_cc_labels_mv(spark, sf_dir):
+    """Dup-cluster connected-component labels as a streaming MV: ingest
+    the corpus in micro-batches (availableNow), maintain (band-bucket
+    index, label store) TackleTables per epoch — probe, verify, merge
+    labels by contraction, upsert only changed rows — then serve the
+    cluster census from the read-back store alone. Flags: census_match
+    (store == from-scratch CC census), converged, replay_noop. At
+    100 TB: per-batch cost ∝ batch + matched candidates + touched
+    components; history text is re-read only per matched doc; the
+    label store is scanned but only changed rows are written."""
+    import os
+    import tempfile
+
+    from lakehouse_tacklebox_spark.operators import dedup as D
+    from lakehouse_tacklebox_spark.operators import graphops as G
+    from lakehouse_tacklebox_spark.operators.signature import rowset_signature
+    from lakehouse_tacklebox_spark.queries import fixtures as FX
+    from lakehouse_tacklebox_spark.queries.graph import _CC_ITERS
+    from lakehouse_tacklebox_spark.queries.textops import _spread
+    from lakehouse_tacklebox_spark.tablestore.table import TackleTable
+
+    tmp = tempfile.mkdtemp(prefix="cc_mv_")
+    src_dir = os.path.join(tmp, "src")
+    idx_dir = os.path.join(tmp, "idx")
+    lab_dir = os.path.join(tmp, "labels")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    d = _spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    # per-doc structures are split-invariant, so sign once up front; a
+    # batch selects ITS rows by semi-join (cost ∝ batch)
+    sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=3).persist()
+    sigs = (
+        D.minhash_signatures(sh, "doc_id", "shingles", num_hashes=48)
+        .filter(F.col("sig").getItem(0).isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    d.select("doc_id").repartition(3).write.parquet(src_dir)
+    TackleTable.create(
+        spark, idx_dir, schema="doc_id bigint, band int, band_hash bigint"
+    )
+    TackleTable.create(spark, lab_dir, schema="node bigint, label bigint")
+
+    def _apply(batch_df, epoch):
+        s = batch_df.sparkSession
+        ids = batch_df.select("doc_id").distinct().localCheckpoint(eager=True)
+        bsigs = sigs.join(ids, "doc_id")
+        bbuckets = D.lsh_band_buckets(bsigs, "doc_id", bands=16, rows_per_band=3).select(
+            F.col("doc_id").cast("bigint"),
+            F.col("band").cast("int"),
+            F.col("band_hash").cast("bigint"),
+        ).localCheckpoint(eager=True)
+        it = TackleTable(s, idx_dir)
+        lt = TackleTable(s, lab_dir)
+        if lt.txn_version("cc_labels") >= epoch and it.txn_version("cc_idx") >= epoch:
+            return  # replayed epoch: both effects already committed
+        stored = it.read()
+        # id_a < id_b (not <=): on a crash-retry where the index append
+        # committed but the label merge didn't, `stored` already holds
+        # this batch's buckets, and the probe would otherwise emit
+        # degenerate self-pairs
+        cross = (
+            bbuckets.select(F.col("doc_id").alias("inc_id"), "band", "band_hash")
+            .join(
+                stored.select(F.col("doc_id").alias("ex_id"), "band", "band_hash"),
+                ["band", "band_hash"],
+            )
+            .select(
+                F.least("inc_id", "ex_id").alias("id_a"),
+                F.greatest("inc_id", "ex_id").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        a = bbuckets.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+        b = bbuckets.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+        within = (
+            a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = cross.unionByName(within).distinct()
+        new_pairs = (
+            D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
+            .filter(F.col("jaccard") >= 0.2)
+            .select(
+                F.col("id_a").cast("bigint").alias("id_a"),
+                F.col("id_b").cast("bigint").alias("id_b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        base = lt.read()
+        merged = G.merge_labels_incremental(base, new_pairs, _CC_ITERS).select(
+            F.col("node").cast("bigint"), F.col("label").cast("bigint")
+        )
+        # upsert ONLY drifted/new rows — the store scan is the join below,
+        # but the write is change-sized
+        if lt.txn_version("cc_labels") < epoch:
+            changed = (
+                merged.join(base.withColumnRenamed("label", "old_label"), "node", "left")
+                .filter(
+                    F.col("old_label").isNull() | (F.col("old_label") != F.col("label"))
+                )
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+            (
+                lt.merge(changed, on=["node"])
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .withTransaction("cc_labels", epoch)
+                .execute()
+            )
+        if it.txn_version("cc_idx") < epoch:
+            it.append(bbuckets, txn=("cc_idx", epoch))
+
+    last = {"epoch": None, "rows": None}
+
+    def _tracking(batch_df, epoch):
+        last["epoch"], last["rows"] = epoch, batch_df.collect()
+        _apply(batch_df, epoch)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_tracking)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream exceeded the 300s deadline")
+
+    versions = tuple(TackleTable(spark, p).version() for p in (idx_dir, lab_dir))
+    if last["epoch"] is not None:
+        replay_df = spark.createDataFrame(last["rows"], raw_schema)
+        _apply(replay_df, last["epoch"])
+        _apply(replay_df, last["epoch"])
+    replay_noop = versions == tuple(
+        TackleTable(spark, p).version() for p in (idx_dir, lab_dir)
+    )
+
+    back = TackleTable(spark, lab_dir).read().localCheckpoint(eager=True)
+
+    # from-scratch truth: CC over the full exact pair set
+    pairs_full = FX.frozen_dup_pairs(spark, sf_dir)
+    trace = G.cc_label_trace(G.symmetric_edges(pairs_full), _CC_ITERS)
+    full, prev = trace[-1], trace[-2]
+    n_changed = (
+        full.withColumnRenamed("label", "la")
+        .join(prev.withColumnRenamed("label", "lb"), "node")
+        .filter(F.col("la") != F.col("lb"))
+        .count()
+    )
+
+    def census(labels):
+        return labels.groupBy(F.col("label").alias("cluster_label")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("node").cast("bigint").alias("max_doc"),
+        )
+
+    cols = ["cluster_label", "n_docs", "max_doc"]
+    mv_census = census(back).localCheckpoint(eager=True)
+    census_match = rowset_signature(mv_census, cols) == rowset_signature(
+        census(full), cols
+    )
+    return (
+        mv_census.withColumn("converged", F.lit(1 if n_changed == 0 else 0).cast("int"))
+        .withColumn("census_match", F.lit(1 if census_match else 0).cast("int"))
+        .withColumn("replay_noop", F.lit(1 if replay_noop else 0).cast("int"))
+        .orderBy(F.col("n_docs").desc(), "cluster_label")
+    )
