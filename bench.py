@@ -69,6 +69,8 @@ SF1_QUERIES = [
     "graph_cc_labels",
     "dedup_cluster_cc",
     "graph_cc_incremental",
+    "graph_cc_twophase",
+    "graph_triangle_count",
     # never measured in a recorded sf1 section (skipped_budget in r10 AND
     # the r11 builder run) — first so a loaded machine can't starve them
     # a third time. Unigram DP: everything after the one corpus scan is
@@ -573,7 +575,19 @@ def main() -> None:
             "r10_clean_rerun": 35.3,
             "r11_as_recorded": 54.2,
             "r11_judge_ab_clean": 31.6,
+            # Round-12 quiet-machine bench measured the subset at 46.4 s
+            # (1.31x the r10 clean figure), so the standing protocol ran:
+            # tools/drift_ab.py 3dfe94c (r11 HEAD) with the new A/B/A
+            # side-order correction — current 23.2 s vs prior 23.7 s,
+            # ratio 0.979: ENVIRONMENTAL (machine era), r12 code is not
+            # slower. Full JSON: DRIFT_AB_r12.json. Note the drift_ab
+            # scalar (min-of-3, isolated process, 16 queries) and the
+            # bench scalar (min-of-2, 90+-query session) are different
+            # instruments; compare like with like.
+            "r12_clean_run": 46.4,
+            "r12_ab_vs_r11_head_ratio": 0.979,
         },
+        "drift_ab_artifact": "DRIFT_AB_r12.json",
         "drift_protocol": "on >1.25x subset move: tools/drift_ab.py same-session A/B vs prior-round HEAD; re-baseline if prior code is not faster",
         "concurrent_makespan_s": round(runner.makespan_s, 3),
         "failures": failures,
