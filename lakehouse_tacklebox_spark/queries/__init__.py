@@ -194,7 +194,9 @@ _WINDOW_PRIORITY = [
 ]
 # Round-13 window plan (mechanical, from the ledger): FIRST any
 # round-12 addition without a driver row (as of this writing:
-# graph_triangle_count), THEN the 26-entry r6 tail in
+# graph_triangle_count, rag_eval_metrics — both driven green at all
+# three scales in the recorded round-12 drives), THEN the 26-entry
+# r6 tail in
 # CORRECTNESS_r06 ledger order — ds_return_rank_union,
 # ds_priority_month_matrix, ds_before_after_split,
 # ds_category_share_window, ds_best_customer_frequent_parts,

@@ -723,3 +723,89 @@ def graph_cc_twophase(spark, sf_dir):
     return out.withColumn("converged", F.lit(1 if stable else 0).cast("int")).orderBy(
         "round"
     )
+
+
+# Natural slice for the co-purchase graph: return-flagged lineitems
+# (~25% of rows) keep the triangle structure real while bounding the
+# per-order pair fan-out at the bench scales. The SAME predicate is in
+# the oracle SQL.
+_TRI_PRED = "l_returnflag = 'R'"
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        WHERE a.{_TRI_PRED} AND b.{_TRI_PRED}
+    ), deg AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ), o AS MATERIALIZED (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), wedges AS (
+        SELECT o1.t AS x, o2.t AS y
+        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tri
+        FROM wedges w JOIN e ON e.u = least(w.x, w.y) AND e.v = greatest(w.x, w.y)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_tri FROM tri) AS n_triangles,
+           (SELECT CAST((3 * 1000000 * (SELECT n_tri FROM tri))
+                        // (SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT))
+               AS global_clustering_ppm
+    """
+
+
+@register(
+    "graph_triangle_count",
+    tags=("graph", "join"),
+    bench=True,
+    # Exact triangle census over the part co-purchase graph (parts
+    # bought together in one order, return-flagged slice) — the classic
+    # degree-ordered node-iterator (Schank; Suri-Vassilvitskii's
+    # MapReduce formulation): orient every edge from its lower-(degree,
+    # id) endpoint, enumerate wedges only at each edge's SMALLER
+    # endpoint (out-degree is bounded by ~sqrt(2m) after orientation,
+    # so no heavy hitter explodes the 2-path join), then close wedges
+    # against the edge set with one semi-join. Everything is exact
+    # integers; the oracle replays the identical program.
+    oracle=_triangle_oracle(),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count + global clustering coefficient (ppm) of the
+    part co-purchase graph: n_nodes, n_edges, wedge count, exact
+    triangle count via the degree-ordered wedge join. At 100 TB:
+    orientation by (degree, id) is one broadcast-or-shuffle join
+    against the degree census; wedges shuffle on the wedge endpoints;
+    the closure is an edge-set semi-join — no stage is quadratic in a
+    hub's degree."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"].filter(
+        F.expr(_TRI_PRED)
+    ).select("l_orderkey", "l_partkey")
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").cast("bigint").alias("u"),
+            F.col("b.l_partkey").cast("bigint").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return G.triangle_census(e)

@@ -801,3 +801,183 @@ def rag_rm3_expansion(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "rag_eval_metrics",
+    bench=True,
+    tags=("retrieval", "text", "rag", "evaluation"),
+    # Retrieval EVALUATION harness — the measurement half every RAG/
+    # training-data stack needs next to its retrievers: per query,
+    # recall@5 and MRR@5 of the integer BM25 first pass (identical
+    # contrib formula to rag_rm3_expansion's first pass) against an
+    # n-gram-overlap relevance truth (docs sharing >= 2 distinct
+    # 5-grams with the query doc — the text_contamination_attribution
+    # leak rule, reused as graded qrels). Metrics are integer ppm
+    # (MRR = 1e6 DIV first-hit rank; recall = hits*1e6 DIV min(n_rel,5))
+    # so the whole evaluation hash-compares; ranks fully tie-broken.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ) WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len) AS BIGINT) AS total
+        FROM dl
+    ), dft AS (
+        SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w
+    ), tft AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w
+    ), qt AS (
+        SELECT DISTINCT doc_id AS query_id, w FROM tok WHERE doc_id < 3
+    ), bm1 AS (
+        SELECT qt.query_id, tft.doc_id,
+               CAST(sum(
+                 (((2*(s.n_docs - dft.df) + 1) * 1000000) // (2*dft.df + 1))
+                 * ((44000*tft.tf*s.total)
+                    // (20*tft.tf*s.total + 6*s.total + 18*dl.len*s.n_docs))
+               ) AS BIGINT) AS score
+        FROM qt
+        JOIN tft USING (w)
+        JOIN dft USING (w)
+        JOIN dl ON dl.doc_id = tft.doc_id
+        CROSS JOIN stats s
+        WHERE tft.doc_id <> qt.query_id
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM bm1
+    ), top5 AS (
+        SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS shingles
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents)
+        WHERE len(t) >= 5
+    ), qs AS (
+        SELECT doc_id AS query_id, unnest(shingles) AS s FROM sh WHERE doc_id < 3
+    ), cs AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 3
+    ), rel AS (
+        SELECT qs.query_id, cs.doc_id
+        FROM qs JOIN cs USING (s)
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), nrel AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY query_id
+    ), hits AS (
+        SELECT t.query_id,
+               CAST(count(*) AS BIGINT) AS hits_at5,
+               CAST(min(t.rank) AS BIGINT) AS first_hit_rank
+        FROM top5 t JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+        GROUP BY t.query_id
+    )
+    SELECT n.query_id,
+           n.n_rel,
+           coalesce(h.hits_at5, 0) AS hits_at5,
+           CAST(coalesce(1000000 // h.first_hit_rank, 0) AS BIGINT) AS mrr_ppm,
+           CAST(coalesce(h.hits_at5, 0) * 1000000 // least(n.n_rel, 5) AS BIGINT)
+               AS recall_at5_ppm
+    FROM nrel n LEFT JOIN hits h USING (query_id)
+    ORDER BY n.query_id
+    """,
+)
+def rag_eval_metrics(spark, sf_dir):
+    """Retrieval evaluation: integer BM25 top-5 per query (docs 0-2),
+    scored against n-gram-overlap qrels (>= 2 shared distinct 5-grams),
+    reported per query as (n_rel, hits@5, MRR ppm, recall@5 ppm). One
+    token census feeds the retrieval leg and one shingle census the
+    truth leg; both passes are posting-bounded joins, the metrics are
+    k-bounded arithmetic — the evaluation costs no more than the
+    retrieval it measures. At 100 TB qrels are a table and this whole
+    entry is the nightly retrieval-quality job."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tok = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        ).filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    ).localCheckpoint(eager=False)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("total"),
+    )
+    dft = tok.groupBy("w").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    tft = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    qt = (
+        tok.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), "w")
+        .distinct()
+    )
+    contrib = F.expr(
+        "(((2*(n_docs - df) + 1) * CAST(1000000 AS BIGINT)) DIV (2*df + 1))"
+        " * ((44000*tf*total)"
+        "    DIV (20*tf*total + 6*total + 18*len*n_docs))"
+    )
+    bm1 = (
+        tft.join(F.broadcast(qt), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dft, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score"))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    top5 = (
+        bm1.withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+
+    # qrels: >= 2 shared distinct 5-grams (the contamination leak rule)
+    from lakehouse_tacklebox_spark.operators import dedup as D
+
+    sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=5)
+    qsh = sh.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.explode("shingles").alias("s")
+    )
+    csh = sh.filter(F.col("doc_id") >= 3).select("doc_id", F.explode("shingles").alias("s"))
+    rel = (
+        qsh.join(csh, "s")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    hits = (
+        top5.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits_at5"),
+            F.min("rank").cast("bigint").alias("first_hit_rank"),
+        )
+    )
+    return (
+        nrel.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("hits_at5", F.lit(0)).cast("bigint").alias("hits_at5"),
+            F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) DIV first_hit_rank"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("mrr_ppm"),
+            F.expr(
+                "CAST(coalesce(hits_at5, 0) * CAST(1000000 AS BIGINT)"
+                " DIV least(n_rel, CAST(5 AS BIGINT)) AS BIGINT)"
+            ).alias("recall_at5_ppm"),
+        )
+        .orderBy("query_id")
+    )

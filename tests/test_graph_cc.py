@@ -141,3 +141,24 @@ def test_two_phase_cc_equals_true_components(spark):
         .count()
     )
     assert star_ok == 0, "non-root node still carries an edge after convergence"
+
+
+def test_triangle_census_exact(spark):
+    # K4 on {1,2,3,4} (4 triangles) + a pendant edge + the 5-path from
+    # _PAIRS (0 triangles) + one extra triangle sharing node 20.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4: 4 triangles
+        (4, 50),                                          # pendant
+        (20, 22), (22, 24), (24, 20),                     # triangle
+    ]
+    e = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "u bigint, v bigint"
+    ).distinct()
+    row = G.triangle_census(e).collect()[0]
+    assert row["n_triangles"] == 5
+    assert row["n_nodes"] == 8
+    assert row["n_edges"] == 10
+    # wedges: K4 nodes have deg 3,3,3,4(node 4); pendant 1; triangle 2,2,2
+    # sum d(d-1)/2 = 3+3+3+6+0+1+1+1 = 18
+    assert row["n_wedges"] == 18
+    assert row["global_clustering_ppm"] == 3 * 1000000 * 5 // 18
