@@ -797,3 +797,82 @@ def test_bpe_bytes_single_corpus_scan_per_branch(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cc_iteration_join_is_sort_merge(spark):
+    """cc_label_trace's propagation join carries the merge hint (same
+    driver-broadcast-pressure rationale as the PageRank loop): one
+    iteration's edges-to-labels join must plan as SortMergeJoin."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    e = G.symmetric_edges(pairs)
+    lab = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    hop = e.join(lab.withColumnRenamed("node", "src").hint("merge"), "src")
+    plan = _plan(hop)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_triangle_wedge_join_no_cartesian(spark):
+    """graph_triangle_count: no CartesianProduct anywhere (the only
+    nested-loop joins are the 1-row stat-frame crossJoins at the very
+    top — the repo's standard truth-frame pattern), and the wedge
+    enumeration itself plans as an equi-join on the oriented source."""
+    df = REGISTRY["graph_triangle_count"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the wedge stage in isolation: equi-join, never nested-loop
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "u bigint, v bigint"
+    )
+    wedge_plan = _plan(G.triangle_census(e))
+    assert "CartesianProduct" not in wedge_plan
+
+
+def test_cluster_cc_census_no_corpus_scan(spark):
+    """dedup_cluster_cc serves its census from the checkpointed label
+    frame of the pair graph: the final plan must not re-scan the
+    documents corpus (the pair fixture is the only document-derived
+    input, and it is parquet-materialized)."""
+    df = REGISTRY["dedup_cluster_cc"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "documents.parquet" not in plan
+
+
+def test_eval_metrics_query_terms_broadcast(spark):
+    """rag_eval_metrics' BM25 leg joins the query terms onto the
+    (doc, term) census by broadcast — the posting-bounded shape; a
+    shuffle here would mean the probe re-keys the whole census. The
+    entry checkpoints its top-5/qrels frames (each feeds two
+    consumers), so the probe stage is asserted on the pre-checkpoint
+    plan, rebuilt exactly as the entry builds it."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tacklebox_spark.sources import load_tables
+
+    d = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    tft = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    qt = (
+        tok.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), "w")
+        .distinct()
+    )
+    probe = tft.join(F.broadcast(qt), "w")
+    plan = _plan(probe)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # and the entry's full plan is cartesian-free end to end
+    full_plan = _plan(REGISTRY["rag_eval_metrics"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in full_plan
