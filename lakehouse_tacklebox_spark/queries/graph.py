@@ -942,3 +942,69 @@ def graph_ppr_seeded(spark, sf_dir):
         ],
         "node bigint, mass_ppm bigint, rank bigint, kind string",
     ).orderBy("rank")
+
+
+def _dup_rate_oracle(iters: int = _CC_ITERS) -> str:
+    parts = [_PAIR_CTE]
+    for k in range(1, iters + 1):
+        parts.append(_cc_stage_sql(k))
+    parts.append(
+        f"""
+    , dups AS MATERIALIZED (
+        SELECT node AS doc_id FROM m{iters} WHERE node <> label
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dups.doc_id) AS BIGINT) AS n_dups,
+           CAST(count(dups.doc_id) * 1000000 // count(*) AS BIGINT) AS dup_rate_ppm
+    FROM documents d LEFT JOIN dups ON dups.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    tags=("corpus", "dedup", "graph", "llm"),
+    bench=True,
+    # The reporting step that makes dup-cluster CC actionable: per
+    # ingestion source, how much of the corpus would near-dup removal
+    # delete (keep the cluster-min representative, drop the rest)?
+    # Exactly the dashboard a 100 TB curation run reads to decide which
+    # crawls/feeds are rotten. Labels come from the same min-label CC
+    # over the exact-verified pair graph as dedup_cluster_cc; the
+    # census joins back to documents once and groups on source —
+    # integer ppm, full oracle.
+    oracle=_dup_rate_oracle(),
+)
+def corpus_dup_rate_by_source(spark, sf_dir):
+    """Near-duplication rate per ingestion source: CC labels over the
+    exact near-dup pair graph, non-representative cluster members
+    counted as removable duplicates, grouped by documents.source with
+    the rate in integer ppm. One dup-id frame joined to one corpus scan
+    (left unhinted: dup sets are tiny on clean corpora but can be a
+    large corpus fraction on rotten ones — AQE picks broadcast vs
+    shuffle from the actual size) — the cost is the CC
+    (pair-graph-bounded) plus a single pass over documents."""
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    labels = G.cc_min_label(G.symmetric_edges(_dup_pairs(spark, sf_dir)), _CC_ITERS)
+    dups = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("is_dup")
+    )
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "source")
+    return (
+        d.join(dups, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("is_dup").cast("bigint").alias("n_dups"),
+        )
+        .withColumn(
+            "dup_rate_ppm",
+            F.expr("CAST(n_dups * CAST(1000000 AS BIGINT) DIV n_docs AS BIGINT)"),
+        )
+        .orderBy("source")
+    )
