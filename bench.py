@@ -43,9 +43,10 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", str(Path(__file__).resolve().par
 # reps AND sf0.1 baselines for sf1-only entries) left a 12-entry
 # skipped_budget tail two rounds running; the bump is sized so the
 # recorded run covers the full selection on a quiet machine while
-# staying bounded under load. 780 s from round 12: seven first-
-# measurement entries joined the head of the list.
-SF1_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "780"))
+# staying bounded under load. 960 s from round 12: twelve first-
+# measurement entries joined the head of the list and the 780 s run
+# still skipped a 12-entry tail (all with r10/r11-recorded ratios).
+SF1_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "960"))
 # drift-priority order: the families the plan audit flags as the ones
 # that COULD go quadratic (pair joins, interval replication, window
 # packs), then scan-bound TPC-H reference points for the linear floor.
@@ -73,6 +74,7 @@ SF1_QUERIES = [
     "graph_triangle_count",
     "graph_ppr_seeded",
     "corpus_dup_rate_by_source",
+    "rag_eval_metrics",
     # never measured in a recorded sf1 section (skipped_budget in r10 AND
     # the r11 builder run) — first so a loaded machine can't starve them
     # a third time. Unigram DP: everything after the one corpus scan is
