@@ -33,6 +33,13 @@ Scale notes (100 TB corpus):
   aggregate over the frame the checkpoint just materialized — a scalar
   per round, the one acceptable driver-side action in an iterative job.
   decimal(38,0) keeps the sum exact (no bigint wrap) up to ~10^19 rows.
+
+The certified-program siblings live in ``operators/graphops.py``:
+fixed-iteration label traces (DuckDB-replayable as unrolled CTEs),
+the incremental label-store contraction merge, and large-star/
+small-star two-phase CC — same component-min label semantics, chosen
+when the round count must be part of the replayable contract rather
+than adaptive.
 """
 
 from __future__ import annotations

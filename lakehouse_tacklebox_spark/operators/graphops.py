@@ -22,6 +22,17 @@ in MapReduce and Beyond") halves label-path lengths per round; plain
 min-propagation with a fixed k is the right trade here because the
 gate needs a replayable program, and k is certified by a converged
 flag rather than assumed.
+
+Relationship to ``operators/cluster.connected_components``: that is
+the PRODUCTION variant — run-to-convergence with an exact decimal
+label-sum convergence scalar per round (adaptive round count, one
+driver action per round). THIS module is the certified-program family:
+fixed iteration counts that DuckDB can replay as unrolled CTEs
+(cc_label_trace), the incremental label-store merge
+(merge_labels_incremental), and the O(log d) two-phase contraction
+(cc_two_phase_rounds). Same label semantics — both converge to the
+component-min labelling; dedup_cluster_assign uses the production
+variant, the graph_cc_* entries use these.
 """
 
 from __future__ import annotations
@@ -240,7 +251,11 @@ def triangle_census(e: DataFrame) -> DataFrame:
             "n_edges",
             "n_wedges",
             F.col("n_tri").alias("n_triangles"),
-            F.expr("(3 * CAST(1000000 AS BIGINT) * n_tri) DIV n_wedges")
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN (3 * CAST(1000000 AS BIGINT) * n_tri) DIV n_wedges"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
             .cast("bigint")
             .alias("global_clustering_ppm"),
         )

@@ -759,8 +759,10 @@ def _triangle_oracle() -> str:
            (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
            (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
            (SELECT n_tri FROM tri) AS n_triangles,
-           (SELECT CAST((3 * 1000000 * (SELECT n_tri FROM tri))
-                        // (SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT))
+           (SELECT CAST(CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+                THEN (3 * 1000000 * (SELECT n_tri FROM tri))
+                     // (SELECT sum(d * (d - 1) // 2) FROM deg)
+                ELSE 0 END AS BIGINT))
                AS global_clustering_ppm
     """
 

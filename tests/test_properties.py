@@ -324,3 +324,98 @@ def test_containment_pairs_matches_bruteforce(spark, docs, thr):
         for r in containment_pairs(df, "doc_id", "grams", threshold_ppm=thr).collect()
     }
     assert got == expect
+
+
+# --- graphops certified-program family vs pure-Python references -----------
+
+def _uf_components(edges, nodes):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for n in nodes:
+        find(n)
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in comp.values() for n in ms}
+
+
+_EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=18,
+)
+
+
+@SPARK_SETTINGS
+@given(edges=_EDGE_LISTS)
+def test_two_phase_cc_matches_union_find(spark, edges):
+    """Large-star/small-star run for n rounds (a safe over-bound on the
+    O(log d) requirement at this size) must label every edge-incident
+    node with its true component min."""
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint"
+    ).distinct()
+    nodes = sorted({x for e in edges for x in e})
+    rounds = G.cc_two_phase_rounds(G.symmetric_edges(pairs), max(2, len(nodes)))
+    got = {r["node"]: r["label"] for r in G.star_labels(rounds[-1]).collect()}
+    assert got == _uf_components(edges, nodes)
+
+
+@SPARK_SETTINGS
+@given(edges=_EDGE_LISTS, split=st.integers(2, 5))
+def test_incremental_cc_merge_matches_full(spark, edges, split):
+    """Any base/batch split of the edge list, merged through the
+    label-graph contraction, equals a from-scratch union-find over the
+    union — the canonical-label property graph_cc_incremental certifies
+    at the gate."""
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    base = [e for i, e in enumerate(edges) if i % split != 0]
+    batch = [e for i, e in enumerate(edges) if i % split == 0]
+    if not batch:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    iters = max(2, len(nodes))
+    if base:
+        base_df = spark.createDataFrame(base, "id_a bigint, id_b bigint")
+        base_labels = G.cc_min_label(G.symmetric_edges(base_df), iters)
+    else:
+        base_labels = spark.createDataFrame([], "node bigint, label bigint")
+    merged = G.merge_labels_incremental(
+        base_labels, spark.createDataFrame(batch, "id_a bigint, id_b bigint"), iters
+    )
+    got = {r["node"]: r["label"] for r in merged.collect()}
+    assert got == _uf_components(edges, nodes)
+
+
+@SPARK_SETTINGS
+@given(edges=_EDGE_LISTS)
+def test_triangle_census_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    nodes = sorted({x for e in und for x in e})
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in und and (a, c) in und and (b, c) in und
+    )
+    e = spark.createDataFrame(sorted(und), "u bigint, v bigint")
+    row = G.triangle_census(e).collect()[0]
+    assert row["n_triangles"] == expected
+    assert row["n_edges"] == len(und)
