@@ -75,6 +75,7 @@ SF1_QUERIES = [
     "graph_ppr_seeded",
     "corpus_dup_rate_by_source",
     "rag_eval_metrics",
+    "graph_cc_decremental",
     # never measured in a recorded sf1 section (skipped_budget in r10 AND
     # the r11 builder run) — first so a loaded machine can't starve them
     # a third time. Unigram DP: everything after the one corpus scan is

@@ -260,3 +260,36 @@ def triangle_census(e: DataFrame) -> DataFrame:
             .alias("global_clustering_ppm"),
         )
     )
+
+
+def repair_labels_decremental(
+    store: DataFrame, surviving_pairs: DataFrame, removed_nodes: DataFrame, iters: int
+) -> DataFrame:
+    """Repair a (node, label) component store after node DELETIONS.
+
+    Deletions can SPLIT components (the case contraction merges cannot
+    handle), so the affected components — those containing a removed
+    node — are re-solved from scratch on their surviving subgraph while
+    every other store row passes through verbatim. A pair's endpoints
+    always share a component, so selecting pairs on one endpoint's
+    membership selects exactly the affected subgraph. Survivors that
+    lost their last pair drop out of the store; a component whose
+    min-id node was removed gets a fresh canonical label. Cost ∝
+    affected components + removals, never the graph.
+
+    ``store``: (node, label) at the pre-deletion fixed point.
+    ``surviving_pairs``: (id_a, id_b) with removed endpoints already
+    filtered out. ``removed_nodes``: (node) the forget-list.
+    """
+    affected_labels = (
+        store.join(removed_nodes, "node", "semi").select("label").distinct()
+    )
+    untouched = store.join(affected_labels, "label", "left_anti").select(
+        "node", "label"
+    )
+    affected_nodes = store.join(affected_labels, "label", "semi").select("node")
+    sub_pairs = surviving_pairs.join(
+        affected_nodes.withColumnRenamed("node", "id_a"), "id_a", "semi"
+    )
+    repaired = cc_min_label(symmetric_edges(sub_pairs), iters)
+    return untouched.unionByName(repaired)

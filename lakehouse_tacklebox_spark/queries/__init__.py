@@ -195,7 +195,7 @@ _WINDOW_PRIORITY = [
 # Round-13 window plan (mechanical, from the ledger): FIRST any
 # round-12 addition without a driver row (as of this writing:
 # graph_triangle_count, rag_eval_metrics, graph_ppr_seeded,
-# corpus_dup_rate_by_source — each driven green at all
+# corpus_dup_rate_by_source, graph_cc_decremental — each driven green at all
 # three scales in the recorded round-12 drives), THEN the 26-entry
 # r6 tail in
 # CORRECTNESS_r06 ledger order — ds_return_rank_union,

@@ -1010,3 +1010,117 @@ def corpus_dup_rate_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# Deletion-side CC maintenance: same exact-Jaccard pair graph, but the
+# forget-list (doc_id % 7 == 3) is removed — the GDPR/retraction shape
+# the streaming MVs already handle for aggregates, applied to the label
+# store. The oracle recomputes from scratch over SURVIVING pairs only.
+_CC_DEL_PRED = "% 7 = 3"
+
+
+def _cc_decremental_oracle(iters: int = _CC_ITERS) -> str:
+    # _PAIR_CTE builds pairs/e/m0 over the full corpus; splice a
+    # surviving-pair filter into the e and m0 stages.
+    cte = _PAIR_CTE.replace(
+        """    ), e AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    )""",
+        f"""    ), surv AS MATERIALIZED (
+        SELECT id_a, id_b FROM pairs
+        WHERE NOT (id_a {_CC_DEL_PRED}) AND NOT (id_b {_CC_DEL_PRED})
+    ), e AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM surv
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM surv
+    )""",
+    )
+    assert "surv AS MATERIALIZED" in cte, "pair CTE splice failed"
+    parts = [cte]
+    for k in range(1, iters + 1):
+        parts.append(_cc_stage_sql(k))
+    parts.append(
+        f"""
+    SELECT CAST(label AS BIGINT) AS cluster_label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(node) AS BIGINT) AS max_doc,
+           (SELECT CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS INT)
+            FROM m{iters} a JOIN m{iters - 1} b USING (node)
+            WHERE a.label <> b.label) AS converged,
+           CAST(1 AS INT) AS matches_full
+    FROM m{iters}
+    GROUP BY label
+    ORDER BY n_docs DESC, cluster_label
+    """
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_cc_decremental",
+    tags=("graph", "dedup", "incremental", "llm"),
+    bench=True,
+    # The DELETION half of label-store maintenance (graph_cc_incremental
+    # and stream_cc_labels_mv cover inserts): removing documents can
+    # SPLIT components — the case contraction cannot handle — so the
+    # store is repaired by recomputing CC only inside the AFFECTED
+    # components (those containing a removed doc; pairs never cross
+    # components, so membership of one endpoint suffices to select the
+    # affected subgraph). Untouched components keep their rows verbatim;
+    # survivors that lost their last pair drop out; a component whose
+    # min-id doc was forgotten gets a fresh canonical label. Cost ∝
+    # affected components + forget-list, never the corpus. matches_full
+    # certifies equality with a from-scratch recompute over surviving
+    # pairs (4-fold row-set signature); the oracle replays that full
+    # recompute.
+    oracle=_cc_decremental_oracle(),
+)
+def graph_cc_decremental(spark, sf_dir):
+    """Label-store repair under deletion: the forget-list (doc_id % 7
+    == 3) leaves the corpus; affected components (those containing a
+    removed doc) are re-solved on their surviving subgraph, all other
+    store rows are untouched. Census (canonical label, size, max doc)
+    over the repaired store plus converged and matches_full flags."""
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    pairs = _dup_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    store = G.cc_min_label(G.symmetric_edges(pairs), _CC_ITERS).localCheckpoint(
+        eager=True
+    )
+
+    removed = store.filter(F.expr(f"node {_CC_DEL_PRED}")).select("node")
+    surviving_pairs = pairs.filter(
+        ~F.expr(f"id_a {_CC_DEL_PRED}") & ~F.expr(f"id_b {_CC_DEL_PRED}")
+    )
+    new_store = G.repair_labels_decremental(
+        store, surviving_pairs, removed, _CC_ITERS
+    )
+
+    # certification: full recompute over surviving pairs
+    trace = G.cc_label_trace(G.symmetric_edges(surviving_pairs), _CC_ITERS)
+    full, prev = trace[-1], trace[-2]
+    n_changed = (
+        full.withColumnRenamed("label", "la")
+        .join(prev.withColumnRenamed("label", "lb"), "node")
+        .filter(F.col("la") != F.col("lb"))
+        .count()
+    )
+
+    def census(labels):
+        return labels.groupBy(F.col("label").alias("cluster_label")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("node").cast("bigint").alias("max_doc"),
+        )
+
+    from lakehouse_tacklebox_spark.operators.signature import rowset_signature
+
+    cols = ["cluster_label", "n_docs", "max_doc"]
+    inc_census = census(new_store).localCheckpoint(eager=True)
+    ok = rowset_signature(inc_census, cols) == rowset_signature(census(full), cols)
+    return (
+        inc_census.withColumn("converged", F.lit(1 if n_changed == 0 else 0).cast("int"))
+        .withColumn("matches_full", F.lit(1 if ok else 0).cast("int"))
+        .orderBy(F.col("n_docs").desc(), "cluster_label")
+    )

@@ -162,3 +162,28 @@ def test_triangle_census_exact(spark):
     # sum d(d-1)/2 = 3+3+3+6+0+1+1+1 = 18
     assert row["n_wedges"] == 18
     assert row["global_clustering_ppm"] == 3 * 1000000 * 5 // 18
+
+
+def test_decremental_repair_splits_and_relabels(spark):
+    # Path 1-3-5-7-9 plus triangle {20,22,24} plus edge (31,100).
+    # Remove the path's CUT VERTEX 5 (splits its component in two) AND
+    # the triangle's min node 20 (forces a fresh canonical label 22).
+    pairs = _pairs_df(spark, _PAIRS)
+    store = G.cc_min_label(G.symmetric_edges(pairs), 5)
+    removed = spark.createDataFrame([(5,), (20,)], "node bigint")
+    surviving = pairs.filter(
+        (~F.col("id_a").isin(5, 20)) & (~F.col("id_b").isin(5, 20))
+    )
+    new_store = G.repair_labels_decremental(store, surviving, removed, 5)
+    got = {r["node"]: r["label"] for r in new_store.collect()}
+    surviving_edges = [
+        (a, b) for a, b in _PAIRS if a not in (5, 20) and b not in (5, 20)
+    ]
+    assert got == _true_components(surviving_edges)
+    # the split is real: 9-7 and 3-1 are now separate components...
+    assert got[9] == 7 and got[1] == 1
+    # ...the triangle relabelled to its new min...
+    assert got[22] == 22 and got[24] == 22
+    # ...the removed nodes are gone, and the untouched component intact
+    assert 5 not in got and 20 not in got
+    assert got[100] == 31 and got[31] == 31
