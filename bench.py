@@ -76,6 +76,7 @@ SF1_QUERIES = [
     "corpus_dup_rate_by_source",
     "rag_eval_metrics",
     "graph_cc_decremental",
+    "stream_cc_labels_mv",
     # never measured in a recorded sf1 section (skipped_budget in r10 AND
     # the r11 builder run) — first so a loaded machine can't starve them
     # a third time. Unigram DP: everything after the one corpus scan is
