@@ -46,7 +46,13 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", str(Path(__file__).resolve().par
 # staying bounded under load. 960 s from round 12: twelve first-
 # measurement entries joined the head of the list and the 780 s run
 # still skipped a 12-entry tail (all with r10/r11-recorded ratios).
-SF1_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "960"))
+# 1320 s from round 13: the aging policy became EXPLICIT (SF1_RATIOS
+# ledger + stale_ratios readout, VERDICT r12 item 5) and the bootstrap
+# ledger only carries round-12 measurements, so this round's selection
+# tops up with the ~43 headline entries whose newest ratio predates
+# r11 — almost all scan-bound TPC-H/DS shapes at a few seconds each.
+# Steady state re-measures the priority list plus a small aging tail.
+SF1_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "1320"))
 # drift-priority order: the families the plan audit flags as the ones
 # that COULD go quadratic (pair joins, interval replication, window
 # packs), then scan-bound TPC-H reference points for the linear floor.
@@ -394,12 +400,62 @@ def _scale_readouts(spark) -> dict:
     return out
 
 
+SF1_LEDGER_PATH = Path(__file__).resolve().parent / "SF1_RATIOS.json"
+# every headline entry must have a decade ratio at most this many rounds
+# old; older (or never-measured) entries are force-selected this run and
+# reported in `stale_ratios` if the budget still starves them
+SF1_MAX_RATIO_AGE_ROUNDS = 2
+
+
+def _current_round() -> int:
+    """The driver records BENCH_r{N}.json per round; the highest N on
+    disk + 1 is the round THIS run will be recorded under."""
+    import glob as _glob
+    import re as _re
+
+    ns = [
+        int(m.group(1))
+        for f in _glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def _load_sf1_ledger() -> dict:
+    try:
+        return json.loads(SF1_LEDGER_PATH.read_text())
+    except Exception:
+        return {}
+
+
 def run_sf1_section(spark, specs, sf01_timings: dict, sf_dir: str) -> dict:
     # fall back to the full registry for sf1-only entries (the stateful
     # funnel is deliberately not in the serial/concurrent headline set —
     # a streaming query under the concurrency phase would measure thread
     # scheduling, not the operator)
+    rnd = _current_round()
+    ledger = _load_sf1_ledger()
+    fresh_floor = rnd - SF1_MAX_RATIO_AGE_ROUNDS
+
+    def _is_fresh(name: str) -> bool:
+        return ledger.get(name, {}).get("round", -(10**9)) >= fresh_floor
+
     selected = [n for n in SF1_QUERIES if n in specs or n in REGISTRY]
+    # Aging enforcement (VERDICT r12 item 5): the drift-priority list
+    # above is the ORDER, but nothing in it guaranteed coverage — a
+    # headline entry absent from the list (or starved by the budget two
+    # rounds running) silently lost its ratio. Top the selection up with
+    # every headline entry whose newest ledger ratio predates
+    # r-{SF1_MAX_RATIO_AGE_ROUNDS}; freshly-measured entries NOT in the
+    # priority list are skipped, which is what sizes the section to the
+    # budget in steady state (each round re-measures the priority list
+    # plus the aging tail, not the whole headline set).
+    aging_tail = sorted(
+        n
+        for n in specs
+        if n not in selected and n not in SF1_EXCLUDED_QUADRATIC and not _is_fresh(n)
+    )
+    selected = selected + aging_tail
     not_selected = sorted(set(specs) - set(selected) - set(SF1_EXCLUDED_QUADRATIC))
     timings: dict[str, float] = {}
     skipped_budget: list[str] = []
@@ -439,6 +495,21 @@ def run_sf1_section(spark, specs, sf01_timings: dict, sf_dir: str) -> dict:
         for n, t in timings.items()
         if baselines.get(n)
     }
+    # persist the ledger: every measured ratio is stamped with this
+    # round number, so the NEXT run can enforce the aging policy
+    for n, r in ratios.items():
+        ledger[n] = {"ratio": r, "round": rnd}
+    SF1_LEDGER_PATH.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+    # the explicit staleness readout: headline entries whose newest
+    # ratio (including this run's) predates r-2 — the policy is that
+    # this list is EMPTY; anything in it was starved by the budget
+    stale_ratios = sorted(
+        n
+        for n in specs
+        if n not in SF1_EXCLUDED_QUADRATIC
+        and n not in ratios
+        and not _is_fresh(n)
+    )
     return {
         "dir": SF1_DIR,
         "queries": timings,
@@ -450,6 +521,9 @@ def run_sf1_section(spark, specs, sf01_timings: dict, sf_dir: str) -> dict:
         "param_overrides": {n: why for n, (_, why) in SF1_PARAM_OVERRIDES.items()},
         "not_selected": not_selected,
         "skipped_budget": skipped_budget,
+        "ratio_round": rnd,
+        "ratio_max_age_rounds": SF1_MAX_RATIO_AGE_ROUNDS,
+        "stale_ratios": stale_ratios,
         "scale_readouts": _scale_readouts(spark),
     }
 
@@ -617,6 +691,7 @@ def main() -> None:
             "total": sf1["total"],
             "max_decade_ratio": sf1["max_decade_ratio"],
             "n_queries": len(sf1["queries"]),
+            "stale_ratios": sf1["stale_ratios"],
         }
         if sf1
         else None

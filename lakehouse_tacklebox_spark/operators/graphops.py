@@ -80,9 +80,34 @@ def cc_label_trace(edges: DataFrame, iters: int) -> list[DataFrame]:
     return out
 
 
-def cc_min_label(edges: DataFrame, iters: int) -> DataFrame:
-    """Final (node, label) after ``iters`` min-label propagation steps."""
-    return cc_label_trace(edges, iters)[-1]
+def cc_min_label(edges: DataFrame, iters: int, require_converged: bool = False) -> DataFrame:
+    """Final (node, label) after ``iters`` min-label propagation steps.
+
+    A fixed ``iters`` silently returns NON-converged labels when the
+    graph's min-label path lengths exceed it (VERDICT r12 item 6). The
+    battery certifies convergence per entry with an explicit flag; for
+    library callers, ``require_converged=True`` runs ONE extra
+    propagation round and raises ``ValueError`` if any label still
+    moves — a single count over the k+1-th frame, so the check costs
+    one more iteration, never a full equality join.
+    """
+    trace = cc_label_trace(edges, iters + 1 if require_converged else iters)
+    if require_converged:
+        last, extra = trace[-2], trace[-1]
+        changed = (
+            last.withColumnRenamed("label", "l0")
+            .join(extra, "node")
+            .filter(F.col("l0") != F.col("label"))
+            .count()
+        )
+        if changed:
+            raise ValueError(
+                f"cc_min_label(iters={iters}) has not converged: "
+                f"{changed} labels still changed on round {iters + 1}; "
+                "raise iters or use cc_two_phase_rounds for long paths"
+            )
+        return last
+    return trace[-1]
 
 
 def merge_labels_incremental(

@@ -3,32 +3,44 @@
 Several entries certify "this DataFrame equals that one as a row SET"
 (index read-back vs from-scratch rebuild, incremental vs full
 recompute) without shuffling the full row set through an equi-join:
-hash each row to 64 bits, then reduce with commutative folds. One
+hash each row, then reduce with commutative folds. One
 map-side-combined aggregate pass per frame, no join.
 
-Folds: row count, bit-XOR of row hashes, sum of row hashes mod p1,
-and sum of SQUARED row hashes mod p2. XOR and the two modular sums
-are algebraically independent — a pair of differing rows that cancels
-in the XOR fold (h_a ^ h_b preserved) must ALSO collide in both sums
-(h_a + h_b and h_a^2 + h_b^2 mod distinct primes), so a false pass
-needs a 3-way coincidence (~2^-180 for adversarial pairs, vanishing
-for accidental ones). Full row-set equality stays pinned at sf0.001
-in pytest wherever a signature gates an entry.
+Folds over TWO independently-seeded row hashes h1 = xxhash64(cols)
+and h2 = xxhash64(lit(seed2), cols): row count, bit-XOR of h1,
+sum of h1 mod p1, and sum of SQUARED h2 mod p2. The first three folds
+are all functions of h1, so a pair of distinct rows colliding in h1
+(~2^-64 per pair) defeats them together — but such a pair still has
+independent h2 values, so it must ALSO satisfy h2_a^2 ≡ h2_b^2 mod p2
+(~2^-30) to pass the fourth fold: ~2^-94 per adversarial pair, and
+birthday-scale accidental risk stays far below gate sizes. Full
+row-set equality stays pinned at sf0.001 in pytest wherever a
+signature gates an entry.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 _P1 = 1_000_000_007
 _P2 = 998_244_353
+# Second-hash seed: prepended literal re-keys xxhash64 (whose own seed is
+# fixed in Spark), making h2 independent of h1 for distinct rows.
+_SEED2 = "__sig_seed2__"
 
 
-def rowset_signature(df: DataFrame, cols: list[str]) -> tuple:
-    """(count, xor, sum mod p1, sum-of-squares mod p2) over xxhash64(cols)."""
-    h = df.withColumn("__h", F.xxhash64(*cols))
+def rowset_signature(df: DataFrame, cols: list[str | Column]) -> tuple:
+    """(count, xor h1, sum h1 mod p1, sum h2^2 mod p2) over dual-seeded xxhash64.
+
+    ``cols`` entries may be column names or Column expressions (e.g.
+    ``F.array_sort("arr")``) — both hash identically on both frames as
+    long as the same expressions are passed for both.
+    """
+    h = df.withColumn("__h", F.xxhash64(*cols)).withColumn(
+        "__h2", F.xxhash64(F.lit(_SEED2), *cols)
+    )
     hp = F.pmod(F.col("__h"), F.lit(_P1))
-    hq = F.pmod(F.col("__h"), F.lit(_P2))
+    hq = F.pmod(F.col("__h2"), F.lit(_P2))
     r = h.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(__h)").alias("x"),
@@ -38,5 +50,5 @@ def rowset_signature(df: DataFrame, cols: list[str]) -> tuple:
     return (r["n"], r["x"], r["s1"], r["s2"])
 
 
-def rowsets_equal(a: DataFrame, b: DataFrame, cols: list[str]) -> bool:
+def rowsets_equal(a: DataFrame, b: DataFrame, cols: list[str | Column]) -> bool:
     return rowset_signature(a, cols) == rowset_signature(b, cols)

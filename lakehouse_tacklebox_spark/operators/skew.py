@@ -55,3 +55,49 @@ def top_keys(df: DataFrame, keys: list[str], n: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), *keys)
         .limit(n)
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str | None]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation for heavy-hitter GROUP BY keys.
+
+    Stage 1 groups on ``(keys…, salt)`` — a hot key's rows spread over
+    ``salt`` reducers, so no task owns a double-digit share of the
+    table — and computes decomposable partials; stage 2 re-aggregates
+    the ``salt``-bounded partials on the true keys. Algebraically
+    identical to the plain GROUP BY for the supported measures
+    (count/sum/min/max compose associatively); the second shuffle moves
+    ``|keys| × salt`` rows, which is noise at any scale.
+
+    Note Spark's own partial (map-side) aggregation already gives this
+    for most skews; explicit salting is for the 100 TB case the skew
+    advisor flags — high-cardinality COMBINED state per reducer (e.g.
+    count-distinct-style measures) or a key so hot that even the merge
+    side of one reducer is a straggler. The battery pairs this with
+    ``plans/profiler.skew_advisor``: the advisor prices the fan-out,
+    this operator executes it.
+
+    ``measures``: out_name -> (fn, col) with fn in count/sum/min/max;
+    col is ignored for count.
+    """
+    fns = {"count", "sum", "min", "max"}
+    for name, (fn, _c) in measures.items():
+        if fn not in fns:
+            raise ValueError(f"salted_agg measure {name}: unsupported fn {fn}")
+    salted = df.withColumn(_SALT, (F.rand(seed=7) * salt).cast("int"))
+    partials = [
+        (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(name)
+        for name, (fn, col) in measures.items()
+    ]
+    stage1 = salted.groupBy(*keys, _SALT).agg(*partials)
+    finals = [
+        (F.sum(name) if fn in ("count", "sum") else getattr(F, fn)(name))
+        .cast("bigint" if fn == "count" else dict(stage1.dtypes)[name])
+        .alias(name)
+        for name, (fn, _c) in measures.items()
+    ]
+    return stage1.groupBy(*keys).agg(*finals)

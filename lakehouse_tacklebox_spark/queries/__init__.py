@@ -135,81 +135,102 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 #       ds_best_customer_frequent_parts) keep valid r6 evidence and
 #       lead the round-13 tail below.
 # After this round nothing predates r6.
+#
+# Round-13 window (below), exactly the documented round-13 plan from
+# round 12 (VERDICT r12 item 1):
+#   (a) the five round-12 additions with no driver row yet — each
+#       driven green at all three scales in the recorded round-12
+#       drives and in the round-12 judge's own 18-entry oracle drive;
+#   (b) the 26-entry r6 tail, in CORRECTNESS_r06 ledger order (the
+#       five names displaced by round-12's group (d) first, matching
+#       the documented list);
+#   (c) the first 17 of the 50-entry r7 block, in CORRECTNESS_r07
+#       ledger order — the r7 rotation VERDICT r12 item 1 schedules
+#       after the tail;
+#   (d) the round-13 additions (stream_stateful_dedup_tws — the
+#       transformWithState port, VERDICT r12 item 2 — and
+#       agg_salted_skew — the salting playbook end-to-end, VERDICT r12
+#       item 7), taking the last two group (c) slots — their displaced
+#       r7 names (ds_hourly_entropy, ds_topk_with_others) keep valid
+#       r7 evidence and lead the round-14 tail below.
+# After this round nothing predates r7.
 _WINDOW_PRIORITY = [
-    # (a) never driver-checked round-11 additions
-    "rag_rm3_expansion",
-    "graph_pagerank_bipartite",
-    "graph_bfs_distance",
-    "stream_epoch_shuffle_mv",
-    "table_vacuum_retention",
-    "text_bpe_bytes_train",
-    # (b) the 15-entry r5 tail
-    "ds_ntile_spend_bands",
-    "corpus_domain_stats",
-    "text_boilerplate_blocks",
-    "ds_moving_avg_deviation",
-    "ds_first_purchase_cohort",
-    "ds_median_brand_price",
-    "ds_pareto_brands",
-    "ds_reactivated_customers",
-    "ds_top_percent_customers",
-    "ds_growth_streaks",
-    "ds_priority_segment_matrix",
-    "dedup_ngram_jaccard",
-    "validate_hashdiff_summary",
-    "join_asof",
-    "dedup_minhash_lsh",
-    # (c) r6 refresh block: first 24 of the r6 ledger, in
-    # CORRECTNESS_r06 order
-    "ds_repeat_part_purchases",
-    "ds_rebuy_after_return",
-    "ds_cummax_drawdown",
-    "ds_nation_concentration",
-    "ds_high_return_customers",
-    "ds_premium_parts",
-    "ds_demand_volatility_pairs",
-    "ds_multiband_or_filter",
-    "ds_return_latency_buckets",
-    "ds_post_adoption_spend",
-    "ds_cross_year_retention",
-    "ds_channel_spread_balance",
-    "ds_exists_notexists_orders",
-    "ds_preferred_channel_dist",
-    "ds_best_worst_parts",
-    "ds_customer_return_ratio",
-    "ds_cube_matrix",
-    "ds_above_global_avg",
-    "ds_rank_ties_topk",
-    "ds_grouping_flag_rollup",
-    "ds_filtered_distinct_matrix",
-    "ds_quantity_dispersion",
-    "ds_low_velocity_parts",
-    "ds_weekday_wow_ratio",
-    # (d) round-12 additions (see comment above)
-    "graph_cc_labels",
-    "dedup_cluster_cc",
-    "graph_cc_incremental",
-    "graph_cc_twophase",
-    "stream_cc_labels_mv",
+    # (a) never driver-checked round-12 additions
+    "graph_triangle_count",
+    "rag_eval_metrics",
+    "graph_ppr_seeded",
+    "corpus_dup_rate_by_source",
+    "graph_cc_decremental",
+    # (b) the 26-entry r6 tail, CORRECTNESS_r06 ledger order
+    "ds_return_rank_union",
+    "ds_priority_month_matrix",
+    "ds_before_after_split",
+    "ds_category_share_window",
+    "ds_best_customer_frequent_parts",
+    "stream_incremental_mv",
+    "stream_funnel_stages",
+    "events_funnel_stages",
+    "text_ngram_novelty",
+    "corpus_temperature_mix",
+    "mm_audio_features",
+    "mm_video_features",
+    "emb_neardup_lsh",
+    "agg_approx_distinct",
+    "agg_hll_sketch_rollup",
+    "knn_ivf_recall_cert",
+    "win_dedup_latest",
+    "win_topn_per_group",
+    "win_moving_avg",
+    "win_running_sum",
+    "win_baseline_offset",
+    "win_lag_gap",
+    "win_sessionize",
+    "win_snapshot_asof",
+    "win_scd2_intervals",
+    "cdc_scd2_late_events",
+    # (c) r7 refresh block: first 17 of the r7 ledger, in
+    # CORRECTNESS_r07 order
+    "ds_week_yoy_selfjoin",
+    "ds_channel_overlap_census",
+    "ds_rolling_range_window",
+    "ds_brands_above_avg_semi",
+    "ds_first_last_span",
+    "ds_quarter_setop_chain",
+    "ds_decile_transition",
+    "ds_percentile_distribution",
+    "ds_quantity_discount_corr",
+    "ds_calendar_fact_align",
+    "ds_locf_gap_fill",
+    "ds_month_seasonality_index",
+    "ds_churned_revenue_anti",
+    "ds_centered_moving_window",
+    "ds_nested_share_of_total",
+    "ds_running_distinct_parts",
+    "ds_brand_skew_classes",
+    # (d) round-13 additions (see comment above)
+    "stream_stateful_dedup_tws",
+    "agg_salted_skew",
 ]
-# Round-13 window plan (mechanical, from the ledger): FIRST any
-# round-12 addition without a driver row (as of this writing:
-# graph_triangle_count, rag_eval_metrics, graph_ppr_seeded,
-# corpus_dup_rate_by_source, graph_cc_decremental — each driven green at all
-# three scales in the recorded round-12 drives), THEN the 26-entry
-# r6 tail in
-# CORRECTNESS_r06 ledger order — ds_return_rank_union,
-# ds_priority_month_matrix, ds_before_after_split,
-# ds_category_share_window, ds_best_customer_frequent_parts,
-# stream_incremental_mv, stream_funnel_stages, events_funnel_stages,
-# text_ngram_novelty, corpus_temperature_mix, mm_audio_features,
-# mm_video_features, emb_neardup_lsh, agg_approx_distinct,
-# agg_hll_sketch_rollup, knn_ivf_recall_cert, win_dedup_latest,
-# win_topn_per_group, win_moving_avg, win_running_sum,
-# win_baseline_offset, win_lag_gap, win_sessionize, win_snapshot_asof,
-# win_scd2_intervals, cdc_scd2_late_events — then the r7 block starts
-# rotating (CORRECTNESS_r07 ledger order). Done when nothing predates
-# r7 except the documented tail.
+# Round-14 window plan (mechanical, from the ledger): FIRST any
+# round-13 addition without a driver row yet, THEN the 33-entry r7
+# tail in CORRECTNESS_r07 ledger order — ds_hourly_entropy,
+# ds_topk_with_others (the two names displaced by round-13's
+# group (d)), ds_exists_having_combo, ds_leave_one_out_avg,
+# ds_fallback_key_join, ds_having_over_window,
+# ds_interval_month_census, ds_weighted_avg_price_mix,
+# ds_median_order_gap, stream_incremental_join_mv,
+# stream_dedup_within_watermark, stream_stream_left_join,
+# text_nearest_neighbor, corpus_weighted_sample, corpus_chunk_windows,
+# q1_pricing_summary, q2_min_balance_supplier, q3_shipping_priority,
+# q4_order_priority_count, q5_local_supplier_volume,
+# q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+# q9_product_profit, q10_returned_items, q11_important_part_value,
+# q12_priority_line_classes, q13_customer_distribution,
+# q14_promo_effect, q16_supplier_part_counts,
+# q17_small_quantity_revenue, join_bucketed_colocated,
+# stream_idempotent_mv_replay — then the r8 block starts rotating
+# (CORRECTNESS_r08 ledger order). Done when nothing predates r8
+# except the documented remainder.
 
 
 def _reorder_registry() -> None:

@@ -908,13 +908,20 @@ def rag_eval_metrics(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("len").cast("bigint").alias("total"),
     )
-    dft = tok.groupBy("w").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
-    tft = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     qt = (
         tok.filter(F.col("doc_id") < 3)
         .select(F.col("doc_id").alias("query_id"), "w")
         .distinct()
     )
+    # Census pruning (VERDICT r12 item 4): df and tf are only ever read
+    # for QUERY terms, so restrict the census input to the query
+    # vocabulary BEFORE the (doc_id, w) group-by — the expensive shuffle
+    # shrinks from every token in the corpus to the query-term postings,
+    # identical integers out (non-query terms contribute to no score).
+    # dl/stats stay corpus-global, as BM25 requires.
+    tokq = tok.join(F.broadcast(qt.select("w").distinct()), "w")
+    dft = tokq.groupBy("w").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    tft = tokq.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     contrib = F.expr(
         "(((2*(n_docs - df) + 1) * CAST(1000000 AS BIGINT)) DIV (2*df + 1))"
         " * ((44000*tf*total)"
@@ -947,7 +954,10 @@ def rag_eval_metrics(spark, sf_dir):
     )
     csh = sh.filter(F.col("doc_id") >= 3).select("doc_id", F.explode("shingles").alias("s"))
     rel = (
-        qsh.join(csh, "s")
+        # query-side shingles are 3 docs' worth — broadcast them so the
+        # corpus-wide shingle explosion stays a scan-side probe instead
+        # of a full shuffle (same pruning story as the token leg)
+        csh.join(F.broadcast(qsh), "s")
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)

@@ -131,6 +131,52 @@ def stream_stateful_dedup(spark, sf_dir):
 
 
 @register(
+    "stream_stateful_dedup_tws",
+    tags=("streaming", "stateful", "dedup"),
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_stateful_dedup_tws(spark, sf_dir):
+    """First event per user via the SPARK-4 typed-state API
+    (``transformWithStateInPandas``, value state in RocksDB with native
+    TTL support) — the modern twin of ``stream_stateful_dedup``: same
+    stream, same deterministic ordering contract, same batch oracle, so
+    the gate certifies that BOTH stateful APIs equal the relational
+    row_number()=1 answer. transformWithState is the API a production
+    100 TB stateful pipeline targets on Spark 4 (named typed state
+    variables, timers, state-schema evolution, RocksDB changelog
+    checkpointing); restart and timer semantics are pinned in
+    tests/test_stateful.py."""
+    from lakehouse_tacklebox_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        tws_dedup,
+    )
+
+    ensure_tws_runtime(spark)
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    out = tws_dedup(stream, keys=["user_id"], order_by=["ts", "event_id"])
+    # The engine requires the RocksDB provider for transformWithState;
+    # scope it to this query and restore the session conf after.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        return _run_memory_sink(spark, out, "append", "tws_dedup")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+@register(
     "stream_stateful_user_stats",
     tags=("streaming", "stateful", "agg"),
     oracle="""
@@ -1734,19 +1780,21 @@ def cdc_ann_index_deletes(spark, sf_dir):
     # cdf_rows_match certifies the maintenance consumed EXACTLY the
     # changed rows (CDF update+insert counts equal the feed sizes — the
     # incremental claim: re-encode cost ∝ changes, never the corpus);
-    # upsert_match certifies the merged MV equals a from-scratch encode
-    # of the post-upsert corpus under the SAME frozen structures
-    # (order-invariant count+xor+sum row-set signature — a stale code
-    # row, a missed insert, or a drifting encoder moves a fold);
+    # upsert_match certifies (a) the merged MV equals (baseline codes
+    # minus changed ids) ∪ fresh re-encodes — set arithmetic by
+    # order-invariant row-set signature; a stale code row or missed
+    # insert moves a fold — and (b) a sampled re-encode of unchanged
+    # vectors matches their baseline codes (the encoder-drift check at
+    # sample cost instead of a corpus-sized scratch encode);
     # replay_noop certifies the double-replayed maintenance epoch is a
     # version-stable no-op (Delta txn idempotence).
     oracle="""
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
-             + (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 11 = 4)
+             + (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 33 = 4)
                AS n_vectors,
-           (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 = 2)
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 35 = 2)
                AS n_updated,
-           (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 11 = 4)
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 33 = 4)
                AS n_inserted,
            CAST(1 AS INT) AS cdf_rows_match,
            CAST(1 AS INT) AS upsert_match,
@@ -1755,9 +1803,9 @@ def cdc_ann_index_deletes(spark, sf_dir):
 )
 def cdc_ann_index_upserts(spark, sf_dir):
     """ANN-index maintenance under UPSERTS — the remaining vector CRUD
-    stage: an upsert feed (updates re-embed every vec_id % 5 == 2 as its
-    reversed vector; inserts add a fresh vector per vec_id % 11 == 4 at
-    a max_id+1-offset id) MERGEs into the CDF-tracked fact table; the
+    stage: an upsert feed (updates re-embed every vec_id % 35 == 2 as its
+    reversed vector; inserts add a fresh vector per vec_id % 33 == 4 at
+    a max_id+1-offset id — ~3% churn each, a batch-sized feed) MERGEs into the CDF-tracked fact table; the
     index MV consumes the CDF update/insert rows, re-encodes ONLY those
     vectors against the FROZEN coarse quantizer and codebooks (offline-
     train / online-encode — an upsert never retrains), and MERGEs the
@@ -1803,11 +1851,16 @@ def cdc_ann_index_upserts(spark, sf_dir):
     )
 
     # the upsert feed: updates keep their id, inserts land above max_id
-    # (offset derived from the data, never a literal — ADVICE r10)
+    # (offset derived from the data, never a literal — ADVICE r10).
+    # Feed fractions are ~3% each (% 35 / % 33, VERDICT r12 item 4 —
+    # the earlier % 5 / % 11 churned 29% of the corpus, so the "batch"
+    # MERGE rewrote most files and the sf1 cost measured corpus
+    # rewrite, not incremental maintenance; a small batch is also the
+    # honest shape for the claim "re-encode cost ∝ changes").
     max_id = e.agg(F.max("vec_id")).collect()[0][0]
     flipped = F.reverse(F.col("embedding")).alias("embedding")
-    updates = e.filter(F.col("vec_id") % 5 == 2).select("vec_id", flipped)
-    inserts = e.filter(F.col("vec_id") % 11 == 4).select(
+    updates = e.filter(F.col("vec_id") % 35 == 2).select("vec_id", flipped)
+    inserts = e.filter(F.col("vec_id") % 33 == 4).select(
         (F.col("vec_id") + F.lit(max_id + 1)).alias("vec_id"), flipped
     )
     feed = updates.unionByName(inserts)
@@ -1853,27 +1906,54 @@ def cdc_ann_index_upserts(spark, sf_dir):
     _sync(2)
     replay_noop = mv.version() == v_after
 
-    # read-back certification: merged MV == from-scratch encode of the
-    # post-upsert corpus under the SAME frozen structures, compared by
-    # order-invariant row-set signature (count + xor + bounded-sum of
-    # row hashes — the dedup_incremental_containment pattern; one
-    # map-side-combined aggregate pass per side, no corpus-wide join)
+    # read-back certification, in two bounded halves (VERDICT r12
+    # item 4 — the earlier from-scratch encode of the whole post-upsert
+    # corpus made the CERT, not the maintenance, the sf1 cost):
+    #   (1) merge mechanics: merged MV == (codes0 minus changed ids) ∪
+    #       fresh — pure set arithmetic over already-materialized
+    #       frames, compared by order-invariant row-set signature. A
+    #       stale code row, a missed insert, or a double-applied epoch
+    #       moves a fold. codes0 is the fixture-cached full encode, so
+    #       nothing corpus-sized is recomputed.
+    #   (2) encoder stability: re-encode a ~1/13 SAMPLE of unchanged
+    #       vectors under the same frozen structures and signature-
+    #       compare against their codes0 rows — the "drifting encoder"
+    #       detector the scratch encode used to provide, at sample cost.
     def _sig(fr):
-        # 4-fold signature (operators/signature.py): count/xor/sum/
-        # sum-of-squares — a cancelling pair needs a 3-way coincidence
-        # (ADVICE r11).
+        # 4-fold dual-seeded signature (operators/signature.py).
         from lakehouse_tacklebox_spark.operators.signature import rowset_signature
 
         return rowset_signature(fr, ["vec_id", "centroid_id", "codes"])
 
     post = fact.read()
     n_vectors = post.count()
-    scratch = S.ivfpq_encode(post, coarse, books).select(
+    changed_ids = changed.select("vec_id")
+    expected = (
+        codes0.select(
+            F.col("vec_id").cast("bigint"),
+            F.col("centroid_id").cast("int"),
+            F.col("codes").cast("array<int>"),
+        )
+        .join(changed_ids, "vec_id", "left_anti")
+        .unionByName(fresh)
+    )
+    mv_back = TackleTable(spark, mv_dir).read()
+    merge_match = _sig(mv_back) == _sig(expected)
+    sample = post.join(changed_ids, "vec_id", "left_anti").filter(
+        F.col("vec_id") % 13 == 0
+    )
+    sample_codes = S.ivfpq_encode(sample, coarse, books).select(
         F.col("vec_id").cast("bigint"),
         F.col("centroid_id").cast("int"),
         F.col("codes").cast("array<int>"),
     )
-    upsert_match = _sig(TackleTable(spark, mv_dir).read()) == _sig(scratch)
+    baseline_codes = codes0.select(
+        F.col("vec_id").cast("bigint"),
+        F.col("centroid_id").cast("int"),
+        F.col("codes").cast("array<int>"),
+    ).join(sample.select("vec_id"), "vec_id", "semi")
+    drift_ok = _sig(sample_codes) == _sig(baseline_codes)
+    upsert_match = merge_match and drift_ok
 
     return spark.createDataFrame(
         [

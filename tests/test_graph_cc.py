@@ -187,3 +187,17 @@ def test_decremental_repair_splits_and_relabels(spark):
     # ...the removed nodes are gone, and the untouched component intact
     assert 5 not in got and 20 not in got
     assert got[100] == 31 and got[31] == 31
+
+
+def test_require_converged_raises_on_long_path(spark):
+    # Path 0-1-2-...-7: min-label needs 7 hops to push 0 to the far end;
+    # iters=2 is non-converged and MUST raise (VERDICT r12 item 6) —
+    # previously a silent wrong answer for library callers.
+    path = [(i, i + 1) for i in range(7)]
+    edges = G.symmetric_edges(_pairs_df(spark, path))
+    with pytest.raises(ValueError, match="not converged"):
+        G.cc_min_label(edges, 2, require_converged=True)
+    # At iters=7 the fixed point is reached: the guard passes and the
+    # labels equal the true components.
+    got = {r["node"]: r["label"] for r in G.cc_min_label(edges, 7, require_converged=True).collect()}
+    assert got == _true_components(path)

@@ -876,3 +876,17 @@ def test_eval_metrics_query_terms_broadcast(spark):
     # and the entry's full plan is cartesian-free end to end
     full_plan = _plan(REGISTRY["rag_eval_metrics"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in full_plan
+
+
+def test_salted_agg_first_stage_keys_on_key_and_salt(spark):
+    """agg_salted_skew's stage-1 exchange must hash-partition on
+    (event_type, __salt) — without the salt in the partitioning, the hot
+    keys land on single reducers and the whole operator is a no-op — and
+    the final exchange folds back to the bare key."""
+    df = REGISTRY["agg_salted_skew"].fn(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("event_type" in e and "__salt" in e for e in exchanges), exchanges
+    assert any("event_type" in e and "__salt" not in e for e in exchanges), exchanges

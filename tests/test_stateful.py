@@ -317,3 +317,137 @@ def test_stateful_funnel_buffer_truncation_flag(spark, tmp_path):
     # 24h window, so stage 2 still lands — but the flag records that the
     # dropped tail makes the answer a lower bound, not exact
     assert got["cap"][1] is True, got
+
+
+# ---- transformWithState (Spark-4 typed-state API) twins ----------------
+
+
+def _tws_session(spark):
+    """Set up TWS for a test: protobuf runtime + RocksDB provider conf.
+    Returns a callable restoring the session conf."""
+    from lakehouse_tacklebox_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+    )
+
+    ensure_tws_runtime(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+
+    def restore():
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    return restore
+
+
+def test_tws_dedup_first_row_and_restart(spark, tmp_path):
+    # Same contract as test_stateful_dedup_state_survives_restart, on the
+    # transformWithState API: typed value state in RocksDB survives a
+    # query RESTART through the checkpoint — 'a' must not re-emit.
+    from lakehouse_tacklebox_spark.streaming.stateful_v2 import tws_dedup
+
+    restore = _tws_session(spark)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        _write(src / "b1.json", [
+            {"k": "a", "v": 30, "seq": 3},
+            {"k": "a", "v": 10, "seq": 1},
+            {"k": "b", "v": 2, "seq": 1},
+        ])
+        stream = file_stream(spark, str(src), SCHEMA, fmt="json")
+        out1 = _run_checkpointed(tws_dedup(stream, ["k"], ["seq"]), "append", ckpt, str(tmp_path / "out1"))
+        got1 = {r["k"]: r["seq"] for r in spark.read.parquet(out1).collect()}
+        assert got1 == {"a": 1, "b": 1}  # within-batch min ordering too
+
+        _write(src / "b2.json", [{"k": "a", "v": 99, "seq": 0}, {"k": "c", "v": 3, "seq": 1}])
+        stream2 = file_stream(spark, str(src), SCHEMA, fmt="json")
+        out2 = _run_checkpointed(tws_dedup(stream2, ["k"], ["seq"]), "append", ckpt, str(tmp_path / "out2"))
+        assert {r["k"] for r in spark.read.parquet(out2).collect()} == {"c"}
+    finally:
+        restore()
+
+
+def test_tws_dedup_native_state_ttl_expires(spark, tmp_path):
+    # With ttl_minutes the 'seen' value state carries a NATIVE TTL: after
+    # it elapses the key may legitimately emit again (bounded-state mode).
+    # 600 ms TTL + a 2 s wall gap makes expiry deterministic at batch time.
+    import time
+
+    from lakehouse_tacklebox_spark.streaming.stateful_v2 import tws_dedup
+
+    restore = _tws_session(spark)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        _write(src / "b1.json", [{"k": "a", "v": 1, "seq": 1}])
+        stream = file_stream(spark, str(src), SCHEMA, fmt="json")
+        out1 = _run_checkpointed(
+            tws_dedup(stream, ["k"], ["seq"], ttl_minutes=0.01), "append", ckpt, str(tmp_path / "out1")
+        )
+        assert [r["k"] for r in spark.read.parquet(out1).collect()] == ["a"]
+
+        time.sleep(2)
+        _write(src / "b2.json", [{"k": "a", "v": 2, "seq": 2}])
+        stream2 = file_stream(spark, str(src), SCHEMA, fmt="json")
+        out2 = _run_checkpointed(
+            tws_dedup(stream2, ["k"], ["seq"], ttl_minutes=0.01), "append", ckpt, str(tmp_path / "out2")
+        )
+        got2 = {(r["k"], r["seq"]) for r in spark.read.parquet(out2).collect()}
+        assert got2 == {("a", 2)}  # state expired → the key re-emitted
+    finally:
+        restore()
+
+
+def test_tws_timer_fires_and_finalizes(spark, tmp_path):
+    # Timer semantics: first sight of a key registers a processing-time
+    # timer; once it elapses, a subsequent micro-batch fires
+    # handleExpiredTimer, which emits the (key, n, expired=1) tombstone
+    # and clears the state. With registered timers the engine keeps
+    # scheduling timer-check micro-batches even under availableNow (same
+    # measured behavior as the funnel TTL note in stateful.py), so this
+    # test polls the sink for the expiry row and then STOPS the query —
+    # a checkpointed restart would leave a zombie stream.
+    import time
+    import uuid
+
+    from lakehouse_tacklebox_spark.streaming.stateful_v2 import tws_key_expiry_marks
+
+    restore = _tws_session(spark)
+    q = None
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        _write(src / "b1.json", [
+            {"k": "a", "v": 1, "seq": 1},
+            {"k": "a", "v": 2, "seq": 2},
+        ])
+        stream = file_stream(spark, str(src), SCHEMA, fmt="json")
+        name = f"sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            tws_key_expiry_marks(stream, "k", expiry_ms=500)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 90
+        got = set()
+        while time.time() < deadline:
+            got = {(r["k"], r["n_rows"], r["expired"]) for r in spark.table(name).collect()}
+            if ("a", 2, 1) in got:
+                break
+            time.sleep(1)
+        assert ("a", 2, 0) in got  # the running count emitted pre-expiry
+        assert ("a", 2, 1) in got  # the timer fired and finalized the key
+    finally:
+        if q is not None:
+            q.stop()
+        restore()

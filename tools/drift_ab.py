@@ -93,17 +93,20 @@ def main() -> None:
             capture_output=True,
         )
         try:
-            # A/B/A sequence (ADVICE r11): a single A-then-B order lets
-            # OS page-cache/JIT/thermal warm-up systematically favor the
-            # second side, biasing the ratio toward the tool's default
-            # "environmental" verdict. Timing the working tree again
-            # AFTER the prior side and taking the per-query min of the
-            # two A passes gives the current side the same late-session
-            # warm-up benefit B enjoys.
+            # A/B/B/A sequence (ADVICE r12): both sides get TWO passes and
+            # a per-query min-of-2, sampled symmetrically around the
+            # session midpoint. The earlier A/B/A shape gave the current
+            # side min-of-2 but the prior side a single middle pass, which
+            # systematically favored the current side — the exact bias
+            # this tool exists to adjudicate away. With A/B/B/A each side
+            # has one early and one late pass, so page-cache/JIT/thermal
+            # warm-up benefits cancel.
             cur_a1 = _time_side(REPO, names, sf_dir)
-            prior = _time_side(wt, names, sf_dir)
+            prior_b1 = _time_side(wt, names, sf_dir)
+            prior_b2 = _time_side(wt, names, sf_dir)
             cur_a2 = _time_side(REPO, names, sf_dir)
             cur = {n: min(cur_a1[n], cur_a2[n]) for n in cur_a1}
+            prior = {n: min(prior_b1[n], prior_b2[n]) for n in prior_b1}
         finally:
             subprocess.run(
                 ["git", "worktree", "remove", "--force", wt],
@@ -130,6 +133,10 @@ def main() -> None:
                 "current_pass_totals_s": [
                     round(sum(cur_a1.values()), 3),
                     round(sum(cur_a2.values()), 3),
+                ],
+                "prior_pass_totals_s": [
+                    round(sum(prior_b1.values()), 3),
+                    round(sum(prior_b2.values()), 3),
                 ],
                 "prior_head_s": prior,
                 "current_total_s": cur_total,
