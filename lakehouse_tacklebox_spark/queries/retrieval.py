@@ -898,6 +898,13 @@ def rag_eval_metrics(spark, sf_dir):
     retrieval it measures. At 100 TB qrels are a table and this whole
     entry is the nightly retrieval-quality job."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # The token/shingle explodes inflate each doc ~1000x, but partition
+    # count follows the FILE splits of the raw scan (2 splits at sf1 →
+    # the whole census ran on 2 cores). Spread the corpus across the
+    # session's parallelism before the heavy per-token work; on a real
+    # cluster the same dial is spark.sql.files.maxPartitionBytes sized
+    # to post-explode (not on-disk) bytes.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     tok = (
         d.select(
             "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
@@ -945,18 +952,45 @@ def rag_eval_metrics(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
 
-    # qrels: >= 2 shared distinct 5-grams (the contamination leak rule)
-    from lakehouse_tacklebox_spark.operators import dedup as D
-
-    sh = D.shingle_hashes(d.select("doc_id", "text"), "text", n=5)
-    qsh = sh.filter(F.col("doc_id") < 3).select(
-        F.col("doc_id").alias("query_id"), F.explode("shingles").alias("s")
+    # qrels: >= 2 shared distinct 5-grams (the contamination leak rule).
+    # Gram hashes come from posexplode + four window lead()s + one
+    # multi-arg xxhash64 — the same hash values shingle_hashes would
+    # produce, but every step stays inside whole-stage codegen. The
+    # higher-order transform() route evaluates its lambda INTERPRETED
+    # per gram (~14 µs/gram measured: 36 s for the 2.5M-gram sf1
+    # corpus vs <1 s for this shape), so at census scale the window
+    # form wins despite its one doc-keyed shuffle of the token list.
+    tk = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "tkn"),
     )
-    csh = sh.filter(F.col("doc_id") >= 3).select("doc_id", F.explode("shingles").alias("s"))
+    wsh = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tkn", i).over(wsh) for i in range(1, 5)]
+    grams5 = (
+        tk.select(
+            "doc_id",
+            F.xxhash64(F.col("tkn"), *leads).alias("s"),
+            leads[-1].alias("__tail"),
+        )
+        .filter(F.col("__tail").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
+    )
+    qsh = grams5.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "s"
+    )
+    csh = grams5.filter(F.col("doc_id") >= 3)
     rel = (
         # query-side shingles are 3 docs' worth — broadcast them so the
         # corpus-wide shingle explosion stays a scan-side probe instead
-        # of a full shuffle (same pruning story as the token leg)
+        # of a full shuffle (same pruning story as the token leg).
+        # Engine-parity caveat (ADVICE r12): Spark compares 64-bit
+        # hashed shingles while the oracle compares gram STRINGS, so a
+        # cross-doc xxhash64 collision could add a phantom shared
+        # shingle on the Spark side only — vanishing at gate scales
+        # (the established contamination-entry pattern); if qrels ever
+        # gate at larger corpora, verify candidate pairs on gram
+        # strings or dual-seeded hashes as the exact-Jaccard path does.
         csh.join(F.broadcast(qsh), "s")
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
