@@ -318,3 +318,42 @@ def repair_labels_decremental(
     )
     repaired = cc_min_label(symmetric_edges(sub_pairs), iters)
     return untouched.unionByName(repaired)
+
+
+def kcore_peel_trace(edges: DataFrame, k: int, rounds: int) -> list[DataFrame]:
+    """k-core extraction by iterative peeling (Batagelj–Zaveršnik
+    semantics, expressed as the synchronous distributed variant): each
+    round drops every node whose CURRENT degree is below ``k``, together
+    with its edges, until the surviving subgraph — the k-core — is a
+    fixed point. The corpus-curation use: a dup-pair graph's 2-core
+    separates densely inter-duplicated clusters from incidental
+    one-off pair matches before cluster assignment.
+
+    One round = one degree aggregate (groupBy src over the symmetric
+    edge frame, map-side combined) + two semi-joins filtering both
+    endpoints — all edge-bounded, no driver state, each round
+    checkpointed so the plan stays rounds-shallow (the cc_label_trace
+    discipline). Peeling cascades (removing a degree-1 node can expose
+    a new sub-k node), so ``rounds`` is a program parameter certified
+    by the caller's trace — converged rounds repeat identical stats,
+    the same no-convergence-claim contract as the CC family.
+
+    Returns ``rounds + 1`` symmetric (src, dst) edge frames: element 0
+    is the input, element r the survivors after r peel rounds.
+    """
+    e = edges.localCheckpoint(eager=True)
+    out = [e]
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src", "semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+        out.append(e)
+    return out

@@ -212,7 +212,11 @@ _WINDOW_PRIORITY = [
     "agg_salted_skew",
 ]
 # Round-14 window plan (mechanical, from the ledger): FIRST any
-# round-13 addition without a driver row yet, THEN the 33-entry r7
+# round-13 addition without a driver row yet (as of this writing:
+# graph_kcore_extract, text_pmi_collocations, stream_stateful_stats_tws
+# — each driven green at all three scales in the recorded round-13
+# drives; stream_stateful_dedup_tws and agg_salted_skew hold window
+# slots already), THEN the 33-entry r7
 # tail in CORRECTNESS_r07 ledger order — ds_hourly_entropy,
 # ds_topk_with_others (the two names displaced by round-13's
 # group (d)), ds_exists_having_combo, ds_leave_one_out_avg,

@@ -1124,3 +1124,100 @@ def graph_cc_decremental(spark, sf_dir):
         .withColumn("matches_full", F.lit(1 if ok else 0).cast("int"))
         .orderBy(F.col("n_docs").desc(), "cluster_label")
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst
+            FROM lineitem WHERE l_quantity <= 2
+            UNION
+            SELECT DISTINCT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst
+            FROM lineitem WHERE l_quantity <= 2
+        )
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", k{r - 1} AS MATERIALIZED (
+        SELECT src FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
+    ), e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst
+        FROM e{r - 1} e
+        JOIN k{r - 1} a ON e.src = a.src
+        JOIN k{r - 1} b ON e.dst = b.src
+    )"""
+        )
+    stats = "\n        UNION ALL\n        ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+               CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+               CAST(count(*) AS BIGINT) AS n_dir_edges,
+               CAST(coalesce(sum(DISTINCT src), 0) AS BIGINT) AS node_checksum
+        FROM e{r}"""
+        for r in range(rounds + 1)
+    )
+    parts.append(f"\n    SELECT * FROM (\n        {stats}\n    ) ORDER BY round\n    ")
+    return "\n".join(parts)
+
+
+@register(
+    "graph_kcore_extract",
+    tags=("graph", "iterative", "dedup"),
+    bench=True,
+    # k-core extraction by synchronous peeling over the same sparse
+    # part–supplier graph as the CC family: each round removes every
+    # node of current degree < k with its edges (removals cascade, so
+    # rounds matter). Reported as the per-round peel TRACE (surviving
+    # nodes, directed edge rows, node-id checksum) — certifies every
+    # round without emitting |V| rows and makes no convergence claim
+    # (the repeated tail rows ARE the fixed-point evidence); DuckDB
+    # replays the identical unrolled program. Corpus-curation use: the
+    # 2-core of a dup-pair graph separates densely inter-duplicated
+    # clusters from incidental one-off matches. (Measured: 160 → 84
+    # nodes at sf0.001, 14,999 → 7,741 at sf0.1 — both fixed points
+    # after round 1, with rounds 2-4 as the repeated-row evidence; the
+    # cascade depth grows with graph diameter, not SF.)
+    oracle=_kcore_oracle(),
+)
+def graph_kcore_extract(spark, sf_dir):
+    """k=2 core of the sparse part–supplier graph by iterative peeling
+    (operators/graphops.py kcore_peel_trace): per round, one map-side-
+    combined degree aggregate + two semi-joins — edge-bounded shuffles,
+    checkpointed rounds-shallow, no driver state. The returned rows are
+    the peel trace: (round, n_nodes, n_dir_edges, node_checksum)."""
+    from lakehouse_tacklebox_spark.operators import graphops as G
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    pairs = (
+        li.filter(F.col("l_quantity") <= 2)
+        .select(
+            (2 * F.col("l_partkey")).cast("bigint").alias("id_a"),
+            (2 * F.col("l_suppkey") + 1).cast("bigint").alias("id_b"),
+        )
+        .distinct()
+    )
+    trace = G.kcore_peel_trace(G.symmetric_edges(pairs), _KCORE_K, _KCORE_ROUNDS)
+    stats = [
+        e.agg(
+            F.count_distinct("src").cast("bigint").alias("n_nodes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dir_edges"),
+            F.coalesce(F.sum_distinct(F.col("src")), F.lit(0))
+            .cast("bigint")
+            .alias("node_checksum"),
+        ).select(
+            F.lit(r).cast("bigint").alias("round"),
+            "n_nodes",
+            "n_dir_edges",
+            "node_checksum",
+        )
+        for r, e in enumerate(trace)
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

@@ -212,6 +212,54 @@ def stream_stateful_user_stats(spark, sf_dir):
 
 
 @register(
+    "stream_stateful_stats_tws",
+    tags=("streaming", "stateful", "agg"),
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_stats_tws(spark, sf_dir):
+    """Cumulative per-user running totals on the SPARK-4 typed-state API
+    — the transformWithState twin of stream_stateful_user_stats: the
+    accumulator is one named 4-field value state in RocksDB instead of
+    an opaque GroupState tuple, same integer-cents exactness contract,
+    same batch oracle, so the gate certifies both stateful APIs against
+    the relational SUM and against each other."""
+    from lakehouse_tacklebox_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        ensure_tws_runtime,
+        tws_running_agg,
+    )
+
+    ensure_tws_runtime(spark)
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = tws_running_agg(stream, keys=["user_id"], value_col="cents")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        sink = _run_memory_sink(spark, out, "update", "tws_stats")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # same reconciliation as the applyInPandasWithState twin: the memory
+    # sink appends update-mode emissions; keep each key's final one
+    latest = sink.groupBy("user_id").agg(F.max(F.struct("n_events", "total")).alias("s"))
+    return latest.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total").cast("long").alias("total_cents"),
+    )
+
+
+@register(
     "stream_stream_join",
     tags=("streaming", "join"),
     oracle="""

@@ -3318,3 +3318,87 @@ def text_unigram_segment(spark, sf_dir):
         .orderBy("rank")
         .select("piece", "n_uses", "n_words", "rank")
     )
+
+
+@register(
+    "text_pmi_collocations",
+    tags=("text", "lm", "collocation"),
+    bench=True,
+    # Collocation mining: the top-20 adjacent word pairs by integer
+    # association lift — the PMI ranking (Church & Hanks, CL'90) with
+    # the log dropped (log is monotone, so the ordering is PMI's) and
+    # the probability ratio staged as an exact bigint program both
+    # engines replicate digit-for-digit: ((c_ab*1e6 DIV c_a) * n_big)
+    # DIV c_b. Staging keeps every intermediate <= 1e6 * n_bigrams
+    # (the first DIV is <= 1e6 since c_a >= c_ab), so no int64
+    # overflow at any corpus size. min-count 5 drops hapax pairs, the
+    # standard PMI noise guard. Training-pipeline use: phrase/merge
+    # candidate discovery for tokenizer vocabularies and boilerplate
+    # phrase detection.
+    oracle="""
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    u AS (SELECT unnest(w) AS tok FROM t),
+    uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+    b AS (
+        SELECT unnest(list_transform(range(2, len(w) + 1), i -> [w[i-1], w[i]])) AS pr
+        FROM t WHERE len(w) >= 2
+    ),
+    bc AS (
+        SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+        FROM b GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM b)
+    SELECT w1, w2, c_ab, c1, c2, lift_ppm FROM (
+        SELECT bc.w1, bc.w2, bc.c_ab, a.c AS c1, z.c AS c2,
+               (((bc.c_ab * CAST(1000000 AS BIGINT)) // a.c) * n.n_big) // z.c AS lift_ppm
+        FROM bc
+        JOIN uc a ON bc.w1 = a.tok
+        JOIN uc z ON bc.w2 = z.tok
+        CROSS JOIN n
+        WHERE bc.c_ab >= 5
+    ) ORDER BY lift_ppm DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by integer PMI lift over adjacent-word
+    bigrams. Two partial-agg census shuffles (unigram + bigram counts),
+    a census-to-census join on the token key, one broadcast scalar
+    (total bigram instances), then a min-count-pruned global top-k —
+    the same explode-census shape as text_bigram_commonness, so the
+    100 TB plan is census-bounded with no pair materialization beyond
+    observed adjacent bigrams."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    docs = _spread(d.select(toks.alias("w")))
+    u = docs.select(F.explode("w").alias("tok"))
+    uc = u.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = docs.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(w)), i -> struct(w[i-2] AS w1, w[i-1] AS w2))"
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2")
+    bc = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    n_big = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_big"))
+    return (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c1",
+            "c2",
+            F.expr(
+                "(((c_ab * CAST(1000000 AS BIGINT)) DIV c1) * n_big) DIV c2"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+        .limit(20)
+    )

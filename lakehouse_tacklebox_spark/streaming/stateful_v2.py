@@ -214,3 +214,65 @@ def tws_key_expiry_marks(
     return stream.groupBy(key_col).transformWithStateInPandas(
         _Expiry(), out_schema, "append", "processingTime"
     )
+
+
+def tws_running_agg(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Cumulative per-key count/sum/min/max, the
+    :func:`lakehouse_tacklebox_spark.streaming.stateful.stateful_running_agg`
+    contract on the typed-state API: the accumulator is ONE named value
+    state of four numeric fields in RocksDB, updated per micro-batch and
+    emitted whenever the key sees traffic. Same exactness note as the
+    twin — money should be pre-scaled to integer cents JVM-side (exact
+    in float64 up to 2^53).
+    """
+    key_fields = [stream.schema[k] for k in keys]
+    from pyspark.sql.types import StructType
+
+    out_schema = (
+        StructType(key_fields)
+        .add("n_events", "long")
+        .add("total", "double")
+        .add("vmin", "double")
+        .add("vmax", "double")
+    )
+
+    class _Agg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState(
+                "acc", "n bigint, total double, vmin double, vmax double"
+            )
+
+        def handleInputRows(self, key, rows: Iterable[pd.DataFrame], timerValues):
+            if self._acc.exists():
+                n, total, vmin, vmax = self._acc.get()
+            else:
+                n, total, vmin, vmax = 0, 0.0, None, None
+            seen = False
+            for pdf in rows:
+                vals = pdf[value_col].dropna()
+                if vals.empty:
+                    continue
+                seen = True
+                n += int(vals.size)
+                total += float(vals.sum())
+                bmin, bmax = float(vals.min()), float(vals.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+            if not seen:
+                return
+            self._acc.update((n, total, vmin, vmax))
+            yield pd.DataFrame(
+                [list(key) + [n, total, vmin, vmax]],
+                columns=[*keys, "n_events", "total", "vmin", "vmax"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(*keys).transformWithStateInPandas(
+        _Agg(), out_schema, "update", "none"
+    )

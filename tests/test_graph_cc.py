@@ -201,3 +201,26 @@ def test_require_converged_raises_on_long_path(spark):
     # labels equal the true components.
     got = {r["node"]: r["label"] for r in G.cc_min_label(edges, 7, require_converged=True).collect()}
     assert got == _true_components(path)
+
+
+def test_kcore_peel_cascades_to_true_core(spark):
+    # Triangle {1,2,3} (the 2-core), pendant 4-1, and path 10-11-12-13-14.
+    # Round 1 removes the pendant and the path's degree-1 endpoints,
+    # leaving sub-path 11-12-13; its NEW endpoints only become sub-k
+    # after that removal — the cascade rounds must catch them
+    # (single-pass degree filters get this wrong). Fixed point = the
+    # triangle alone. (Isolated survivors drop with their last edge:
+    # the trace is an edge-list subgraph.)
+    pairs = _pairs_df(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (4, 1), (10, 11), (11, 12), (12, 13), (13, 14)],
+    )
+    trace = G.kcore_peel_trace(G.symmetric_edges(pairs), k=2, rounds=3)
+
+    def nodes(e):
+        return {r["src"] for r in e.select("src").distinct().collect()}
+
+    assert nodes(trace[0]) == {1, 2, 3, 4, 10, 11, 12, 13, 14}
+    assert nodes(trace[1]) == {1, 2, 3, 11, 12, 13}  # ends peeled
+    assert nodes(trace[2]) == {1, 2, 3}  # cascade completes
+    assert nodes(trace[3]) == {1, 2, 3}  # fixed point
