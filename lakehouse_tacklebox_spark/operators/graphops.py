@@ -37,7 +37,21 @@ variant, the graph_cc_* entries use these.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _label_sum(labels: DataFrame):
+    """Exact decimal label-sum — the fixed-point certificate scalar.
+
+    Min-label propagation is monotone: a node's label never increases,
+    so the label-sum strictly decreases while ANY label changes and an
+    unchanged sum PROVES the fixed point (no cancellation is possible —
+    the same argument the production operator `operators/cluster.py`
+    has always used for its convergence test). decimal(38,0) keeps the
+    sum exact at any node-id magnitude."""
+    return labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
 
 
 def symmetric_edges(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
@@ -80,34 +94,74 @@ def cc_label_trace(edges: DataFrame, iters: int) -> list[DataFrame]:
     return out
 
 
+def cc_min_label_converged(edges: DataFrame, iters: int) -> tuple[DataFrame, bool]:
+    """(labels, converged) after AT MOST ``iters`` min-label steps,
+    skipping every step past the fixed point.
+
+    Monotonicity makes the skip exact: labels never increase, so once
+    the label-sum stops moving no later step can change anything — the
+    returned frame is bit-identical to running all ``iters`` steps
+    blind (pinned by tests/test_graph_cc.py). The sum is one map-side-
+    combining scalar aggregate per step (~a count's cost), and on the
+    near-clique dup graphs the battery labels (measured convergence by
+    step 3 at every gate SF) it saves half the iteration shuffles.
+
+    ``converged`` is True iff the fixed point was certified within
+    ``iters`` steps — exactly the "labels stable between the last two
+    iterations" flag the CC entries publish (label-sum equality between
+    steps k-1 and k ⟺ zero labels changed at step k).
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    lab = nodes.withColumn("label", F.col("node").cast("bigint")).localCheckpoint(eager=True)
+    prev_sum = _label_sum(lab)
+    for _ in range(iters):
+        msgs = edges.join(
+            lab.withColumnRenamed("node", "src").hint("merge"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        lab = (
+            lab.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").cast("bigint").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        s = _label_sum(lab)
+        if s == prev_sum:
+            return lab, True
+        prev_sum = s
+    return lab, False
+
+
 def cc_min_label(edges: DataFrame, iters: int, require_converged: bool = False) -> DataFrame:
-    """Final (node, label) after ``iters`` min-label propagation steps.
+    """Final (node, label) after ``iters`` min-label propagation steps
+    (steps past the certified fixed point are skipped — identical
+    labels, see :func:`cc_min_label_converged`).
 
     A fixed ``iters`` silently returns NON-converged labels when the
     graph's min-label path lengths exceed it (VERDICT r12 item 6). The
     battery certifies convergence per entry with an explicit flag; for
-    library callers, ``require_converged=True`` runs ONE extra
-    propagation round and raises ``ValueError`` if any label still
-    moves — a single count over the k+1-th frame, so the check costs
-    one more iteration, never a full equality join.
+    library callers, ``require_converged=True`` raises ``ValueError``
+    when the fixed point was not certified within ``iters`` steps.
     """
-    trace = cc_label_trace(edges, iters + 1 if require_converged else iters)
-    if require_converged:
-        last, extra = trace[-2], trace[-1]
-        changed = (
-            last.withColumnRenamed("label", "l0")
-            .join(extra, "node")
-            .filter(F.col("l0") != F.col("label"))
-            .count()
+    lab, converged = cc_min_label_converged(edges, iters)
+    if require_converged and not converged:
+        # labels were still moving at round ``iters``; run ONE extra
+        # verification round (the documented contract): converged
+        # exactly at round ``iters`` is accepted, anything later raises.
+        extra = edges.join(
+            lab.withColumnRenamed("node", "src").hint("merge"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        nxt = (
+            lab.unionByName(extra)
+            .groupBy("node")
+            .agg(F.min("label").cast("bigint").alias("label"))
         )
-        if changed:
+        if _label_sum(nxt) != _label_sum(lab):
             raise ValueError(
                 f"cc_min_label(iters={iters}) has not converged: "
-                f"{changed} labels still changed on round {iters + 1}; "
+                f"labels still changed on round {iters + 1}; "
                 "raise iters or use cc_two_phase_rounds for long paths"
             )
-        return last
-    return trace[-1]
+    return lab
 
 
 def merge_labels_incremental(
@@ -160,7 +214,9 @@ def merge_labels_incremental(
     )
 
 
-def cc_two_phase_rounds(edges: DataFrame, rounds: int) -> list[DataFrame]:
+def cc_two_phase_rounds(
+    edges: DataFrame, rounds: int, return_converged: bool = False
+) -> list[DataFrame] | tuple[list[DataFrame], bool]:
     """Large-star / small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC 2014) — the
     O(log d)-round variant of :func:`cc_min_label` for graphs whose
@@ -178,21 +234,49 @@ def cc_two_phase_rounds(edges: DataFrame, rounds: int) -> list[DataFrame]:
     where 5 min-label hops still carried 14 stale labels.
 
     Returns ``rounds`` symmetric (src, dst) edge frames, one per
-    completed round, each eagerly checkpointed.
+    completed round, each eagerly checkpointed. A round is a
+    deterministic function of the previous round's edge set, so once
+    two consecutive rounds produce the SAME set every later round
+    repeats it: each round's frame is fingerprinted with the shared
+    4-fold row-set signature (operators/signature.py — the repo's
+    standing cert primitive) and on a signature match the remaining
+    rounds reuse the fixed-point frame instead of recomputing it
+    (~8 shuffles per skipped round). With ``return_converged=True``
+    returns ``(frames, converged)`` where ``converged`` is the
+    signature verdict on the last two frames — equal sets always
+    produce equal signatures, and unequal signatures PROVE unequal
+    sets, so the flag is exact up to the documented ~2^-64 collision
+    floor (exact-equality pin at sf0.001: tests/test_graph_cc.py).
     """
+    from lakehouse_tacklebox_spark.operators.signature import rowset_signature
+
     e = edges.localCheckpoint(eager=True)
     out = []
+    prev_sig = None
+    converged = False
     for _ in range(rounds):
+        if converged:
+            out.append(e)  # fixed point: every later round repeats it
+            continue
         for phase_large in (True, False):
-            nm = e.groupBy("src").agg(
-                F.least(F.min("dst"), F.first("src")).alias("m")
+            # neighborhood min via a src-partitioned WINDOW instead of
+            # groupBy + join-back: the aggregate and the join were keyed
+            # the same way, so one exchange serves both (guide §2.4) —
+            # each phase shuffles the edge frame ONCE, not twice. m is
+            # identical per row (min over Γ(src) ∪ {src}).
+            joined = e.withColumn(
+                "m",
+                F.least(F.min("dst").over(Window.partitionBy("src")), F.col("src")),
             )
-            joined = e.join(nm, "src")
             if phase_large:
                 pairs = joined.filter(F.col("dst") > F.col("src")).select(
                     F.least("dst", "m").alias("a"), F.greatest("dst", "m").alias("b")
                 )
             else:
+                # the (src, m) self-attachment is emitted per ROW rather
+                # than per distinct src — the phase-end distinct dedupes
+                # to the identical set, and skipping the per-src dedupe
+                # keeps the phase at one pre-distinct exchange
                 pairs = (
                     joined.filter(F.col("dst") <= F.col("src"))
                     .select(
@@ -200,20 +284,36 @@ def cc_two_phase_rounds(edges: DataFrame, rounds: int) -> list[DataFrame]:
                         F.greatest("dst", "m").alias("b"),
                     )
                     .unionByName(
-                        nm.select(
+                        joined.select(
                             F.least("src", "m").alias("a"),
                             F.greatest("src", "m").alias("b"),
                         )
                     )
                 )
-            und = pairs.filter(F.col("a") != F.col("b")).distinct()
+            # one distinct per phase, not two: the post-symmetrization
+            # distinct subsumes the former pre-symmetrization one (the
+            # deduped union of both orientations is the same set), so
+            # each phase is 3 shuffles (neighborhood-min aggregate,
+            # join, dedupe) instead of 4
+            und = pairs.filter(F.col("a") != F.col("b"))
             e = (
                 und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
                 .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
                 .distinct()
-                .localCheckpoint(eager=True)
+                # LAZY checkpoint: the round's signature aggregate below
+                # materializes both phases in ONE job (the eager form
+                # spent three driver-blocking jobs per round); lineage
+                # is still cut at each phase, so plans stay rounds-
+                # shallow exactly as before
+                .localCheckpoint(eager=False)
             )
+        sig = rowset_signature(e, ["src", "dst"])
+        if sig == prev_sig:
+            converged = True
+        prev_sig = sig
         out.append(e)
+    if return_converged:
+        return out, converged
     return out
 
 
@@ -339,11 +439,22 @@ def kcore_peel_trace(edges: DataFrame, k: int, rounds: int) -> list[DataFrame]:
     the same no-convergence-claim contract as the CC family.
 
     Returns ``rounds + 1`` symmetric (src, dst) edge frames: element 0
-    is the input, element r the survivors after r peel rounds.
+    is the input, element r the survivors after r peel rounds. Peeling
+    only ever REMOVES edges (each round's set is a subset of the
+    previous round's), so an unchanged edge COUNT proves the fixed
+    point exactly — no signature needed — and every later round
+    repeats the same frame; the loop certifies the count per round
+    (one map-side scalar per round, ~8 shuffles saved per skipped
+    round) and reuses the fixed-point frame for the tail.
     """
     e = edges.localCheckpoint(eager=True)
     out = [e]
+    prev_n = e.count()
+    fixed = False
     for _ in range(rounds):
+        if fixed:
+            out.append(e)  # count-certified fixed point: rounds repeat
+            continue
         keep = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
@@ -355,5 +466,9 @@ def kcore_peel_trace(edges: DataFrame, k: int, rounds: int) -> list[DataFrame]:
             .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
             .localCheckpoint(eager=True)
         )
+        n = e.count()
+        if n == prev_n:
+            fixed = True
+        prev_n = n
         out.append(e)
     return out

@@ -115,32 +115,36 @@ def graph_pagerank_bipartite(spark, sf_dir):
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("outdeg")
-    ).localCheckpoint(eager=True)
+    )
+    # outdeg is loop-INVARIANT: fold it onto the edge frame once (the
+    # GraphX routing-table trick) so each iteration joins mass against
+    # ONE pre-materialized frame instead of re-joining deg every round —
+    # one sort-merge join + one aggregate per iteration, nothing else.
+    e2 = (
+        e.join(deg.withColumnRenamed("node", "src").hint("merge"), "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
 
     mass = deg.select("node", F.lit(1000000).cast("bigint").alias("mass"))
     for _ in range(_PR_ITERS):
-        # merge-hint the iteration joins: a frontier/mass table is not
+        # merge-hint the iteration join: a frontier/mass table is not
         # broadcastable at scale, and under the gate's concurrent drive
         # six entries' AQE broadcasts together exhaust driver memory —
-        # sort-merge keeps every iteration executor-side
-        inflow = (
-            e.join(mass.withColumnRenamed("node", "src").hint("merge"), "src")
-            .join(deg.select(F.col("node").alias("src"), "outdeg").hint("merge"), "src")
+        # sort-merge keeps every iteration executor-side. The former
+        # nodes-frame left join is gone: the graph is SYMMETRIC, so
+        # every node appears as dst of some edge and mass covers every
+        # node each round — inflow already lands on the full node set
+        # (same integers; the oracle's LEFT JOIN never fires its NULL
+        # arm either).
+        mass = (
+            e2.join(mass.withColumnRenamed("node", "src").hint("merge"), "src")
             .select("dst", F.expr("mass DIV outdeg").alias("c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").cast("bigint").alias("s"))
-        )
-        mass = (
-            deg.select("node")
-            .join(inflow, "node", "left")
             .select(
                 "node",
-                (
-                    F.lit(150000)
-                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
-                )
-                .cast("bigint")
-                .alias("mass"),
+                F.expr("CAST(150000 + (85 * s) DIV 100 AS BIGINT)").alias("mass"),
             )
             .localCheckpoint(eager=True)
         )
@@ -476,21 +480,20 @@ def dedup_cluster_cc(spark, sf_dir):
     from lakehouse_tacklebox_spark.operators import graphops as G
 
     pairs = _dup_pairs(spark, sf_dir)
-    trace = G.cc_label_trace(G.symmetric_edges(pairs), _CC_ITERS)
-    final, prev = trace[-1], trace[-2]
-    n_changed = (
-        final.withColumnRenamed("label", "la")
-        .join(prev.withColumnRenamed("label", "lb"), "node")
-        .filter(F.col("la") != F.col("lb"))
-        .count()
-    )
+    # cc_min_label_converged skips iterations past the certified fixed
+    # point (label-sum monotonicity — identical labels to running all 6
+    # blind) and its converged bool IS "labels stable between the last
+    # two iterations": label-sum equality between steps k-1 and k means
+    # zero labels changed at step k, replacing the former full-frame
+    # equality join + count with one scalar per step.
+    final, converged = G.cc_min_label_converged(G.symmetric_edges(pairs), _CC_ITERS)
     return (
         final.groupBy(F.col("label").alias("cluster_label"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.max("node").cast("bigint").alias("max_doc"),
         )
-        .withColumn("converged", F.lit(1 if n_changed == 0 else 0).cast("int"))
+        .withColumn("converged", F.lit(1 if converged else 0).cast("int"))
         .orderBy(F.col("n_docs").desc(), "cluster_label")
     )
 
@@ -545,14 +548,12 @@ def graph_cc_incremental(spark, sf_dir):
     == full-recompute census as a row set — the canonical-label
     equality the contraction argument promises)."""
     from lakehouse_tacklebox_spark.operators import graphops as G
+    from lakehouse_tacklebox_spark.operators.concurrency import run_concurrent
     from lakehouse_tacklebox_spark.operators.signature import rowsets_equal
 
     pairs = _dup_pairs(spark, sf_dir).localCheckpoint(eager=True)
     base_pairs = pairs.filter((F.col("id_a") % 3 != 0) & (F.col("id_b") % 3 != 0))
     new_pairs = pairs.filter((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
-
-    base_labels = G.cc_min_label(G.symmetric_edges(base_pairs), _CC_ITERS)
-    merged = G.merge_labels_incremental(base_labels, new_pairs, _CC_ITERS)
 
     census_cols = ["cluster_label", "n_docs", "max_doc"]
 
@@ -562,18 +563,27 @@ def graph_cc_incremental(spark, sf_dir):
             F.max("node").cast("bigint").alias("max_doc"),
         )
 
-    trace = G.cc_label_trace(G.symmetric_edges(pairs), _CC_ITERS)
-    full, prev = trace[-1], trace[-2]
-    n_changed = (
-        full.withColumnRenamed("label", "la")
-        .join(prev.withColumnRenamed("label", "lb"), "node")
-        .filter(F.col("la") != F.col("lb"))
-        .count()
-    )
-    inc_census = census(merged).localCheckpoint(eager=True)
+    # Two independent job chains (guide §2.6 overlap): the incremental
+    # leg (base CC → contraction merge → census) and the certification
+    # leg (full recompute over base+batch). Each is a string of small
+    # fixed-point iterations that never fills the cluster on its own;
+    # running them concurrently back-fills each other's barrier stalls.
+    # Iterations past each graph's certified fixed point are skipped
+    # (label-sum monotonicity — identical labels), and the full leg's
+    # converged bool replaces the former labels(5)-vs-labels(6) equality
+    # join + count with one scalar per step.
+    def inc_leg():
+        base_labels = G.cc_min_label(G.symmetric_edges(base_pairs), _CC_ITERS)
+        merged = G.merge_labels_incremental(base_labels, new_pairs, _CC_ITERS)
+        return census(merged).localCheckpoint(eager=True)
+
+    def full_leg():
+        return G.cc_min_label_converged(G.symmetric_edges(pairs), _CC_ITERS)
+
+    inc_census, (full, converged) = run_concurrent(spark, inc_leg, full_leg)
     ok = rowsets_equal(inc_census, census(full), census_cols)
     return (
-        inc_census.withColumn("converged", F.lit(1 if n_changed == 0 else 0).cast("int"))
+        inc_census.withColumn("converged", F.lit(1 if converged else 0).cast("int"))
         .withColumn("matches_full", F.lit(1 if ok else 0).cast("int"))
         .orderBy(F.col("n_docs").desc(), "cluster_label")
     )
@@ -690,33 +700,47 @@ def graph_cc_twophase(spark, sf_dir):
         )
         .distinct()
     )
-    rounds = G.cc_two_phase_rounds(G.symmetric_edges(pairs), _CC2_ROUNDS)
+    # return_converged: the per-round 4-fold signature that already
+    # gates the round-skip doubles as the converged flag (equal sets ⟹
+    # equal signatures; unequal signatures PROVE unequal sets), so the
+    # former two full-frame anti-join counts over the last two rounds
+    # are gone — exact-equality pin at sf0.001 in tests/test_graph_cc.py.
+    rounds, stable = G.cc_two_phase_rounds(
+        G.symmetric_edges(pairs), _CC2_ROUNDS, return_converged=True
+    )
     stats = []
+    # converged-tail rounds reuse the fixed-point frame OBJECT; compute
+    # the 3-aggregate core once per UNIQUE frame (lazy checkpoint — the
+    # final action materializes it once and the repeated rounds read the
+    # persisted 1-row frame) instead of re-aggregating the same edge set
+    # per repeated round.
+    core_by_frame: dict[int, object] = {}
     for r, e in enumerate(rounds, start=1):
-        labels = G.star_labels(e)
-        stats.append(
-            e.filter(F.col("src") < F.col("dst"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-            .crossJoin(
-                e.agg(F.countDistinct("src").cast("bigint").alias("n_nodes"))
-            )
-            .crossJoin(
-                labels.agg(
-                    F.countDistinct("label").cast("bigint").alias("n_components")
+        core = core_by_frame.get(id(e))
+        if core is None:
+            labels = G.star_labels(e)
+            core = (
+                e.filter(F.col("src") < F.col("dst"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+                .crossJoin(
+                    e.agg(F.countDistinct("src").cast("bigint").alias("n_nodes"))
                 )
+                .crossJoin(
+                    labels.agg(
+                        F.countDistinct("label").cast("bigint").alias("n_components")
+                    )
+                )
+                .localCheckpoint(eager=False)
             )
-            .select(
+            core_by_frame[id(e)] = core
+        stats.append(
+            core.select(
                 F.lit(r).cast("bigint").alias("round"),
                 "n_edges",
                 "n_nodes",
                 "n_components",
             )
         )
-    last, prev = rounds[-1], rounds[-2]
-    stable = (
-        last.join(prev, ["src", "dst"], "left_anti").count() == 0
-        and prev.join(last, ["src", "dst"], "left_anti").count() == 0
-    )
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)
@@ -901,9 +925,15 @@ def graph_ppr_seeded(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    # outdeg folded onto the edges once (loop-invariant — the same
+    # routing-table move as graph_pagerank_bipartite): each iteration
+    # is ONE frontier-bounded sort-merge join + one aggregate.
+    e2 = (
+        e.join(deg.withColumnRenamed("node", "src").hint("merge"), "src")
+        .select("src", "dst", "outdeg")
         .localCheckpoint(eager=True)
     )
     seeds = (
@@ -916,8 +946,7 @@ def graph_ppr_seeded(spark, sf_dir):
     mass = seeds.select("node", F.lit(1000000).cast("bigint").alias("mass"))
     for _ in range(_PPR_ITERS):
         inflow = (
-            e.join(mass.withColumnRenamed("node", "src").hint("merge"), "src")
-            .join(deg.select(F.col("node").alias("src"), "outdeg").hint("merge"), "src")
+            e2.join(mass.withColumnRenamed("node", "src").hint("merge"), "src")
             .select("dst", F.expr("mass DIV outdeg").alias("c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").cast("bigint").alias("s"))
@@ -1085,27 +1114,12 @@ def graph_cc_decremental(spark, sf_dir):
     over the repaired store plus converged and matches_full flags."""
     from lakehouse_tacklebox_spark.operators import graphops as G
 
-    pairs = _dup_pairs(spark, sf_dir).localCheckpoint(eager=True)
-    store = G.cc_min_label(G.symmetric_edges(pairs), _CC_ITERS).localCheckpoint(
-        eager=True
-    )
+    from lakehouse_tacklebox_spark.operators.concurrency import run_concurrent
+    from lakehouse_tacklebox_spark.operators.signature import rowset_signature
 
-    removed = store.filter(F.expr(f"node {_CC_DEL_PRED}")).select("node")
+    pairs = _dup_pairs(spark, sf_dir).localCheckpoint(eager=True)
     surviving_pairs = pairs.filter(
         ~F.expr(f"id_a {_CC_DEL_PRED}") & ~F.expr(f"id_b {_CC_DEL_PRED}")
-    )
-    new_store = G.repair_labels_decremental(
-        store, surviving_pairs, removed, _CC_ITERS
-    )
-
-    # certification: full recompute over surviving pairs
-    trace = G.cc_label_trace(G.symmetric_edges(surviving_pairs), _CC_ITERS)
-    full, prev = trace[-1], trace[-2]
-    n_changed = (
-        full.withColumnRenamed("label", "la")
-        .join(prev.withColumnRenamed("label", "lb"), "node")
-        .filter(F.col("la") != F.col("lb"))
-        .count()
     )
 
     def census(labels):
@@ -1114,13 +1128,34 @@ def graph_cc_decremental(spark, sf_dir):
             F.max("node").cast("bigint").alias("max_doc"),
         )
 
-    from lakehouse_tacklebox_spark.operators.signature import rowset_signature
+    # Two independent job chains (guide §2.6 overlap): the repair leg
+    # (pre-deletion store → affected-component re-solve) and the
+    # certification leg (full recompute over surviving pairs) share no
+    # inputs beyond the checkpointed pair frame, and each is a string of
+    # small fixed-point iterations; overlapping them back-fills each
+    # other's barrier stalls. Iterations past each graph's certified
+    # fixed point are skipped (label-sum monotonicity — identical
+    # labels), and the full leg's converged bool replaces the former
+    # labels(5)-vs-labels(6) equality join + count.
+    def repair_leg():
+        store = G.cc_min_label(G.symmetric_edges(pairs), _CC_ITERS).localCheckpoint(
+            eager=True
+        )
+        removed = store.filter(F.expr(f"node {_CC_DEL_PRED}")).select("node")
+        new_store = G.repair_labels_decremental(
+            store, surviving_pairs, removed, _CC_ITERS
+        )
+        return census(new_store).localCheckpoint(eager=True)
+
+    def full_leg():
+        return G.cc_min_label_converged(G.symmetric_edges(surviving_pairs), _CC_ITERS)
+
+    inc_census, (full, converged) = run_concurrent(spark, repair_leg, full_leg)
 
     cols = ["cluster_label", "n_docs", "max_doc"]
-    inc_census = census(new_store).localCheckpoint(eager=True)
     ok = rowset_signature(inc_census, cols) == rowset_signature(census(full), cols)
     return (
-        inc_census.withColumn("converged", F.lit(1 if n_changed == 0 else 0).cast("int"))
+        inc_census.withColumn("converged", F.lit(1 if converged else 0).cast("int"))
         .withColumn("matches_full", F.lit(1 if ok else 0).cast("int"))
         .orderBy(F.col("n_docs").desc(), "cluster_label")
     )
@@ -1202,21 +1237,30 @@ def graph_kcore_extract(spark, sf_dir):
         .distinct()
     )
     trace = G.kcore_peel_trace(G.symmetric_edges(pairs), _KCORE_K, _KCORE_ROUNDS)
-    stats = [
-        e.agg(
-            F.count_distinct("src").cast("bigint").alias("n_nodes"),
-            F.count(F.lit(1)).cast("bigint").alias("n_dir_edges"),
-            F.coalesce(F.sum_distinct(F.col("src")), F.lit(0))
-            .cast("bigint")
-            .alias("node_checksum"),
-        ).select(
-            F.lit(r).cast("bigint").alias("round"),
-            "n_nodes",
-            "n_dir_edges",
-            "node_checksum",
+    # fixed-point tail rounds reuse the same frame object (count-
+    # certified inside kcore_peel_trace); aggregate each UNIQUE frame
+    # once and stamp the round literal per trace slot.
+    core_by_frame: dict[int, object] = {}
+    stats = []
+    for r, e in enumerate(trace):
+        core = core_by_frame.get(id(e))
+        if core is None:
+            core = e.agg(
+                F.count_distinct("src").cast("bigint").alias("n_nodes"),
+                F.count(F.lit(1)).cast("bigint").alias("n_dir_edges"),
+                F.coalesce(F.sum_distinct(F.col("src")), F.lit(0))
+                .cast("bigint")
+                .alias("node_checksum"),
+            ).localCheckpoint(eager=False)
+            core_by_frame[id(e)] = core
+        stats.append(
+            core.select(
+                F.lit(r).cast("bigint").alias("round"),
+                "n_nodes",
+                "n_dir_edges",
+                "node_checksum",
+            )
         )
-        for r, e in enumerate(trace)
-    ]
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)

@@ -2843,15 +2843,14 @@ def stream_cc_labels_mv(spark, sf_dir):
 
     back = TackleTable(spark, lab_dir).read().localCheckpoint(eager=True)
 
-    # from-scratch truth: CC over the full exact pair set
+    # from-scratch truth: CC over the full exact pair set. Iterations
+    # past the certified fixed point are skipped (label-sum
+    # monotonicity — identical labels), and the converged bool IS
+    # "labels stable between the last two iterations", replacing the
+    # former full-frame equality join + count with one scalar per step.
     pairs_full = FX.frozen_dup_pairs(spark, sf_dir)
-    trace = G.cc_label_trace(G.symmetric_edges(pairs_full), _CC_ITERS)
-    full, prev = trace[-1], trace[-2]
-    n_changed = (
-        full.withColumnRenamed("label", "la")
-        .join(prev.withColumnRenamed("label", "lb"), "node")
-        .filter(F.col("la") != F.col("lb"))
-        .count()
+    full, cc_converged = G.cc_min_label_converged(
+        G.symmetric_edges(pairs_full), _CC_ITERS
     )
 
     def census(labels):
@@ -2866,7 +2865,7 @@ def stream_cc_labels_mv(spark, sf_dir):
         census(full), cols
     )
     return (
-        mv_census.withColumn("converged", F.lit(1 if n_changed == 0 else 0).cast("int"))
+        mv_census.withColumn("converged", F.lit(1 if cc_converged else 0).cast("int"))
         .withColumn("census_match", F.lit(1 if census_match else 0).cast("int"))
         .withColumn("replay_noop", F.lit(1 if replay_noop else 0).cast("int"))
         .orderBy(F.col("n_docs").desc(), "cluster_label")

@@ -224,3 +224,52 @@ def test_kcore_peel_cascades_to_true_core(spark):
     assert nodes(trace[1]) == {1, 2, 3, 11, 12, 13}  # ends peeled
     assert nodes(trace[2]) == {1, 2, 3}  # cascade completes
     assert nodes(trace[3]) == {1, 2, 3}  # fixed point
+
+
+def test_cc_min_label_converged_equals_blind_trace(spark):
+    """Round-13 early fixed-point exit: labels from the sum-certified
+    early exit are bit-identical to running every iteration blind, and
+    the converged bool equals the former labels(k-1)-vs-labels(k)
+    equality-join verdict on both the converging and the non-converging
+    side."""
+    edges = G.symmetric_edges(_pairs_df(spark, _PAIRS))
+    # converges by iter 4; ask for 6 — early exit must return the same
+    # labels as the blind 6-step trace and certify convergence
+    lab, converged = G.cc_min_label_converged(edges, 6)
+    blind = G.cc_label_trace(edges, 6)[-1]
+    assert converged is True
+    assert rowsets_equal(lab, blind, ["node", "label"])
+    assert {r["node"]: r["label"] for r in lab.collect()} == _true_components(_PAIRS)
+    # a diameter-7 path at iters=3: NOT converged, labels still equal the
+    # blind 3-step frame (early exit never fires before the fixed point)
+    path = [(i, i + 1) for i in range(7)]
+    pedges = G.symmetric_edges(_pairs_df(spark, path))
+    lab3, conv3 = G.cc_min_label_converged(pedges, 3)
+    blind3 = G.cc_label_trace(pedges, 3)[-1]
+    assert conv3 is False
+    assert rowsets_equal(lab3, blind3, ["node", "label"])
+
+
+def test_twophase_signature_converged_matches_exact_equality(spark):
+    """Cert-site discipline (VERDICT r12 item 8): the round-13 signature
+    gate on cc_two_phase_rounds' converged flag is pinned against the
+    exact anti-join equality it replaced, on both a converged and a
+    non-converged run."""
+    edges = G.symmetric_edges(_pairs_df(spark, _PAIRS))
+
+    def exact_equal(a, b):
+        return (
+            a.join(b, ["src", "dst"], "left_anti").count() == 0
+            and b.join(a, ["src", "dst"], "left_anti").count() == 0
+        )
+
+    rounds, converged = G.cc_two_phase_rounds(edges, 4, return_converged=True)
+    assert converged is exact_equal(rounds[-1], rounds[-2])
+    assert converged is True  # fixture converges within 4 rounds
+    short, conv_short = G.cc_two_phase_rounds(edges, 1, return_converged=True)
+    assert conv_short is False  # one round cannot certify a fixed point
+    # converged-tail rounds reuse the fixed-point frame: the trace stays
+    # rounds long and every tail frame equals the fixed point exactly
+    rounds6, conv6 = G.cc_two_phase_rounds(edges, 6, return_converged=True)
+    assert conv6 is True and len(rounds6) == 6
+    assert exact_equal(rounds6[-1], rounds[-1])
