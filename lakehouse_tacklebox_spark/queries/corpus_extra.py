@@ -1115,34 +1115,50 @@ def corpus_epoch_shuffle(spark, sf_dir):
     pre = prefix_rows(keyed)
     pre_ids = [r["doc_id"] for r in pre]
 
-    # partition-invariance: the same prefix under a hostile repartition
-    pre_alt = prefix_rows(epoch_shuffle(d.repartition(17), "doc_id", 42, NB))
-    partition_invariant = [r["doc_id"] for r in pre_alt] == pre_ids
+    # The four certification legs below are INDEPENDENT given the
+    # checkpointed keyed frame — each is a small top-k/count/write chain
+    # that leaves most cores idle; run them concurrently from driver
+    # threads (guide §2.6) so the re-key scans overlap.
+    from lakehouse_tacklebox_spark.operators.concurrency import run_concurrent
 
-    # append-invariance: half-corpus keys equal the full-corpus keys
-    half = epoch_shuffle(
-        d.filter(F.col("doc_id") % 2 == 0), "doc_id", 42, NB
-    ).select("doc_id", F.col("sort_key").alias("sk_h"))
-    n_half = half.count()
-    append_invariant = (
-        keyed.join(half, "doc_id")
-        .filter(F.col("sort_key") == F.col("sk_h"))
-        .count()
-        == n_half
-    )
+    def partition_leg():
+        # partition-invariance: the same prefix under a hostile repartition
+        pre_alt = prefix_rows(epoch_shuffle(d.repartition(17), "doc_id", 42, NB))
+        return [r["doc_id"] for r in pre_alt] == pre_ids
 
-    # per-epoch independence: seed 43 is a different permutation
-    pre_43 = prefix_rows(epoch_shuffle(d, "doc_id", 43, NB))
-    epochs_differ = [r["doc_id"] for r in pre_43] != pre_ids
+    def append_leg():
+        # append-invariance: half-corpus keys equal the full-corpus keys
+        half = epoch_shuffle(
+            d.filter(F.col("doc_id") % 2 == 0), "doc_id", 42, NB
+        ).select("doc_id", F.col("sort_key").alias("sk_h"))
+        n_half = half.count()
+        return (
+            keyed.join(half, "doc_id")
+            .filter(F.col("sort_key") == F.col("sk_h"))
+            .count()
+            == n_half
+        )
 
-    # bucketed write (the materialized shuffle): one shuffle on bucket,
-    # local sort, partitioned files; read back and certify counts + set
+    def epoch_leg():
+        # per-epoch independence: seed 43 is a different permutation
+        pre_43 = prefix_rows(epoch_shuffle(d, "doc_id", 43, NB))
+        return [r["doc_id"] for r in pre_43] != pre_ids
+
     tmp = os.path.join(tempfile.mkdtemp(prefix="epoch_shuffle_"), "buckets")
-    (
-        keyed.repartition(NB, "bucket")
-        .sortWithinPartitions("sort_key")
-        .write.partitionBy("bucket")
-        .parquet(tmp)
+
+    def write_leg():
+        # bucketed write (the materialized shuffle): one shuffle on bucket,
+        # local sort, partitioned files; read back and certify counts + set
+        (
+            keyed.repartition(NB, "bucket")
+            .sortWithinPartitions("sort_key")
+            .write.partitionBy("bucket")
+            .parquet(tmp)
+        )
+        return True
+
+    partition_invariant, append_invariant, epochs_differ, _ = run_concurrent(
+        spark, partition_leg, append_leg, epoch_leg, write_leg
     )
     # partitionBy writes `bucket` as a directory key; the read-back
     # infers it as INT — cast to long so the row-set signature hashes

@@ -945,12 +945,14 @@ def rag_eval_metrics(spark, sf_dir):
         .agg(F.sum("c").cast("bigint").alias("score"))
     )
     wk = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
-    top5 = (
-        bm1.withColumn("rank", F.row_number().over(wk).cast("bigint"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "doc_id", "rank")
-        .localCheckpoint(eager=True)
-    )
+
+    def retrieval_leg():
+        return (
+            bm1.withColumn("rank", F.row_number().over(wk).cast("bigint"))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "doc_id", "rank")
+            .localCheckpoint(eager=True)
+        )
 
     # qrels: >= 2 shared distinct 5-grams (the contamination leak rule).
     # Gram hashes come from posexplode + four window lead()s + one
@@ -980,24 +982,34 @@ def rag_eval_metrics(spark, sf_dir):
         F.col("doc_id").alias("query_id"), "s"
     )
     csh = grams5.filter(F.col("doc_id") >= 3)
-    rel = (
-        # query-side shingles are 3 docs' worth — broadcast them so the
-        # corpus-wide shingle explosion stays a scan-side probe instead
-        # of a full shuffle (same pruning story as the token leg).
-        # Engine-parity caveat (ADVICE r12): Spark compares 64-bit
-        # hashed shingles while the oracle compares gram STRINGS, so a
-        # cross-doc xxhash64 collision could add a phantom shared
-        # shingle on the Spark side only — vanishing at gate scales
-        # (the established contamination-entry pattern); if qrels ever
-        # gate at larger corpora, verify candidate pairs on gram
-        # strings or dual-seeded hashes as the exact-Jaccard path does.
-        csh.join(F.broadcast(qsh), "s")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-        .select("query_id", "doc_id")
-        .localCheckpoint(eager=True)
-    )
+    def qrels_leg():
+        return (
+            # query-side shingles are 3 docs' worth — broadcast them so the
+            # corpus-wide shingle explosion stays a scan-side probe instead
+            # of a full shuffle (same pruning story as the token leg).
+            # Engine-parity caveat (ADVICE r12): Spark compares 64-bit
+            # hashed shingles while the oracle compares gram STRINGS, so a
+            # cross-doc xxhash64 collision could add a phantom shared
+            # shingle on the Spark side only — vanishing at gate scales
+            # (the established contamination-entry pattern); if qrels ever
+            # gate at larger corpora, verify candidate pairs on gram
+            # strings or dual-seeded hashes as the exact-Jaccard path does.
+            csh.join(F.broadcast(qsh), "s")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+            .select("query_id", "doc_id")
+            .localCheckpoint(eager=True)
+        )
+
+    # The retrieval leg (BM25 top-5) and the truth leg (5-gram qrels)
+    # read different censuses of the same corpus and meet only at the
+    # final hits join — two independent job chains, overlapped from
+    # driver threads (guide §2.6) so the corpus scans and census
+    # shuffles of one leg back-fill the other's stragglers.
+    from lakehouse_tacklebox_spark.operators.concurrency import run_concurrent
+
+    top5, rel = run_concurrent(spark, retrieval_leg, qrels_leg)
     nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
     hits = (
         top5.join(rel, ["query_id", "doc_id"])

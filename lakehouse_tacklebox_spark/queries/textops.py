@@ -2309,49 +2309,60 @@ def dedup_incremental_lsh(spark, sf_dir):
     store = TackleTable.create(spark, os.path.join(tmp, "idx"), buckets_exist)
 
     stored = store.read()  # the batch only ever sees the STORE
-    cross = (
-        buckets_inc.select(
-            F.col("doc_id").alias("inc_id"), "band", "band_hash"
-        )
-        .join(stored.select(F.col("doc_id").alias("ex_id"), "band", "band_hash"),
-              ["band", "band_hash"])
-        .select(
-            F.least("inc_id", "ex_id").alias("id_a"),
-            F.greatest("inc_id", "ex_id").alias("id_b"),
-        )
-    )
-    a = buckets_inc.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
-    b = buckets_inc.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
-    within = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    cand = cross.unionByName(within).distinct()
-    verified = D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
+    # (read() pins the store's file list at call time, so the probe sees
+    # the pre-append version no matter when its job actually runs — the
+    # same property the lazily-returned result always relied on)
 
-    # maintenance: append the batch's buckets, certify read-back against
-    # a from-scratch banding of the full corpus. Compared by the shared
-    # 4-fold row-set signature (operators/signature.py) — one map-side
-    # aggregate pass per side — instead of the former full re-band
-    # equi-join + three counts, which made this the heaviest non-graph
-    # headline (VERDICT r11 item 5). Full row-set equality stays pinned
-    # at sf0.001 in tests/test_lsh_neardup.py.
+    # Two independent job chains (guide §2.6 overlap): the probe+verify
+    # leg (batch buckets against the store and itself, exact Jaccard on
+    # the candidates) and the maintenance leg (append the batch's
+    # buckets, certify the read-back against a from-scratch banding by
+    # the shared 4-fold row-set signature — one map-side aggregate pass
+    # per side, VERDICT r11 item 5; full row-set equality stays pinned
+    # at sf0.001 in tests/test_lsh_neardup.py). Neither leg reads the
+    # other's output, so overlapping them back-fills each other's
+    # stragglers instead of running two under-parallel chains serially.
+    from lakehouse_tacklebox_spark.operators.concurrency import run_concurrent
     from lakehouse_tacklebox_spark.operators.signature import rowset_signature
 
-    store.append(buckets_inc, txn=("lsh_index_append", 1))
-    back = TackleTable(spark, os.path.join(tmp, "idx")).read()
-    full = D.lsh_band_buckets(sigs, "doc_id", bands=16, rows_per_band=3)
-    cols = ["doc_id", "band", "band_hash"]
-    merge_ok = rowset_signature(back, cols) == rowset_signature(full, cols)
+    def verify_leg():
+        cross = (
+            buckets_inc.select(
+                F.col("doc_id").alias("inc_id"), "band", "band_hash"
+            )
+            .join(stored.select(F.col("doc_id").alias("ex_id"), "band", "band_hash"),
+                  ["band", "band_hash"])
+            .select(
+                F.least("inc_id", "ex_id").alias("id_a"),
+                F.greatest("inc_id", "ex_id").alias("id_b"),
+            )
+        )
+        a = buckets_inc.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+        b = buckets_inc.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+        within = (
+            a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = cross.unionByName(within).distinct()
+        return (
+            D.jaccard_for_pairs(cand, sh, "doc_id", "shingles")
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.2)
+            .localCheckpoint(eager=True)
+        )
+
+    def maintenance_leg():
+        store.append(buckets_inc, txn=("lsh_index_append", 1))
+        back = TackleTable(spark, os.path.join(tmp, "idx")).read()
+        full = D.lsh_band_buckets(sigs, "doc_id", bands=16, rows_per_band=3)
+        cols = ["doc_id", "band", "band_hash"]
+        return rowset_signature(back, cols) == rowset_signature(full, cols)
+
+    verified, merge_ok = run_concurrent(spark, verify_leg, maintenance_leg)
 
     return (
-        verified.select(
-            "id_a",
-            "id_b",
-            F.round("jaccard", 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.2)
+        verified
         .withColumn("index_merge_match", F.lit(1 if merge_ok else 0).cast("int"))
         .orderBy("id_a", "id_b")
     )
