@@ -53,6 +53,16 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", str(Path(__file__).resolve().par
 # r11 — almost all scan-bound TPC-H/DS shapes at a few seconds each.
 # Steady state re-measures the priority list plus a small aging tail.
 SF1_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "1320"))
+# sf1 scaling probe (VERDICT r13 item 8, ADDITIVE — the headline timed
+# protocol is untouched): at sf0.1 every 32-vs-8-core ratio was
+# 0.54-1.05 (driver-latency-bound), so parallel-scaling evidence must
+# come from sf1. After the sf1 section, the top-5 heaviest sf1 entries
+# are re-timed by tools/sf1_scaling_probe.py in TWO subprocesses (cold
+# JVM each, identical min-of-2 protocol) at the session core count and
+# at a quarter of it; the lo/hi wall-clock ratios land in the sf1
+# payload. SPARK_GRAFT_SF1_SCALING=0 disables.
+SF1_SCALING_ENABLED = os.environ.get("SPARK_GRAFT_SF1_SCALING", "1") != "0"
+SF1_SCALING_TOP_N = int(os.environ.get("SPARK_GRAFT_SF1_SCALING_TOP_N", "5"))
 # drift-priority order: the families the plan audit flags as the ones
 # that COULD go quadratic (pair joins, interval replication, window
 # packs), then scan-bound TPC-H reference points for the linear floor.
@@ -528,6 +538,61 @@ def run_sf1_section(spark, specs, sf01_timings: dict, sf_dir: str) -> dict:
     }
 
 
+def run_sf1_scaling_probe(sf1: dict) -> dict | None:
+    """32-vs-8-core (hi vs hi//4) wall-clock ratios for the heaviest sf1
+    entries — two cold-JVM subprocess legs of tools/sf1_scaling_probe.py
+    with identical protocol, so neither leg inherits this session's JIT
+    or cache state. ratio < 1 means fewer cores is FASTER (driver-
+    latency-bound); ratio ≈ cpus_lo/cpus_hi means near-linear scaling."""
+    import subprocess
+
+    cpus_hi = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus_lo = max(2, cpus_hi // 4)
+    if cpus_lo >= cpus_hi:
+        return None
+    # heaviest first; parameter-override entries are excluded (the probe
+    # subprocess runs registry functions, not the sf1 substitutions)
+    names = [
+        n
+        for n in sorted(sf1["queries"], key=sf1["queries"].get, reverse=True)
+        if n not in SF1_PARAM_OVERRIDES
+    ][:SF1_SCALING_TOP_N]
+    if not names:
+        return None
+    probe = Path(__file__).resolve().parent / "tools" / "sf1_scaling_probe.py"
+    legs: dict[int, dict] = {}
+    for cpus in (cpus_hi, cpus_lo):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        try:
+            res = subprocess.run(
+                [sys.executable, str(probe), SF1_DIR, *names],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            line = next(
+                ln for ln in res.stdout.splitlines() if ln.startswith("SCALING_JSON:")
+            )
+            legs[cpus] = json.loads(line[len("SCALING_JSON:"):])["queries"]
+        except Exception as e:  # noqa: BLE001 — the probe is additive, never sinks the bench
+            print(f"sf1 scaling probe (c{cpus}) failed: {e}", file=sys.stderr)
+            return None
+    ratios = {
+        n: round(legs[cpus_lo][n] / legs[cpus_hi][n], 2)
+        for n in names
+        if legs[cpus_hi].get(n) and legs[cpus_lo].get(n)
+    }
+    return {
+        "cpus_hi": cpus_hi,
+        "cpus_lo": cpus_lo,
+        "hi_s": {n: legs[cpus_hi][n] for n in ratios},
+        "lo_s": {n: legs[cpus_lo][n] for n in ratios},
+        "lo_over_hi_ratio": ratios,
+        "protocol": "two cold-JVM subprocess legs, same entries/order, min-of-2 count() reps",
+    }
+
+
 def headline_specs() -> dict:
     """All TPC-H entries (every queries/tpch*.py registration) plus the
     bench-flagged heavy non-TPC-H operators."""
@@ -612,6 +677,8 @@ def main() -> None:
     sf1 = None
     if SF1_ENABLED and ensure_sf1():
         sf1 = run_sf1_section(spark, specs, timings, sf_dir)
+        if SF1_SCALING_ENABLED:
+            sf1["scaling_probe"] = run_sf1_scaling_probe(sf1)
 
     payload = {
         "metric": "headline_query_wall_clock",
@@ -701,6 +768,11 @@ def main() -> None:
             "max_decade_ratio": sf1["max_decade_ratio"],
             "n_queries": len(sf1["queries"]),
             "stale_ratios": sf1["stale_ratios"],
+            "scaling_lo_over_hi": (
+                sf1["scaling_probe"]["lo_over_hi_ratio"]
+                if sf1.get("scaling_probe")
+                else None
+            ),
         }
         if sf1
         else None

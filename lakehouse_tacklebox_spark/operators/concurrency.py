@@ -41,6 +41,18 @@ def run_concurrent(spark: SparkSession, *thunks: Callable[[], Any]) -> list[Any]
     """
     if len(thunks) == 1:
         return [thunks[0]()]
+
+    def _wrap(t: Callable[[], Any]) -> Callable[[], Any]:
+        # Under py4j pinned-thread mode (the ClientServer default),
+        # inheritable_thread_target(session) returns a decorator. With
+        # PYSPARK_PIN_THREAD=false the non-pinned branch returns its
+        # argument unchanged — i.e. the SparkSession — and calling it on
+        # the thunk would raise TypeError (ADVICE r13). In that mode
+        # JVM thread-locals are shared anyway, so the bare thunk is the
+        # correct target.
+        w = inheritable_thread_target(spark)
+        return w(t) if callable(w) and not isinstance(w, SparkSession) else t
+
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(inheritable_thread_target(spark)(t)) for t in thunks]
+        futures = [pool.submit(_wrap(t)) for t in thunks]
         return [f.result() for f in futures]

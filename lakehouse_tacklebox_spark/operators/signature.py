@@ -16,6 +16,14 @@ independent h2 values, so it must ALSO satisfy h2_a^2 ≡ h2_b^2 mod p2
 birthday-scale accidental risk stays far below gate sizes. Full
 row-set equality stays pinned at sf0.001 in pytest wherever a
 signature gates an entry.
+
+Trust boundary (ADVICE r13): since round 13 signatures may GATE
+computation, not just certify it — cc_two_phase_rounds reuses the
+previous round's frame when consecutive round signatures match, so a
+collision would return wrong rows, not just a wrong flag. The count is
+fold 1, so "equal signature" always implies equal cardinality
+(belt-and-braces against any single-fold reasoning), and every gating
+site keeps an exact-equality pytest pin at sf0.001.
 """
 
 from __future__ import annotations

@@ -153,63 +153,80 @@ from lakehouse_tacklebox_spark.queries import (  # noqa: E402,F401
 #       item 7), taking the last two group (c) slots — their displaced
 #       r7 names (ds_hourly_entropy, ds_topk_with_others) keep valid
 #       r7 evidence and lead the round-14 tail below.
-# After this round nothing predates r7.
+# After round 13 nothing predates r7 (CORRECTNESS_r13 confirmed: 50/50
+# green, exactly the window above).
+#
+# Round-14 window (below), exactly the documented round-14 plan from
+# round 13 (VERDICT r13 item 2):
+#   (a) the three round-13 additions with no driver row yet
+#       (graph_kcore_extract, text_pmi_collocations,
+#       stream_stateful_stats_tws) — each driven green at all three
+#       scales in the recorded round-13 drives, never driver-checked;
+#   (b) the 33-entry r7 tail, in CORRECTNESS_r07 ledger order
+#       (ds_hourly_entropy and ds_topk_with_others — the two names
+#       displaced by round-13's group (d) — first, matching the
+#       documented list);
+#   (c) the first 14 of the 50-entry r8 block, in CORRECTNESS_r08
+#       ledger order.
+# After this round nothing predates r8. Round-15 plan (mechanical):
+# the remaining 36 r8 names in CORRECTNESS_r08 ledger order
+# (ds_brand_month_deviation onward), then the r9 block starts
+# rotating (CORRECTNESS_r09 ledger order).
 _WINDOW_PRIORITY = [
-    # (a) never driver-checked round-12 additions
-    "graph_triangle_count",
-    "rag_eval_metrics",
-    "graph_ppr_seeded",
-    "corpus_dup_rate_by_source",
-    "graph_cc_decremental",
-    # (b) the 26-entry r6 tail, CORRECTNESS_r06 ledger order
-    "ds_return_rank_union",
-    "ds_priority_month_matrix",
-    "ds_before_after_split",
-    "ds_category_share_window",
-    "ds_best_customer_frequent_parts",
-    "stream_incremental_mv",
-    "stream_funnel_stages",
-    "events_funnel_stages",
-    "text_ngram_novelty",
-    "corpus_temperature_mix",
-    "mm_audio_features",
-    "mm_video_features",
-    "emb_neardup_lsh",
-    "agg_approx_distinct",
-    "agg_hll_sketch_rollup",
-    "knn_ivf_recall_cert",
-    "win_dedup_latest",
-    "win_topn_per_group",
-    "win_moving_avg",
-    "win_running_sum",
-    "win_baseline_offset",
-    "win_lag_gap",
-    "win_sessionize",
-    "win_snapshot_asof",
-    "win_scd2_intervals",
-    "cdc_scd2_late_events",
-    # (c) r7 refresh block: first 17 of the r7 ledger, in
-    # CORRECTNESS_r07 order
-    "ds_week_yoy_selfjoin",
-    "ds_channel_overlap_census",
-    "ds_rolling_range_window",
-    "ds_brands_above_avg_semi",
-    "ds_first_last_span",
-    "ds_quarter_setop_chain",
-    "ds_decile_transition",
-    "ds_percentile_distribution",
-    "ds_quantity_discount_corr",
-    "ds_calendar_fact_align",
-    "ds_locf_gap_fill",
-    "ds_month_seasonality_index",
-    "ds_churned_revenue_anti",
-    "ds_centered_moving_window",
-    "ds_nested_share_of_total",
-    "ds_running_distinct_parts",
-    "ds_brand_skew_classes",
-    # (d) round-13 additions (see comment above)
-    "stream_stateful_dedup_tws",
-    "agg_salted_skew",
+    # (a) round-13 additions never driver-checked (VERDICT r13 item 2)
+    "graph_kcore_extract",
+    "text_pmi_collocations",
+    "stream_stateful_stats_tws",
+    # (b) the 33-entry r7 tail, CORRECTNESS_r07 ledger order
+    "ds_hourly_entropy",
+    "ds_topk_with_others",
+    "ds_exists_having_combo",
+    "ds_leave_one_out_avg",
+    "ds_fallback_key_join",
+    "ds_having_over_window",
+    "ds_interval_month_census",
+    "ds_weighted_avg_price_mix",
+    "ds_median_order_gap",
+    "stream_incremental_join_mv",
+    "stream_dedup_within_watermark",
+    "stream_stream_left_join",
+    "text_nearest_neighbor",
+    "corpus_weighted_sample",
+    "corpus_chunk_windows",
+    "q1_pricing_summary",
+    "q2_min_balance_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_count",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_priority_line_classes",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "join_bucketed_colocated",
+    "stream_idempotent_mv_replay",
+    # (c) r8 refresh block: first 14 of the r8 ledger, in
+    # CORRECTNESS_r08 order
+    "ds_quantity_band_stats",
+    "ds_excess_discount_lines",
+    "ds_active_priced_parts",
+    "ds_nation_return_refunds",
+    "ds_attribute_combo_census",
+    "ds_weekday_priority_matrix",
+    "ds_channel_union_yoy",
+    "ds_profit_rollup_channels",
+    "ds_hourly_type_share",
+    "ds_bigticket_customer_split",
+    "ds_promo_revenue_ratio",
+    "ds_multi_supplier_return_orders",
+    "ds_cumulative_priority_crossover",
+    "ds_rollup_level_share_rank",
 ]
 # Round-14 window plan (mechanical, from the ledger): FIRST any
 # round-13 addition without a driver row yet (as of this writing:

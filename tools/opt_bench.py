@@ -1,4 +1,4 @@
-"""Round-13 optimization harness: isolated per-query timing + formatted
+"""Optimization-round harness: isolated per-query timing + formatted
 plan capture.
 
 Times the named headline queries with bench.py's session confs and
@@ -33,7 +33,7 @@ sys.path.insert(0, str(REPO))
 from lakehouse_tacklebox_spark.queries import REGISTRY  # noqa: E402
 from lakehouse_tacklebox_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = REPO / "plans" / "r13"
+PLANS_DIR = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
 
 
 def capture_plan(df) -> str:
